@@ -1,0 +1,117 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tracking_sdf_tpu.config import GridParams
+from tracking_sdf_tpu.grid import (
+    empty_grid,
+    world_to_voxel,
+    voxel_to_world,
+    shepard_l1,
+    trilinear,
+    trilinear_with_grad,
+)
+import ref_numpy
+
+PARAMS = GridParams(m=16, width=2.0, height=3.0, depth=1.5,
+                    origin=(-1.0, -1.5, -0.75), delta=0.1, epsilon=0.01)
+
+
+def _ref_grid():
+    return ref_numpy.RefGrid(PARAMS.m, PARAMS.width, PARAMS.height, PARAMS.depth,
+                             PARAMS.origin, PARAMS.delta, PARAMS.epsilon)
+
+
+def test_world_voxel_roundtrip_matches_reference():
+    g = _ref_grid()
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1.5, 1.5, size=(50, 3))
+    ours = np.asarray(world_to_voxel(PARAMS, jnp.asarray(pts, dtype=jnp.float32)))
+    for p, o in zip(pts, ours):
+        np.testing.assert_allclose(o, g.world_to_voxel(p), atol=1e-5)
+
+    ijk = rng.integers(0, PARAMS.m, size=(50, 3))
+    ours = np.asarray(voxel_to_world(PARAMS, jnp.asarray(ijk, dtype=jnp.float32)))
+    for v, o in zip(ijk, ours):
+        np.testing.assert_allclose(o, g.voxel_center(v), atol=1e-5)
+
+
+def test_voxel_center_lands_on_integer_coords():
+    ijk = jnp.asarray([[3.0, 7.0, 11.0]])
+    world = voxel_to_world(PARAMS, ijk)
+    back = world_to_voxel(PARAMS, world)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(ijk), atol=1e-5)
+
+
+def test_shepard_matches_reference_oracle():
+    rng = np.random.default_rng(1)
+    m = PARAMS.m
+    D = rng.normal(size=(m, m, m)).astype(np.float32)
+    W = (rng.uniform(size=(m, m, m)) > 0.3).astype(np.float32)  # 30% unobserved
+
+    queries = np.concatenate(
+        [
+            rng.uniform(-1.0, m, size=(300, 3)),  # incl. out-of-range & negative
+            rng.integers(0, m, size=(50, 3)).astype(np.float64),  # exact hits
+            rng.integers(0, m, size=(50, 3)) + np.array([1e-7, 0.0, 0.0]),
+        ]
+    )
+    vals, valids = jax.jit(shepard_l1)(
+        jnp.asarray(D), jnp.asarray(W), jnp.asarray(queries, dtype=jnp.float32)
+    )
+    vals, valids = np.asarray(vals), np.asarray(valids)
+    for q, v, ok in zip(queries, vals, valids):
+        v_ref, ok_ref = ref_numpy.interpolate_distance(D, W, q)
+        assert bool(ok) == bool(ok_ref), q
+        if ok_ref:
+            np.testing.assert_allclose(v, v_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_trilinear_exact_on_linear_field():
+    # a trilinear interpolant reproduces any linear function exactly
+    m = 8
+    i, j, k = np.meshgrid(np.arange(m), np.arange(m), np.arange(m), indexing="ij")
+    D = (2.0 * i - 3.0 * j + 0.5 * k + 1.0).astype(np.float32)
+    W = np.ones((m, m, m), np.float32)
+    rng = np.random.default_rng(2)
+    q = rng.uniform(0, m - 1.001, size=(100, 3)).astype(np.float32)
+    vals, grads, valid = trilinear_with_grad(jnp.asarray(D), jnp.asarray(W), jnp.asarray(q))
+    expected = 2.0 * q[:, 0] - 3.0 * q[:, 1] + 0.5 * q[:, 2] + 1.0
+    assert np.all(np.asarray(valid))
+    np.testing.assert_allclose(np.asarray(vals), expected, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(grads), np.tile([2.0, -3.0, 0.5], (100, 1)), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_trilinear_grad_matches_autodiff():
+    rng = np.random.default_rng(3)
+    m = 8
+    D = rng.normal(size=(m, m, m)).astype(np.float32)
+    W = (rng.uniform(size=(m, m, m)) > 0.2).astype(np.float32)
+    q = rng.uniform(0.2, m - 1.2, size=(50, 3)).astype(np.float32)
+
+    def val(qi):
+        v, _ = trilinear(jnp.asarray(D), jnp.asarray(W), qi)
+        return v
+
+    auto = jax.vmap(jax.grad(val))(jnp.asarray(q))
+    _, manual, valid = trilinear_with_grad(jnp.asarray(D), jnp.asarray(W), jnp.asarray(q))
+    np.testing.assert_allclose(np.asarray(manual), np.asarray(auto), rtol=1e-3, atol=1e-4)
+
+
+def test_trilinear_invalid_when_all_corners_unobserved():
+    m = 8
+    D = jnp.ones((m, m, m), dtype=jnp.float32)
+    W = jnp.zeros((m, m, m), dtype=jnp.float32)
+    v, valid = trilinear(D, W, jnp.asarray([[3.5, 3.5, 3.5]]))
+    assert not bool(valid[0])
+    v, valid = shepard_l1(D, W, jnp.asarray([[3.5, 3.5, 3.5]]))
+    assert not bool(valid[0])
+
+
+def test_empty_grid_init_matches_reference():
+    g = empty_grid(PARAMS)
+    assert float(g.D[0, 0, 0]) == PARAMS.width + PARAMS.height + PARAMS.depth
+    assert float(g.W.sum()) == 0.0
+    np.testing.assert_allclose(np.asarray(g.R), 0.4)

@@ -1,0 +1,136 @@
+"""Typed configuration for the whole framework.
+
+The reference hardcodes every parameter at its call sites (grid m=256,
+volume 6.0x6.0x3.5 m, origin (-3,-3,-0.5), delta=0.3, epsilon=0.025 at
+sdf_reconstruction.cpp:83-85; GN 20 iters / 0.001 threshold / v_h=1.0 /
+w_h=0.01 at :88; pixel stride 3 at camera_tracking.cpp:162-163). Here they
+are first-class, hashable configs usable as jit static arguments.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+
+class GridParams(NamedTuple):
+    """Static geometry of the TSDF voxel volume.
+
+    Mirrors the SDF ctor signature (reference sdf.cpp:8) — ``m`` voxels per
+    axis over a ``width x height x depth`` meter box anchored at ``origin``.
+    ``delta`` / ``epsilon`` are the truncation band and full-weight band of
+    the fusion weighting (paper Eq. 28/31; sdf.cpp:276-287).
+
+    NamedTuple of Python scalars => hashable => usable as a jit static arg.
+    """
+
+    m: int = 256
+    width: float = 6.0
+    height: float = 6.0
+    depth: float = 3.5
+    origin: Tuple[float, float, float] = (-3.0, -3.0, -0.5)
+    delta: float = 0.3
+    epsilon: float = 0.025
+
+    @property
+    def extent(self) -> Tuple[float, float, float]:
+        return (self.width, self.height, self.depth)
+
+    @property
+    def voxel_size(self) -> Tuple[float, float, float]:
+        return (self.width / self.m, self.height / self.m, self.depth / self.m)
+
+    @property
+    def n_voxels(self) -> int:
+        return self.m ** 3
+
+
+class TrackingConfig(NamedTuple):
+    """Gauss-Newton tracker settings (reference camera_tracking.cpp:3-17).
+
+    ``jacobian`` selects the derivative scheme:
+      * ``"analytic"`` (default, TPU-first): trilinear interpolation with the
+        exact analytic grid gradient, chain-ruled to the SE(3) twist.
+      * ``"central"``: the reference's 13-probe central-difference scheme
+        (camera_tracking.cpp:246-363) over Shepard-L1 interpolation, for
+        parity testing.
+
+    ``convergence`` selects the stop rule:
+      * ``"norm"`` (default): max |twist component| < max_twist_diff.
+      * ``"signed"``: the reference's quirk — stop when all six *signed*
+        components are < threshold (camera_tracking.cpp:216-224), which also
+        fires when components are very negative.
+
+    ``pose_update`` selects the composition rule:
+      * ``"se3"`` (default): exact left-inverse composition
+        T <- exp(xi)^-1 ∘ T, i.e. R <- Re' R and t <- Re' (t - te).
+      * ``"reference"``: the reference quirk (camera_tracking.cpp:237-238)
+        which does NOT rotate t: R <- Re' R, t <- t - Re' te.
+    """
+
+    max_iterations: int = 20
+    max_twist_diff: float = 0.001
+    v_h: float = 1.0  # translation probe step, in *voxel* units
+    w_h: float = 0.01  # rotation probe step, radians
+    pixel_stride: int = 3
+    jacobian: str = "analytic"
+    convergence: str = "norm"
+    pose_update: str = "se3"
+    damping: float = 0.0  # Levenberg-Marquardt diagonal damping (0 = pure GN)
+
+
+class FusionConfig(NamedTuple):
+    """TSDF fusion settings (reference sdf.cpp:224-315).
+
+    ``weighting`` is the paper Table II ablation axis: "exponential" (shipped
+    code, Eq. 31), "linear", "constant", and the "narrow_*" variants.
+    ``distance`` selects point-to-plane (shipped, sdf.cpp:272) or
+    point-to-point (present but commented out, sdf.cpp:267).
+    """
+
+    weighting: str = "exponential"
+    distance: str = "point_to_plane"
+    fuse_color: bool = True
+    max_weight: Optional[float] = None  # optional running-weight clamp (ref: none)
+
+
+class RaycastConfig(NamedTuple):
+    """Sphere-tracing raycaster (new capability vs the reference)."""
+
+    max_steps: int = 96
+    hit_epsilon: float = 1e-3  # meters
+    step_scale: float = 0.9
+    t_near: float = 0.1
+    t_far: float = 10.0
+    miss_step: float = 0.04  # step (m) through unobserved space
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end runner configuration; presets mirror BASELINE.json configs."""
+
+    grid: GridParams = GridParams()
+    tracking: TrackingConfig = TrackingConfig()
+    fusion: FusionConfig = FusionConfig()
+    raycast: RaycastConfig = RaycastConfig()
+    use_groundtruth: bool = False  # fusion-only oracle mode (sdf_reconstruction.cpp:51)
+    bilateral_filter: bool = True
+    trajectory_path: Optional[str] = "trajectory.txt"
+    mesh_hz: float = 0.0  # 0 = no periodic meshing; reference runs 1 Hz async
+
+
+def preset(name: str) -> PipelineConfig:
+    """Named presets matching BASELINE.json configs #1-#5."""
+    presets = {
+        # Single-frame fusion + raycast render, 64^3, synthetic depth.
+        "synthetic64": PipelineConfig(
+            grid=GridParams(m=64, width=2.0, height=2.0, depth=2.0,
+                            origin=(-1.0, -1.0, -1.0), delta=0.1, epsilon=0.01),
+        ),
+        # 10-frame TUM clip, 128^3.
+        "tum128": PipelineConfig(grid=GridParams(m=128)),
+        # Full fr1/plant, 256^3 (reference's own configuration).
+        "tum256": PipelineConfig(grid=GridParams(m=256)),
+        # 512^3 bricked grid + pyramid + device-side marching cubes.
+        "tum512": PipelineConfig(grid=GridParams(m=512)),
+    }
+    return presets[name]
