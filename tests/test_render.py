@@ -1,0 +1,112 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tracking_sdf_tpu.config import GridParams, RaycastConfig
+from tracking_sdf_tpu.core.camera import PinholeCamera
+from tracking_sdf_tpu.core.lie import Pose
+from tracking_sdf_tpu.data import SphereScene, grid_from_scene, look_at, render_scene_depth
+from tracking_sdf_tpu.render import raycast, marching_cubes, export_ply
+
+PARAMS = GridParams(m=64, width=2.0, height=2.0, depth=2.0,
+                    origin=(-1.0, -1.0, -1.0), delta=0.1, epsilon=0.01)
+CAM = PinholeCamera(fx=60.0, fy=60.0, cx=47.5, cy=35.5, width=96, height=72)
+SCENE = SphereScene(center=(0.0, 0.0, 0.0), radius=0.5)
+POSE = look_at((0.0, -1.6, 0.2), (0.0, 0.0, 0.0))
+
+
+def test_raycast_depth_matches_analytic():
+    grid = grid_from_scene(PARAMS, SCENE)
+    result = raycast(grid, POSE, params=PARAMS, cam=CAM, with_color=True)
+    exact = np.asarray(render_scene_depth(SCENE, CAM, POSE))
+    hit = np.asarray(result.hit)
+    exact_hit = np.isfinite(exact)
+    # essentially all analytically-hit pixels should be ray-hits (boundary
+    # pixels may differ by grid discretization)
+    agree = (hit == exact_hit).mean()
+    assert agree > 0.97, agree
+    both = hit & exact_hit
+    assert both.sum() > 800
+    err = np.abs(np.asarray(result.depth)[both] - exact[both])
+    assert np.median(err) < 0.005, np.median(err)
+    assert np.quantile(err, 0.95) < 0.02
+
+    # normals: compare against analytic sphere normals in world frame
+    pts = np.asarray(POSE.t) + np.asarray(result.range_t)[..., None] * _units()
+    n_true = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+    n_est = np.asarray(result.normal_world)
+    cos = np.sum(n_est[both] * n_true[both], axis=-1)
+    assert np.median(np.abs(cos)) > 0.99
+    # colors present where hit
+    assert np.isfinite(np.asarray(result.rgb)[both]).all()
+
+
+def _units():
+    from tracking_sdf_tpu.core.camera import pixel_rays
+
+    dirs_cam, _ = pixel_rays(CAM)
+    d_world = np.einsum("ij,hwj->hwi", np.asarray(POSE.R), np.asarray(dirs_cam))
+    return d_world / np.linalg.norm(d_world, axis=-1, keepdims=True)
+
+
+def test_raycast_depth_gradient_wrt_pose_and_grid():
+    grid = grid_from_scene(PARAMS, SCENE)
+
+    def mean_depth_t(tz):
+        pose = Pose(POSE.R, POSE.t + jnp.asarray([0.0, 0.0, 0.0]) + tz * jnp.asarray([0.0, 1.0, 0.0]))
+        r = raycast(grid, pose, params=PARAMS, cam=CAM, stride=4)
+        return jnp.nansum(jnp.where(r.hit, r.depth, 0.0)) / jnp.sum(r.hit)
+
+    g = jax.grad(mean_depth_t)(jnp.float32(0.0))
+    # moving the camera toward the object (along +y = view direction)
+    # decreases depth roughly 1:1
+    assert np.isfinite(float(g))
+    assert -1.7 < float(g) < -0.6, float(g)
+
+    def mean_depth_D(offset):
+        g2 = grid._replace(D=grid.D + offset)
+        r = raycast(g2, POSE, params=PARAMS, cam=CAM, stride=4)
+        return jnp.nansum(jnp.where(r.hit, r.depth, 0.0)) / jnp.sum(r.hit)
+
+    gD = jax.grad(mean_depth_D)(jnp.float32(0.0))
+    # raising D makes every sample read "more outside": the zero crossing
+    # retreats, the object shrinks, depth INCREASES (dt/dD = -1/(grad.u) >= 1)
+    assert np.isfinite(float(gD)) and 0.5 < float(gD) < 4.0, float(gD)
+
+
+def test_marching_cubes_sphere():
+    grid = grid_from_scene(PARAMS, SCENE)
+    mesh = marching_cubes(grid, params=PARAMS, with_colors=True)
+    assert mesh.num_triangles > 500
+    v = mesh.vertices.reshape(-1, 3)
+    r = np.linalg.norm(v, axis=-1)
+    np.testing.assert_allclose(r, SCENE.radius, atol=0.03)
+    assert np.abs(np.median(r) - SCENE.radius) < 0.005
+    # winding: face normals point outward (along +position for a sphere)
+    tri = mesh.vertices
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    c = tri.mean(axis=1)
+    outward = np.sum(n * c, axis=-1) > 0
+    assert outward.mean() > 0.99, outward.mean()
+    assert mesh.colors.shape == mesh.vertices.shape
+
+
+def test_marching_cubes_respects_weight_gate():
+    grid = grid_from_scene(PARAMS, SCENE)
+    # knock out observations in the x>0 half: no triangles there
+    mask = np.zeros((PARAMS.m,) * 3, np.float32)
+    mask[: PARAMS.m // 2] = 1.0
+    grid = grid._replace(W=grid.W * jnp.asarray(mask))
+    mesh = marching_cubes(grid, params=PARAMS)
+    assert mesh.num_triangles > 100
+    assert mesh.vertices[..., 0].max() < 0.02  # half-space boundary
+
+
+def test_export_ply(tmp_path):
+    grid = grid_from_scene(PARAMS, SCENE)
+    mesh = marching_cubes(grid, params=PARAMS, with_colors=True)
+    path = str(tmp_path / "sphere.ply")
+    export_ply(mesh, path)
+    head = open(path).read(400)
+    assert head.startswith("ply")
+    assert f"element face {mesh.num_triangles}" in head

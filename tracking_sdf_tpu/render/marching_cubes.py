@@ -1,0 +1,239 @@
+"""Device-side isosurface meshing (marching tetrahedra) + PLY export.
+
+Plays the role of the reference's pcl::MarchingCubesSDF
+(marching_cubes_sdf.cpp:100-287): extract the zero isosurface of D over all
+interior cells whose 8 corners are observed (W > 0 — getNeighborList1D's
+gate, marching_cubes_sdf.cpp:228-241), with vertices linearly interpolated
+along cell edges to the iso level, and per-vertex colors interpolated from
+the color grid (sdf.cpp:377-382).
+
+Deliberate TPU-first redesign rather than a port:
+
+* **Marching tetrahedra, not the 256-case cube table.** Each cell splits
+  into 6 tetrahedra around the main diagonal; a tet has 16 trivially
+  derivable cases (at most 2 triangles), so the whole table is 16x2x3 ints —
+  register-resident, no 256x16 table gathers, and no ambiguous-face cases.
+  The extracted surface is the same zero crossing; only the triangulation
+  differs (~2x triangles).
+* **Two-pass, fixed-capacity.** Marching cubes' variable-size output is
+  hostile to XLA's static shapes. Pass 1 (device) computes per-cell corner
+  min/max/validity with pure SLICES of D and W (zero gathers) and reduces to
+  an active-cell bitmask; the host compacts indices once; pass 2 (device)
+  is a dense vmapped kernel over the padded active list producing a
+  fixed-shape (A, 6, 2) triangle buffer + validity, compacted on the host.
+* **Winding by gradient.** Triangle orientation is fixed globally by
+  aligning each face normal with the interpolated SDF gradient (+grad points
+  outside) instead of case-by-case table ordering.
+* Vertices live at the true voxel-center world coordinates (grid.voxel_to_world)
+  — the reference has a half-voxel-offset quirk here (createSurface uses
+  index/res * extent with no +0.5 shift, marching_cubes_sdf.cpp:122-141,
+  while fusion uses centers, sdf.h:153-157). We follow the fusion convention
+  so meshes align with the fused geometry.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tracking_sdf_tpu.config import GridParams
+from tracking_sdf_tpu.grid.grid import TSDFGrid, voxel_to_world
+from tracking_sdf_tpu.grid.interp import interp_color
+
+# Cube corners in binary (x, y, z) bit order.
+_CORNERS = np.array(
+    [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
+     [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1]],
+    dtype=np.int32,
+)
+
+# Six tetrahedra around the main diagonal c0 -> c7 (each face of the path
+# cube walk): a standard 6-tet decomposition with consistent diagonal.
+_TETS = np.array(
+    [[0, 1, 3, 7], [0, 3, 2, 7], [0, 2, 6, 7],
+     [0, 6, 4, 7], [0, 4, 5, 7], [0, 5, 1, 7]],
+    dtype=np.int32,
+)
+
+# Tet edges: pairs of local tet-vertex indices.
+_EDGES = np.array(
+    [[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], dtype=np.int32
+)
+
+# case bit i set <=> tet vertex i is INSIDE (d < iso). Each case lists up to
+# 2 triangles as triples of edge ids (-1 = unused). Winding is normalized
+# later via the SDF gradient, so only the cut-edge sets matter here.
+_TRI_TABLE = np.full((16, 2, 3), -1, dtype=np.int32)
+_TRI_TABLE[1, 0] = (0, 1, 2)            # v0
+_TRI_TABLE[2, 0] = (0, 3, 4)            # v1
+_TRI_TABLE[3] = ((1, 3, 4), (1, 4, 2))  # v0 v1
+_TRI_TABLE[4, 0] = (1, 3, 5)            # v2
+_TRI_TABLE[5] = ((0, 3, 5), (0, 5, 2))  # v0 v2
+_TRI_TABLE[6] = ((0, 1, 5), (0, 5, 4))  # v1 v2
+_TRI_TABLE[7, 0] = (2, 4, 5)            # v0 v1 v2
+_TRI_TABLE[8, 0] = (2, 4, 5)            # v3
+_TRI_TABLE[9] = ((0, 1, 5), (0, 5, 4))  # v0 v3
+_TRI_TABLE[10] = ((0, 3, 5), (0, 5, 2))  # v1 v3
+_TRI_TABLE[11, 0] = (1, 3, 5)           # v0 v1 v3
+_TRI_TABLE[12] = ((1, 3, 4), (1, 4, 2))  # v2 v3
+_TRI_TABLE[13, 0] = (0, 3, 4)           # v0 v2 v3
+_TRI_TABLE[14, 0] = (0, 1, 2)           # v1 v2 v3
+
+
+class Mesh(NamedTuple):
+    vertices: np.ndarray  # (T, 3, 3) float32 world-space triangle vertices
+    colors: Optional[np.ndarray]  # (T, 3, 3) float32 in [0,1] or None
+
+    @property
+    def num_triangles(self) -> int:
+        return int(self.vertices.shape[0])
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _active_cells(grid: TSDFGrid, *, params: GridParams) -> jnp.ndarray:
+    """Pass 1: (m-1)^3 bool — cells with all 8 corners observed AND a sign
+    change. Pure slices, no gathers."""
+    D, W = grid.D, grid.W
+    shape = tuple(s - 1 for s in D.shape)
+    lo = jnp.full(shape, jnp.inf, D.dtype)
+    hi = -lo
+    valid = jnp.ones(shape, dtype=bool)
+    for dx, dy, dz in _CORNERS:
+        d = D[dx:dx + params.m - 1, dy:dy + params.m - 1, dz:dz + params.m - 1]
+        w = W[dx:dx + params.m - 1, dy:dy + params.m - 1, dz:dz + params.m - 1]
+        lo = jnp.minimum(lo, d)
+        hi = jnp.maximum(hi, d)
+        valid = valid & (w > 0)
+    return valid & (lo < 0.0) & (hi >= 0.0)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _triangulate_cells(
+    grid: TSDFGrid, cells: jnp.ndarray, *, params: GridParams
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pass 2: cells (A, 3) int32 -> (verts (A*6, 2, 3, 3), valid (A*6, 2))."""
+    corners = cells[:, None, :] + jnp.asarray(_CORNERS)[None, :, :]  # (A, 8, 3)
+    d = grid.D[corners[..., 0], corners[..., 1], corners[..., 2]]  # (A, 8)
+    pos = voxel_to_world(params, corners.astype(grid.D.dtype))  # (A, 8, 3)
+
+    tets = jnp.asarray(_TETS)  # (6, 4)
+    d_t = d[:, tets]  # (A, 6, 4)
+    p_t = pos[:, tets]  # (A, 6, 4, 3)
+    A = d.shape[0]
+    d_t = d_t.reshape(A * 6, 4)
+    p_t = p_t.reshape(A * 6, 4, 3)
+
+    inside = (d_t < 0.0).astype(jnp.int32)
+    case = inside[:, 0] + 2 * inside[:, 1] + 4 * inside[:, 2] + 8 * inside[:, 3]
+
+    tri_table = jnp.asarray(_TRI_TABLE)  # (16, 2, 3)
+    edges = tri_table[case]  # (N, 2, 3) edge ids or -1
+    valid_tri = edges[:, :, 0] >= 0  # (N, 2)
+
+    edge_verts = jnp.asarray(_EDGES)  # (6, 2)
+    e = jnp.maximum(edges, 0)  # safe index
+    ab = edge_verts[e]  # (N, 2, 3, 2) local tet-vertex ids
+    da = jnp.take_along_axis(d_t[:, None, None, :], ab[..., 0:1], axis=-1)[..., 0]
+    db = jnp.take_along_axis(d_t[:, None, None, :], ab[..., 1:2], axis=-1)[..., 0]
+    pa = jnp.take_along_axis(
+        p_t[:, None, None, :, :], ab[..., 0:1, None].repeat(3, -1), axis=-2
+    )[..., 0, :]
+    pb = jnp.take_along_axis(
+        p_t[:, None, None, :, :], ab[..., 1:2, None].repeat(3, -1), axis=-2
+    )[..., 0, :]
+    denom = da - db
+    mu = jnp.where(jnp.abs(denom) > 1e-12, da / jnp.where(denom == 0, 1.0, denom), 0.5)
+    mu = jnp.clip(mu, 0.0, 1.0)
+    verts = pa + mu[..., None] * (pb - pa)  # (N, 2, 3, 3)
+
+    # normalize winding: face normal aligned with +grad(D) (outward), using
+    # the exact trilinear gradient at each triangle centroid
+    from tracking_sdf_tpu.grid.grid import world_to_voxel
+    from tracking_sdf_tpu.grid.interp import trilinear_with_grad
+
+    v0, v1, v2 = verts[:, :, 0], verts[:, :, 1], verts[:, :, 2]
+    face_n = jnp.cross(v1 - v0, v2 - v0)
+    tri_centroid = (v0 + v1 + v2) / 3.0  # (N, 2, 3)
+    _, g_uvw, _ = trilinear_with_grad(
+        grid.D, grid.W, world_to_voxel(params, tri_centroid)
+    )
+    scale = jnp.asarray(
+        [params.m / params.width, params.m / params.height, params.m / params.depth],
+        dtype=g_uvw.dtype,
+    )
+    flip = jnp.sum(face_n * (g_uvw * scale), axis=-1) < 0
+    verts = jnp.where(flip[:, :, None, None], verts[:, :, ::-1, :], verts)
+
+    return verts, valid_tri
+
+
+def marching_cubes(
+    grid: TSDFGrid,
+    *,
+    params: GridParams,
+    with_colors: bool = False,
+    max_cells: Optional[int] = None,
+) -> Mesh:
+    """Extract the zero-isosurface triangle mesh (host-compacted).
+
+    Functionally equivalent to SDF::visualize's meshing step
+    (sdf.cpp:317-391) with `with_colors=True` matching its per-vertex
+    interpolate_color.
+    """
+    active = np.asarray(_active_cells(grid, params=params))
+    idx = np.argwhere(active).astype(np.int32)  # (A, 3), interior cells
+    if idx.shape[0] == 0:
+        empty = np.zeros((0, 3, 3), np.float32)
+        return Mesh(empty, empty.copy() if with_colors else None)
+    if max_cells is not None and idx.shape[0] > max_cells:
+        idx = idx[:max_cells]
+
+    # pad to a fixed bucket so recompilation is rare
+    cap = 1 << max(10, int(np.ceil(np.log2(idx.shape[0]))))
+    pad = cap - idx.shape[0]
+    idx_padded = np.concatenate([idx, np.zeros((pad, 3), np.int32)], axis=0)
+    verts, valid = _triangulate_cells(grid, jnp.asarray(idx_padded), params=params)
+    valid = np.array(valid).reshape(cap, 6, 2)  # writable copy
+    valid[idx.shape[0]:] = False
+    verts = np.asarray(verts).reshape(cap, 6, 2, 3, 3)
+    tri = verts[valid]  # (T, 3, 3)
+
+    colors = None
+    if with_colors:
+        from tracking_sdf_tpu.grid.grid import world_to_voxel
+
+        flat = jnp.asarray(tri.reshape(-1, 3))
+        rgb, _ = interp_color(
+            grid.R, grid.G, grid.B, grid.Wc, world_to_voxel(params, flat)
+        )
+        colors = np.asarray(rgb).reshape(-1, 3, 3).astype(np.float32)
+    return Mesh(tri.astype(np.float32), colors)
+
+
+def export_ply(mesh: Mesh, path: str) -> None:
+    """Binary-less ASCII PLY export (colored if the mesh has colors)."""
+    t = mesh.vertices
+    n_v = t.shape[0] * 3
+    n_f = t.shape[0]
+    has_c = mesh.colors is not None
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {n_v}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if has_c:
+            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write(f"element face {n_f}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        verts = t.reshape(-1, 3)
+        if has_c:
+            cols = np.clip(mesh.colors.reshape(-1, 3) * 255.0, 0, 255).astype(np.uint8)
+            for v, c in zip(verts, cols):
+                f.write(f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f} {c[0]} {c[1]} {c[2]}\n")
+        else:
+            for v in verts:
+                f.write(f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for i in range(n_f):
+            f.write(f"3 {3 * i} {3 * i + 1} {3 * i + 2}\n")

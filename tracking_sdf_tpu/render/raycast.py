@@ -1,0 +1,155 @@
+"""Differentiable sphere-tracing raycaster over the TSDF grid.
+
+NEW capability vs the reference (which only renders via marching cubes +
+RViz, sdf.cpp:317-391); required by BASELINE.json: depth/normal/color images
+and pixel gradients w.r.t. pose and SDF values.
+
+Design (TPU-first):
+  * All rays march in lockstep inside one lax.fori_loop with a fixed step
+    count — no data-dependent control flow; finished rays are masked, not
+    branched.
+  * Rays are clipped to the grid's bounding box first, so steps are never
+    wasted outside the volume.
+  * The canonical D is positive in free space, so the sphere-tracing step is
+    simply phi * step_scale; unobserved space (no valid interpolation) is
+    crossed at a fixed miss_step.
+  * Gradients: the march itself is wrapped in stop_gradient; the returned
+    range applies one implicit-function Newton step
+        t* = t_march - phi(o + t u) / (grad_phi . u)
+    through which d t*/d(pose, D) flows exactly (at the surface the quotient
+    rule's second term vanishes). This is the standard differentiable-
+    rendering trick: iteration count does not contaminate the derivative.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tracking_sdf_tpu.config import GridParams, RaycastConfig
+from tracking_sdf_tpu.core.camera import PinholeCamera, pixel_rays
+from tracking_sdf_tpu.core.lie import Pose
+from tracking_sdf_tpu.grid.grid import TSDFGrid, world_to_voxel
+from tracking_sdf_tpu.grid.interp import interp_color, trilinear, trilinear_with_grad
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class RenderResult(NamedTuple):
+    depth: jnp.ndarray  # (H, W) z-depth in camera frame; NaN on miss
+    range_t: jnp.ndarray  # (H, W) Euclidean distance along the ray; NaN on miss
+    hit: jnp.ndarray  # (H, W) bool
+    normal_world: jnp.ndarray  # (H, W, 3); NaN on miss
+    normal_cam: jnp.ndarray  # (H, W, 3); NaN on miss
+    rgb: Optional[jnp.ndarray]  # (H, W, 3) in [0,1] or None
+    steps: jnp.ndarray  # (H, W) int32 — march steps taken (profiling)
+
+
+def _ray_box(origin, unit, lo, hi):
+    """Entry/exit distances of rays o + t*u against an AABB."""
+    safe_u = jnp.where(jnp.abs(unit) < 1e-12, 1e-12, unit)
+    t0 = (lo - origin) / safe_u
+    t1 = (hi - origin) / safe_u
+    t_enter = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_exit = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return t_enter, t_exit
+
+
+@partial(jax.jit, static_argnames=("params", "cam", "cfg", "stride", "with_color"))
+def raycast(
+    grid: TSDFGrid,
+    pose: Pose,
+    *,
+    params: GridParams,
+    cam: PinholeCamera,
+    cfg: RaycastConfig = RaycastConfig(),
+    stride: int = 1,
+    with_color: bool = False,
+) -> RenderResult:
+    dtype = grid.D.dtype
+    dirs_cam, _ = pixel_rays(cam, stride)  # (H, W, 3), z == 1
+    d_world = jnp.einsum("ij,hwj->hwi", pose.R, dirs_cam, precision=_HI)
+    dn = jnp.linalg.norm(d_world, axis=-1, keepdims=True)
+    unit = d_world / dn
+    origin = pose.t
+
+    lo = jnp.asarray(params.origin, dtype=dtype)
+    hi = lo + jnp.asarray(params.extent, dtype=dtype)
+    t_enter, t_exit = _ray_box(origin, unit, lo, hi)
+    t_start = jnp.maximum(t_enter, cfg.t_near)
+    t_stop = jnp.minimum(t_exit, cfg.t_far)
+    alive0 = t_start < t_stop  # ray intersects the volume at all
+
+    def sample(t):
+        pos = origin + t[..., None] * unit
+        uvw = world_to_voxel(params, pos)
+        phi, ok = trilinear(grid.D, grid.W, uvw)
+        return phi, ok
+
+    def body(_, state):
+        t, hit, alive, steps = state
+        phi, ok = sample(t)
+        hit_now = alive & ok & (jnp.abs(phi) < cfg.hit_epsilon)
+        step = jnp.where(ok, phi * cfg.step_scale, cfg.miss_step)
+        # never step backwards past the entry point; cap forward progress at
+        # the truncation band (phi is truncated anyway, but be explicit)
+        step = jnp.clip(step, -params.delta, params.delta)
+        t_new = jnp.where(alive & ~hit_now, t + step, t)
+        t_new = jnp.maximum(t_new, t_start)
+        out_of_volume = t_new > t_stop
+        return (
+            t_new,
+            hit | hit_now,
+            alive & ~hit_now & ~out_of_volume,
+            steps + alive.astype(jnp.int32),
+        )
+
+    hit0 = jnp.zeros(t_start.shape, dtype=bool)
+    steps0 = jnp.zeros(t_start.shape, dtype=jnp.int32)
+    t_m, hit, _, steps = jax.lax.fori_loop(
+        0, cfg.max_steps, body, (t_start, hit0, alive0 & True, steps0)
+    )
+    t_m = jax.lax.stop_gradient(t_m)
+
+    # Implicit-function refinement: exact differentiable surface distance.
+    pos = origin + t_m[..., None] * unit
+    uvw = world_to_voxel(params, pos)
+    phi, g_uvw, ok = trilinear_with_grad(grid.D, grid.W, uvw)
+    scale = jnp.asarray(
+        [params.m / params.width, params.m / params.height, params.m / params.depth],
+        dtype=dtype,
+    )
+    g_world = g_uvw * scale
+    denom = jnp.sum(g_world * unit, axis=-1)
+    safe_denom = jnp.where(jnp.abs(denom) > 1e-6, denom, 1.0)
+    t_refined = jnp.where(
+        hit & ok & (jnp.abs(denom) > 1e-6), t_m - phi / safe_denom, t_m
+    )
+    hit = hit & ok
+
+    gn = jnp.linalg.norm(g_world, axis=-1, keepdims=True)
+    n_world = g_world / jnp.maximum(gn, 1e-12)  # outward normal: +grad (+outside SDF)
+    # orient toward the camera (n . view_dir < 0)
+    n_world = jnp.where(jnp.sum(n_world * unit, -1, keepdims=True) > 0, -n_world, n_world)
+    n_cam = jnp.einsum("ji,hwj->hwi", pose.R, n_world, precision=_HI)
+
+    nan = jnp.asarray(jnp.nan, dtype=dtype)
+    range_t = jnp.where(hit, t_refined, nan)
+    depth = range_t / dn[..., 0]  # camera z-depth (dirs_cam z == 1)
+    n_world = jnp.where(hit[..., None], n_world, nan)
+    n_cam = jnp.where(hit[..., None], n_cam, nan)
+
+    rgb = None
+    if with_color:
+        hit_pos = origin + jnp.where(hit, t_refined, t_m)[..., None] * unit
+        rgb_v, c_ok = interp_color(
+            grid.R, grid.G, grid.B, grid.Wc, world_to_voxel(params, hit_pos)
+        )
+        rgb = jnp.where((hit & c_ok)[..., None], rgb_v, nan)
+
+    return RenderResult(
+        depth=depth, range_t=range_t, hit=hit,
+        normal_world=n_world, normal_cam=n_cam, rgb=rgb, steps=steps,
+    )
