@@ -1,0 +1,128 @@
+"""Sharded-vs-unsharded equivalence on the virtual 8-device CPU mesh.
+
+This is the distributed test tier the reference never had (SURVEY.md §4.6):
+the SPMD kernels must produce the same numbers as the dense single-device
+path — fusion bitwise-identical per voxel (it is purely local), tracking
+allclose (the psum changes f32 summation order only).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tracking_sdf_tpu.config import FusionConfig, GridParams, TrackingConfig
+from tracking_sdf_tpu.core.camera import PinholeCamera, backproject
+from tracking_sdf_tpu.core.lie import pose_compose, pose_inverse, se3_exp, se3_log
+from tracking_sdf_tpu.data import (
+    CuboidScene,
+    SphereScene,
+    grid_from_scene,
+    look_at,
+    render_scene_depth,
+)
+from tracking_sdf_tpu.fusion.fuse import fuse_frame
+from tracking_sdf_tpu.grid.grid import empty_grid
+from tracking_sdf_tpu.parallel import (
+    make_mesh,
+    make_sharded_step,
+    shard_grid,
+    sharded_fuse_frame,
+    sharded_track_frame,
+)
+from tracking_sdf_tpu.tracking import estimate_normals, strided_points, track_frame
+
+PARAMS = GridParams(m=48, width=2.0, height=2.0, depth=2.0,
+                    origin=(-1.0, -1.0, -1.0), delta=0.15, epsilon=0.02)
+CAM = PinholeCamera(fx=60.0, fy=60.0, cx=47.5, cy=35.5, width=96, height=72)
+SCENE_A = SphereScene(center=(0.15, 0.1, 0.0), radius=0.4)
+SCENE_B = CuboidScene(min_corner=(-0.75, -0.4, -0.55), max_corner=(-0.35, 0.4, 0.15))
+
+
+class TwoScenes:
+    def sdf(self, x):
+        return jnp.minimum(SCENE_A.sdf(x), SCENE_B.sdf(x))
+
+    def color(self, x):
+        return SCENE_A.color(x)
+
+    def intersect(self, origins, dirs):
+        ta = SCENE_A.intersect(origins, dirs)
+        tb = SCENE_B.intersect(origins, dirs)
+        return jnp.where(jnp.isnan(ta), tb, jnp.where(jnp.isnan(tb), ta, jnp.minimum(ta, tb)))
+
+
+SCENE = TwoScenes()
+TRUE_POSE = look_at((0.0, -1.5, 0.25), (0.0, 0.0, 0.0))
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() == 8, "conftest must provide 8 virtual devices"
+    return make_mesh()
+
+
+@pytest.fixture(scope="module")
+def frame():
+    depth = render_scene_depth(SCENE, CAM, TRUE_POSE)
+    pts = backproject(CAM, depth)
+    normals = estimate_normals(pts)
+    rgb = jnp.full(pts.shape, 0.5, dtype=jnp.float32)
+    return pts, normals, rgb
+
+
+def test_sharded_fusion_matches_dense(mesh, frame):
+    pts, normals, rgb = frame
+    cfg = FusionConfig()
+    g_dense = fuse_frame(empty_grid(PARAMS), TRUE_POSE, pts, normals, rgb,
+                         params=PARAMS, cam=CAM, cfg=cfg)
+    fuse_sh = sharded_fuse_frame(mesh, params=PARAMS, cam=CAM, cfg=cfg)
+    g_sh = fuse_sh(shard_grid(empty_grid(PARAMS), mesh), TRUE_POSE, pts, normals, rgb)
+    for name in TSDF_FIELDS:
+        a = np.asarray(getattr(g_dense, name))
+        b = np.asarray(getattr(g_sh, name))
+        np.testing.assert_allclose(a, b, rtol=0, atol=0, err_msg=name)
+
+
+TSDF_FIELDS = ("D", "W", "R", "G", "B", "Wc")
+
+
+def test_sharded_tracking_matches_dense(mesh):
+    grid = grid_from_scene(PARAMS, SCENE)
+    depth = render_scene_depth(SCENE, CAM, TRUE_POSE)
+    points = strided_points(backproject(CAM, depth), 2)
+
+    xi = jnp.asarray([0.03, -0.02, 0.04, 0.02, -0.03, 0.02], dtype=jnp.float32)
+    pose0 = pose_compose(se3_exp(xi), TRUE_POSE)
+    cfg = TrackingConfig(jacobian="analytic", max_iterations=30)
+
+    r_dense = track_frame(grid, pose0, points, params=PARAMS, cfg=cfg)
+    track_sh = sharded_track_frame(mesh, params=PARAMS, cfg=cfg)
+    r_sh = track_sh(shard_grid(grid, mesh), pose0, points)
+
+    # same pixels contribute (ownership partitions the owned set exactly)
+    assert int(r_sh.num_valid) == int(r_dense.num_valid)
+    # pose equality up to f32 reduction-order noise amplified by ~10 GN iters
+    np.testing.assert_allclose(np.asarray(r_sh.pose.R), np.asarray(r_dense.pose.R),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(r_sh.pose.t), np.asarray(r_dense.pose.t),
+                               atol=5e-5)
+    # and it actually converged to the true pose
+    delta = pose_compose(pose_inverse(r_sh.pose), TRUE_POSE)
+    err = np.asarray(se3_log(delta))
+    assert np.linalg.norm(err[:3]) < 0.004
+    assert np.linalg.norm(err[3:]) < 0.004
+
+
+def test_sharded_full_step(mesh, frame):
+    """track + fuse end-to-end on the mesh (the dryrun_multichip path)."""
+    pts, normals, rgb = frame
+    grid0 = grid_from_scene(PARAMS, SCENE)
+    step = make_sharded_step(mesh, params=PARAMS, cam=CAM)
+    xi = jnp.asarray([0.01, -0.01, 0.01, 0.005, -0.005, 0.005], dtype=jnp.float32)
+    pose0 = pose_compose(se3_exp(xi), TRUE_POSE)
+    grid1, pose1, res = step(shard_grid(grid0, mesh), pose0, pts, normals, rgb)
+    assert res is not None and int(res.iterations) >= 1
+    assert float(jnp.sum(grid1.W)) > float(jnp.sum(grid0.W))
+    delta = pose_compose(pose_inverse(pose1), TRUE_POSE)
+    err = np.asarray(se3_log(delta))
+    assert np.linalg.norm(err[:3]) < 0.01

@@ -74,26 +74,20 @@ def _world_to_camera_components(pose: Pose, x, y, z):
     return px, py, pz
 
 
-@partial(jax.jit, static_argnames=("params", "cam", "cfg"), donate_argnames=("grid",))
-def fuse_frame(
-    grid: TSDFGrid,
-    pose: Pose,
-    points_cam: jnp.ndarray,  # (H, W, 3) organized camera-frame points (NaN holes)
-    normals_cam: jnp.ndarray,  # (H, W, 3) camera-frame normals, oriented toward camera
-    rgb: Optional[jnp.ndarray],  # (H, W, 3) colors in [0, 1], or None
-    *,
-    params: GridParams,
-    cam: PinholeCamera,
-    cfg: FusionConfig = FusionConfig(),
-) -> TSDFGrid:
-    """Fuse one observed frame into the grid. Donates `grid` (in-place in HBM)."""
-    dtype = grid.D.dtype
-    h, w_img = points_cam.shape[:2]
+def pixel_channels(
+    points_cam: jnp.ndarray,
+    normals_cam: jnp.ndarray,
+    rgb: Optional[jnp.ndarray],
+    cfg: FusionConfig,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Per-pixel precomputation (tiny vs the voxel pass): (H*W, C) channels.
 
-    # ---- per-pixel precomputation (tiny vs the voxel pass) ----------------
-    # s = y·n per pixel lets the per-voxel plane distance be a single fused
-    # multiply-add chain: d_ref = s - p·n  (projectivePointToPlaneDistance,
-    # sdf.h:177-181 evaluated as (y - p)·n).
+    s = y·n per pixel lets the per-voxel plane distance be a single fused
+    multiply-add chain: d_ref = s - p·n  (projectivePointToPlaneDistance,
+    sdf.h:177-181 evaluated as (y - p)·n).
+    """
+    h, w_img = points_cam.shape[:2]
     n_img = normals_cam
     y_img = points_cam
     finite = (
@@ -122,10 +116,40 @@ def fuse_frame(
     ]
     if cfg.fuse_color and rgb is not None:
         channels += [rgb[..., 0], rgb[..., 1], rgb[..., 2]]
-    pix = jnp.stack(channels, axis=-1).reshape(h * w_img, -1).astype(dtype)
+    return jnp.stack(channels, axis=-1).reshape(h * w_img, -1).astype(dtype)
 
-    # ---- per-voxel pass ---------------------------------------------------
-    x, y, z = voxel_centers_world(params, dtype=dtype)
+
+def fuse_voxels(
+    grid: TSDFGrid,
+    pose: Pose,
+    pix: jnp.ndarray,  # (H*W, C) from pixel_channels
+    image_hw: tuple,
+    *,
+    params: GridParams,
+    cam: PinholeCamera,
+    cfg: FusionConfig,
+    i_offset=0,
+) -> TSDFGrid:
+    """The per-voxel fusion pass over a (mi, m, m) grid SLAB.
+
+    ``i_offset`` (may be traced, e.g. ``axis_index * slab``) is the global
+    voxel-i of the slab's first plane — the hook that makes this the shared
+    core of both the dense single-chip path and the slab-sharded SPMD path
+    (tracking_sdf_tpu.parallel.sharded): fusion is purely per-voxel, so a
+    slab fuses independently with zero cross-device traffic (SURVEY.md P2).
+    """
+    dtype = grid.D.dtype
+    h, w_img = image_hw
+    mi = grid.D.shape[0]
+
+    # local voxel-center iotas, shifted into global world coordinates
+    i = (jnp.arange(mi, dtype=dtype) + jnp.asarray(i_offset, dtype)).reshape(mi, 1, 1)
+    j = jnp.arange(params.m, dtype=dtype).reshape(1, params.m, 1)
+    k = jnp.arange(params.m, dtype=dtype).reshape(1, 1, params.m)
+    ox, oy, oz = params.origin
+    x = (params.width / params.m) * (i + 0.5) + ox
+    y = (params.height / params.m) * (j + 0.5) + oy
+    z = (params.depth / params.m) * (k + 0.5) + oz
     px, py, pz = _world_to_camera_components(pose, x, y, z)
 
     in_front = pz > 0  # reference: skip z < 0 (:247); >0 also guards the division
@@ -163,7 +187,7 @@ def fuse_frame(
     has = w_new > 0
     D_new = jnp.where(has, (grid.W * grid.D + w_new * d) / jnp.where(has, W_new, 1.0), grid.D)
 
-    if cfg.fuse_color and rgb is not None:
+    if cfg.fuse_color and pix.shape[-1] >= 10:
         cr, cg, cb = g[..., 7], g[..., 8], g[..., 9]
         wc_new = w_new * cosv
         Wc_new = grid.Wc + wc_new
@@ -178,6 +202,25 @@ def fuse_frame(
         Wc_new, R_new, G_new, B_new = grid.Wc, grid.R, grid.G, grid.B
 
     return TSDFGrid(D=D_new, W=W_new, R=R_new, G=G_new, B=B_new, Wc=Wc_new)
+
+
+@partial(jax.jit, static_argnames=("params", "cam", "cfg"), donate_argnames=("grid",))
+def fuse_frame(
+    grid: TSDFGrid,
+    pose: Pose,
+    points_cam: jnp.ndarray,  # (H, W, 3) organized camera-frame points (NaN holes)
+    normals_cam: jnp.ndarray,  # (H, W, 3) camera-frame normals, oriented toward camera
+    rgb: Optional[jnp.ndarray],  # (H, W, 3) colors in [0, 1], or None
+    *,
+    params: GridParams,
+    cam: PinholeCamera,
+    cfg: FusionConfig = FusionConfig(),
+) -> TSDFGrid:
+    """Fuse one observed frame into the grid. Donates `grid` (in-place in HBM)."""
+    pix = pixel_channels(points_cam, normals_cam, rgb, cfg, dtype=grid.D.dtype)
+    return fuse_voxels(
+        grid, pose, pix, points_cam.shape[:2], params=params, cam=cam, cfg=cfg
+    )
 
 
 def make_fuse_fn(params: GridParams, cam: PinholeCamera, cfg: FusionConfig):

@@ -1,0 +1,33 @@
+"""SPMD distribution layer: device meshes, shardings, and sharded kernels.
+
+The reference's parallelism is OpenMP threads + serial partial-sum reduction
+inside one address space (SURVEY.md §2 P1-P5). Here the same structures map
+onto a `jax.sharding.Mesh`:
+
+* grid SLABS along the voxel i-axis  <-> OpenMP voxel parallel-for (P2, P3)
+* per-shard (JᵀJ, Jᵀr) + `psum`      <-> per-thread partials + serial reduce (P1)
+* XLA collectives over ICI            <-> shared memory (P5)
+"""
+from tracking_sdf_tpu.parallel.mesh import (
+    make_mesh,
+    grid_sharding,
+    replicated_sharding,
+    shard_grid,
+    MeshAxes,
+)
+from tracking_sdf_tpu.parallel.sharded import (
+    sharded_fuse_frame,
+    sharded_track_frame,
+    make_sharded_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "grid_sharding",
+    "replicated_sharding",
+    "shard_grid",
+    "MeshAxes",
+    "sharded_fuse_frame",
+    "sharded_track_frame",
+    "make_sharded_step",
+]

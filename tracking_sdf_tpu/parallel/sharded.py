@@ -1,0 +1,244 @@
+"""Sharded (SPMD) tracking and fusion over a 1-D device mesh.
+
+Replaces the reference's OpenMP parallel structures (SURVEY.md P1-P5) with
+`jax.shard_map` over a mesh axis ``'d'``:
+
+* **Fusion** (`sharded_fuse_frame`): grid slabs are local, the (small) image
+  is replicated — each device runs the identical per-voxel gather+update on
+  its slab with a shifted i-iota. ZERO cross-device traffic, the exact SPMD
+  analogue of the reference's `#pragma omp parallel for` over voxels
+  (sdf.cpp:232-233).
+
+* **Tracking** (`sharded_track_frame`): pixels are replicated but each query
+  is ANSWERED ONLY by the slab that owns its base voxel (floor of the
+  continuous i coordinate). A one-plane halo fetched once per frame via
+  `lax.ppermute` makes boundary-straddling trilinear stencils local, so the
+  full grid is never gathered. Each device folds its owned pixels into
+  partial normal equations (JᵀJ ∈ 6x6, Jᵀr ∈ 6) with one MXU contraction and
+  a `psum` over ICI merges them exactly — the TPU-native version of the
+  per-thread A_array/B_array + serial reduce (camera_tracking.cpp:148-189).
+  The 6x6 solve and pose update then run replicated on every device, keeping
+  the Gauss-Newton `lax.while_loop` control flow identical across shards.
+
+Requires `params.m % mesh_size == 0` (slab sharding of the i axis).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tracking_sdf_tpu.config import FusionConfig, GridParams, TrackingConfig
+from tracking_sdf_tpu.core.camera import PinholeCamera
+from tracking_sdf_tpu.core.lie import Pose
+from tracking_sdf_tpu.fusion.fuse import fuse_voxels, pixel_channels
+from tracking_sdf_tpu.grid.grid import TSDFGrid, world_to_voxel
+from tracking_sdf_tpu.grid.interp import trilinear_with_grad
+from tracking_sdf_tpu.tracking.gauss_newton import (
+    TrackResult,
+    _apply_update,
+    _sanitize,
+    normal_equations,
+)
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _grid_specs():
+    return TSDFGrid(
+        D=P("d", None, None), W=P("d", None, None), R=P("d", None, None),
+        G=P("d", None, None), B=P("d", None, None), Wc=P("d", None, None),
+    )
+
+
+def _halo_plane(slab: jnp.ndarray, axis_name: str, zero_last: bool):
+    """Fetch the NEXT slab's first i-plane (cyclic); optionally zero it on the
+    last shard (the global corner i == m is out of bounds → contributes 0)."""
+    n = lax.axis_size(axis_name)
+    perm = [((p + 1) % n, p) for p in range(n)]
+    halo = lax.ppermute(slab[0:1], axis_name, perm)
+    if zero_last:
+        is_last = lax.axis_index(axis_name) == n - 1
+        halo = jnp.where(is_last, jnp.zeros_like(halo), halo)
+    return halo
+
+
+def _owned_residuals(
+    D_ext: jnp.ndarray,  # (slab+1, m, m) with halo plane appended
+    W_ext: jnp.ndarray,
+    pose: Pose,
+    points_cam: jnp.ndarray,  # (N, 3) replicated
+    i0: jnp.ndarray,  # () global i of this slab's first plane
+    slab: int,
+    params: GridParams,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-pixel (phi, J, mask) where mask additionally requires that THIS
+    shard owns the query's base voxel. Identical math to
+    tracking.gauss_newton.pixel_residuals_analytic on owned pixels."""
+    p, valid_in = _sanitize(points_cam)
+    x = jnp.einsum("ij,nj->ni", pose.R, p, precision=_HI) + pose.t
+    uvw = world_to_voxel(params, x)
+    in_bounds = jnp.all((uvw >= 0) & (uvw < params.m), axis=-1)
+
+    base_i = jnp.floor(uvw[..., 0])
+    owned = (base_i >= i0) & (base_i < i0 + slab)
+
+    uvw_local = uvw - jnp.stack(
+        [i0.astype(uvw.dtype), jnp.zeros_like(i0, uvw.dtype), jnp.zeros_like(i0, uvw.dtype)]
+    )
+    phi, g_uvw, ok = trilinear_with_grad(D_ext, W_ext, uvw_local)
+    scale = jnp.asarray(
+        [params.m / params.width, params.m / params.height, params.m / params.depth],
+        dtype=g_uvw.dtype,
+    )
+    g_world = g_uvw * scale
+    a = x - pose.t
+    J = jnp.concatenate([g_world, jnp.cross(a, g_world)], axis=-1)
+    mask = valid_in & in_bounds & ok & owned
+    return phi, J, mask
+
+
+def sharded_track_frame(
+    mesh: Mesh,
+    *,
+    params: GridParams,
+    cfg: TrackingConfig = TrackingConfig(),
+):
+    """Build the jitted SPMD tracking step for `mesh`.
+
+    Returns fn(grid_sharded, pose, points_cam (N, 3) replicated) ->
+    TrackResult (replicated). Only the 'analytic' Jacobian mode is supported
+    sharded (the central-difference parity mode stays single-device)."""
+    if cfg.jacobian != "analytic":
+        raise ValueError("sharded tracking supports jacobian='analytic' only")
+    n_dev = mesh.devices.size
+    if params.m % n_dev != 0:
+        raise ValueError(f"grid m={params.m} not divisible by mesh size {n_dev}")
+    slab = params.m // n_dev
+
+    def local_step(D_slab, W_slab, pose, points_cam):
+        i0 = lax.axis_index("d") * slab
+        D_ext = jnp.concatenate([D_slab, _halo_plane(D_slab, "d", False)], axis=0)
+        W_ext = jnp.concatenate([W_slab, _halo_plane(W_slab, "d", True)], axis=0)
+
+        def converged(twist):
+            if cfg.convergence == "norm":
+                return jnp.max(jnp.abs(twist)) < cfg.max_twist_diff
+            return jnp.all(twist < cfg.max_twist_diff)  # reference quirk
+
+        def cond(state):
+            i, _, done, *_ = state
+            return (i < cfg.max_iterations) & jnp.logical_not(done)
+
+        def body(state):
+            i, pose_c, _, _, _, _ = state
+            phi, J, mask = _owned_residuals(
+                D_ext, W_ext, pose_c, points_cam, i0, slab, params
+            )
+            A, b = normal_equations(phi, J, mask)
+            nvalid = jnp.sum(mask.astype(jnp.int32))
+            sum_res = jnp.sum(jnp.where(mask, jnp.abs(phi), 0.0))
+            A, b, nvalid, sum_res = lax.psum((A, b, nvalid, sum_res), "d")
+            A = A + cfg.damping * jnp.eye(6, dtype=A.dtype)
+            twist = jnp.linalg.solve(A, b)
+            twist = jnp.where(jnp.all(jnp.isfinite(twist)), twist, jnp.zeros_like(twist))
+            done = converged(twist)
+            pose_new = _apply_update(pose_c, twist, cfg.pose_update)
+            mean_res = sum_res / jnp.maximum(nvalid, 1)
+            return (i + 1, pose_new, done, twist, nvalid, mean_res)
+
+        state0 = (
+            jnp.int32(0), pose, jnp.bool_(False),
+            jnp.zeros((6,), dtype=D_slab.dtype), jnp.int32(0),
+            jnp.zeros((), dtype=D_slab.dtype),
+        )
+        i, pose_f, _, twist, nvalid, mean_res = lax.while_loop(cond, body, state0)
+        return TrackResult(pose=pose_f, iterations=i, final_twist=twist,
+                           num_valid=nvalid, mean_abs_residual=mean_res)
+
+    shmapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("d", None, None), P("d", None, None), Pose(P(), P()), P()),
+        out_specs=TrackResult(Pose(P(), P()), P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def fn(grid: TSDFGrid, pose: Pose, points_cam: jnp.ndarray) -> TrackResult:
+        return shmapped(grid.D, grid.W, pose, points_cam)
+
+    return fn
+
+
+def sharded_fuse_frame(
+    mesh: Mesh,
+    *,
+    params: GridParams,
+    cam: PinholeCamera,
+    cfg: FusionConfig = FusionConfig(),
+):
+    """Build the jitted SPMD fusion step: grid slabs local, image replicated,
+    zero collectives (SURVEY.md P2). Returns fn(grid, pose, points, normals,
+    rgb) -> grid, donating the grid (updated in place in HBM)."""
+    n_dev = mesh.devices.size
+    if params.m % n_dev != 0:
+        raise ValueError(f"grid m={params.m} not divisible by mesh size {n_dev}")
+    slab = params.m // n_dev
+
+    def local_fuse(grid_slab: TSDFGrid, pose, pix, hw01):
+        i0 = lax.axis_index("d") * slab
+        return fuse_voxels(
+            grid_slab, pose, pix, (int(hw01.shape[0]), int(hw01.shape[1])),
+            params=params, cam=cam, cfg=cfg, i_offset=i0,
+        )
+
+    gspec = _grid_specs()
+    shmapped = jax.shard_map(
+        local_fuse,
+        mesh=mesh,
+        in_specs=(gspec, Pose(P(), P()), P(), P()),
+        out_specs=gspec,
+        check_vma=False,
+    )
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def fn(grid, pose, points_cam, normals_cam, rgb=None):
+        pix = pixel_channels(points_cam, normals_cam, rgb, cfg, dtype=grid.D.dtype)
+        # hw01: zero-size carrier of the static image shape into shard_map
+        hw01 = jnp.zeros(points_cam.shape[:2] + (0,), dtype=grid.D.dtype)
+        return shmapped(grid, pose, pix, hw01)
+
+    return fn
+
+
+def make_sharded_step(
+    mesh: Mesh,
+    *,
+    params: GridParams,
+    cam: PinholeCamera,
+    tracking: TrackingConfig = TrackingConfig(),
+    fusion: FusionConfig = FusionConfig(),
+):
+    """The full per-frame SPMD step: track (psum'd normal equations) then fuse
+    (slab-local). This is the distributed analogue of the reference's
+    kinect_callback body (sdf_reconstruction.cpp:21-80)."""
+    track = sharded_track_frame(mesh, params=params, cfg=tracking)
+    fuse = sharded_fuse_frame(mesh, params=params, cam=cam, cfg=fusion)
+
+    def step(grid: TSDFGrid, pose: Pose, points_img, normals_img, rgb=None,
+             track_pose: bool = True):
+        if track_pose:
+            pts = points_img[::tracking.pixel_stride, ::tracking.pixel_stride]
+            result = track(grid, pose, pts.reshape(-1, 3))
+            pose = result.pose
+        else:
+            result = None
+        grid = fuse(grid, pose, points_img, normals_img, rgb)
+        return grid, pose, result
+
+    return step
