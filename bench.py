@@ -89,14 +89,15 @@ def main():
     grid, res = frame(grid, pose_p)
     jax.block_until_ready(grid)
 
-    n_frames = 30
+    # No host reads inside the loop: a device->host sync per frame would
+    # measure dispatch/tunnel latency, not device throughput.
+    n_frames = 100
     t0 = time.perf_counter()
-    iters = 0
     for k in range(n_frames):
         grid, res = frame(grid, pose_p if k % 2 == 0 else pose_m)
-        iters += int(res.iterations)
     jax.block_until_ready(grid)
     dt = time.perf_counter() - t0
+    iters = int(res.iterations) * n_frames  # all frames see the same problem
 
     fps = n_frames / dt
     print(json.dumps({

@@ -1,0 +1,253 @@
+"""Pipeline tier: trajectory IO/metrics, TUM dataset roundtrip, end-to-end runner."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tracking_sdf_tpu.config import (
+    FusionConfig,
+    GridParams,
+    PipelineConfig,
+    RaycastConfig,
+    TrackingConfig,
+)
+from tracking_sdf_tpu.core.camera import PinholeCamera
+from tracking_sdf_tpu.core.lie import (
+    Pose,
+    pose_compose,
+    pose_inverse,
+    quaternion_from_matrix,
+    se3_exp,
+    se3_log,
+)
+from tracking_sdf_tpu.data.synthetic import (
+    CuboidScene,
+    SphereScene,
+    look_at,
+    render_scene_depth,
+)
+from tracking_sdf_tpu.data.tum import TUMDataset, write_synthetic_tum
+from tracking_sdf_tpu.pipeline import (
+    Reconstruction,
+    TrajectoryWriter,
+    align_umeyama,
+    associate,
+    ate_rmse,
+    read_trajectory,
+    rpe_rmse,
+)
+
+PARAMS = GridParams(m=48, width=2.0, height=2.0, depth=2.0,
+                    origin=(-1.0, -1.0, -1.0), delta=0.15, epsilon=0.02)
+CAM = PinholeCamera(fx=60.0, fy=60.0, cx=47.5, cy=35.5, width=96, height=72)
+SPHERE = SphereScene(center=(0.15, 0.1, 0.0), radius=0.4)
+BOX = CuboidScene(min_corner=(-0.75, -0.4, -0.55), max_corner=(-0.35, 0.4, 0.15))
+
+
+class Scene:
+    def sdf(self, x):
+        return jnp.minimum(SPHERE.sdf(x), BOX.sdf(x))
+
+    def color(self, x):
+        return SPHERE.color(x)
+
+    def intersect(self, o, d):
+        ta, tb = SPHERE.intersect(o, d), BOX.intersect(o, d)
+        return jnp.where(jnp.isnan(ta), tb,
+                         jnp.where(jnp.isnan(tb), ta, jnp.minimum(ta, tb)))
+
+
+SCENE = Scene()
+
+
+def _orbit(n):
+    poses = []
+    for i in range(n):
+        a = 0.12 * np.sin(2 * np.pi * i / n)
+        eye = (0.45 * np.sin(a), -1.45 * np.cos(a * 0.5), 0.25)
+        poses.append(look_at(eye, (0.0, 0.0, 0.0)))
+    return poses
+
+
+# --------------------------------------------------------------------------- #
+# trajectory + metrics
+
+
+def test_trajectory_roundtrip(tmp_path):
+    path = str(tmp_path / "traj.txt")
+    poses = _orbit(5)
+    with TrajectoryWriter(path) as w:
+        for i, p in enumerate(poses):
+            w.write(100.0 + i * 0.1, p)
+    traj = read_trajectory(path)
+    assert len(traj) == 5
+    np.testing.assert_allclose(traj.timestamps, 100.0 + 0.1 * np.arange(5), atol=1e-6)
+    np.testing.assert_allclose(
+        traj.translations[2], np.asarray(poses[2].t), atol=1e-5
+    )
+    R2 = traj.rotation_matrices()[2]
+    np.testing.assert_allclose(R2, np.asarray(poses[2].R), atol=1e-5)
+
+
+def test_associate_greedy_nearest():
+    a = np.asarray([0.0, 1.0, 2.0, 3.0])
+    b = np.asarray([0.005, 1.5, 2.99, 3.01])
+    pairs = associate(a, b, max_dt=0.02)
+    assert (0, 0) in pairs and (3, 3) in pairs
+    assert all(abs(a[i] - b[j]) <= 0.02 for i, j in pairs)
+
+
+def test_umeyama_alignment_recovers_rigid_transform():
+    rng = np.random.default_rng(0)
+    src = rng.normal(size=(40, 3))
+    R_true = np.asarray(se3_exp(jnp.asarray([0, 0, 0, 0.3, -0.2, 0.5])).R)
+    t_true = np.asarray([0.5, -1.0, 2.0])
+    dst = (R_true @ src.T).T + t_true
+    s, R, t = align_umeyama(src, dst)
+    np.testing.assert_allclose(R, R_true, atol=1e-6)
+    np.testing.assert_allclose(t, t_true, atol=1e-6)
+    assert abs(s - 1.0) < 1e-9
+
+
+def test_ate_zero_for_identical_and_rigidly_moved():
+    poses = _orbit(8)
+    stamps = 10.0 + 0.1 * np.arange(8)
+    tr = np.stack([np.asarray(p.t) for p in poses])
+    qu = np.stack([np.asarray(quaternion_from_matrix(p.R)) for p in poses])
+    from tracking_sdf_tpu.pipeline import Trajectory
+
+    gt = Trajectory(stamps, tr, qu)
+    rmse, n = ate_rmse(gt, gt)
+    assert n == 8 and rmse < 1e-9
+    # rigidly transformed copy still has ATE ~0 after alignment
+    R = np.asarray(se3_exp(jnp.asarray([0, 0, 0, 0.2, 0.1, -0.3])).R)
+    moved = Trajectory(stamps, (R @ tr.T).T + np.asarray([1.0, 2.0, 3.0]), qu)
+    rmse2, _ = ate_rmse(moved, gt)
+    assert rmse2 < 1e-6
+    t_rpe, r_rpe = rpe_rmse(gt, gt)
+    assert t_rpe < 1e-9 and r_rpe < 1e-6
+
+
+# --------------------------------------------------------------------------- #
+# TUM dataset
+
+
+def test_tum_write_read_roundtrip(tmp_path):
+    root = str(tmp_path / "seq")
+    poses = _orbit(3)
+    depths, rgbs, gts = [], [], []
+    for p in poses:
+        d = np.asarray(render_scene_depth(SCENE, CAM, p))
+        depths.append(d)
+        rgbs.append(np.full(d.shape + (3,), 0.5, np.float32))
+        gts.append((np.asarray(p.t), np.asarray(quaternion_from_matrix(p.R))))
+    write_synthetic_tum(root, depths, rgbs, gts)
+
+    ds = TUMDataset(root)
+    assert len(ds) == 3
+    assert ds.groundtruth is not None and len(ds.groundtruth) == 3
+    f1 = ds[1]
+    # 16-bit quantization at 1/5000 m resolution
+    both = np.isfinite(depths[1]) & np.isfinite(f1.depth)
+    assert np.isfinite(f1.depth).sum() > 0
+    np.testing.assert_allclose(f1.depth[both], depths[1][both], atol=1.1 / 5000.0)
+    # NaN holes preserved through the 0-encoding
+    assert np.array_equal(np.isfinite(f1.depth), np.isfinite(depths[1]))
+    assert f1.rgb is not None
+    np.testing.assert_allclose(f1.rgb, rgbs[1], atol=1.0 / 255.0)
+    assert f1.gt_pose is not None
+    np.testing.assert_allclose(f1.gt_pose[0], gts[1][0], atol=1e-5)
+
+
+# --------------------------------------------------------------------------- #
+# end-to-end runner
+
+
+def _pipeline_cfg(tmp_path, **kw):
+    return PipelineConfig(
+        grid=PARAMS,
+        tracking=TrackingConfig(max_iterations=20),
+        fusion=FusionConfig(),
+        raycast=RaycastConfig(t_near=0.05, t_far=4.0),
+        trajectory_path=str(tmp_path / "traj.txt"),
+        bilateral_filter=False,  # synthetic depth is exact
+        **kw,
+    )
+
+
+def test_runner_tracks_synthetic_sequence(tmp_path):
+    poses = _orbit(6)
+    cfg = _pipeline_cfg(tmp_path)
+    recon = Reconstruction(CAM, cfg, initial_pose=poses[0])
+    for i, p in enumerate(poses):
+        depth = render_scene_depth(SCENE, CAM, p)
+        recon.process_frame(depth, timestamp=100.0 + i * 0.1)
+    recon.close()
+
+    # tracked pose follows the true orbit
+    err = se3_log(pose_compose(pose_inverse(recon.pose), poses[-1]))
+    # Loop-integrity tolerance ~1 voxel: frame-to-model tracking against a
+    # FUSED model on a coarse 4.2 cm grid has an inherent ~1 cm optimum
+    # offset (measured: tracking from the true pose converges 5-9 mm away).
+    # The tight accuracy gates live in test_tracking (analytic grid).
+    err = np.asarray(err)
+    assert np.linalg.norm(err[:3]) < 0.04, err
+    assert np.linalg.norm(err[3:]) < 0.05, err
+
+    # trajectory file written and ATE vs true orbit is small
+    est = read_trajectory(str(tmp_path / "traj.txt"))
+    assert len(est) == 6
+    from tracking_sdf_tpu.pipeline import Trajectory
+
+    gt = Trajectory(
+        100.0 + 0.1 * np.arange(6),
+        np.stack([np.asarray(p.t) for p in poses]),
+        np.stack([np.asarray(quaternion_from_matrix(p.R)) for p in poses]),
+    )
+    rmse, n = ate_rmse(est, gt)
+    assert n == 6 and rmse < 0.03, rmse
+
+    # render from the final model: depth close to analytic where hit
+    r = recon.render(poses[0], with_color=True)
+    gt_d = np.asarray(render_scene_depth(SCENE, CAM, poses[0]))
+    both = np.asarray(r.hit) & np.isfinite(gt_d)
+    assert both.sum() > 500
+    med = np.median(np.abs(np.asarray(r.depth)[both] - gt_d[both]))
+    assert med < 0.02, med
+
+
+def test_runner_groundtruth_mode_and_mesh(tmp_path):
+    poses = _orbit(4)
+    cfg = _pipeline_cfg(tmp_path, use_groundtruth=True)
+    recon = Reconstruction(CAM, cfg, initial_pose=poses[0])
+    for i, p in enumerate(poses):
+        depth = render_scene_depth(SCENE, CAM, p)
+        recon.process_frame(depth, timestamp=float(i), gt_pose=p)
+    recon.close()
+    # groundtruth mode: pose exactly the provided one, no GN iterations
+    assert all(s.gn_iterations == 0 for s in recon.stats)
+    np.testing.assert_allclose(np.asarray(recon.pose.t), np.asarray(poses[-1].t))
+
+    mesh_path = str(tmp_path / "scene.ply")
+    n_tri = recon.export_mesh(mesh_path)
+    assert n_tri > 100
+    assert os.path.getsize(mesh_path) > 1000
+
+
+def test_cli_synthetic_end_to_end(tmp_path, capsys):
+    from tracking_sdf_tpu.cli import main
+
+    traj = str(tmp_path / "t.txt")
+    mesh = str(tmp_path / "m.ply")
+    rc = main([
+        "--preset", "synthetic64", "--synthetic", "--frames", "5",
+        "--trajectory", traj, "--mesh", mesh, "--json",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    import json
+
+    summary = json.loads(out)
+    assert summary["frames"] == 5.0
+    assert os.path.exists(traj) and os.path.exists(mesh)

@@ -1,0 +1,186 @@
+"""Command-line entry point: `python -m tracking_sdf_tpu.cli ...`.
+
+The reference's process entry is main.cpp + roslaunch configs (SURVEY.md C12,
+C15); here a single CLI covers replaying a TUM sequence (or a synthetic
+scene), tracking/fusing, trajectory + ATE output, and mesh export.
+
+Examples
+--------
+Synthetic smoke run (no dataset needed; BASELINE config #1):
+    python -m tracking_sdf_tpu.cli --preset synthetic64 --synthetic --frames 10 \
+        --mesh /tmp/scene.ply
+
+TUM sequence at the reference's configuration (config #3):
+    python -m tracking_sdf_tpu.cli --preset tum256 --dataset /data/fr1_plant \
+        --trajectory trajectory.txt --eval
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tracking_sdf_tpu",
+        description="TPU-native TSDF camera tracking & reconstruction",
+    )
+    p.add_argument("--preset", default="tum256",
+                   help="config preset: synthetic64|tum128|tum256|tum512")
+    p.add_argument("--dataset", help="TUM sequence directory (depth.txt, ...)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="run on a generated synthetic orbit instead of a dataset")
+    p.add_argument("--frames", type=int, default=None, help="max frames")
+    p.add_argument("--trajectory", default="trajectory.txt",
+                   help="output TUM trajectory path ('' disables)")
+    p.add_argument("--mesh", help="export marching-cubes PLY to this path at the end")
+    p.add_argument("--mesh-every", type=int, default=0,
+                   help="also export every N frames (reference meshes at 1 Hz)")
+    p.add_argument("--eval", action="store_true",
+                   help="print ATE RMSE vs the dataset's groundtruth.txt")
+    p.add_argument("--groundtruth-poses", action="store_true",
+                   help="fusion-only oracle mode: poses from groundtruth "
+                        "(sdf_reconstruction.cpp:51-66)")
+    p.add_argument("--no-color", action="store_true", help="skip color fusion")
+    p.add_argument("--no-bilateral", action="store_true")
+    p.add_argument("--pixel-stride", type=int, default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="shard grid+tracking over all visible devices")
+    p.add_argument("--progress", action="store_true")
+    p.add_argument("--json", action="store_true", help="print summary as JSON")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import dataclasses
+
+    import jax
+
+    from tracking_sdf_tpu.config import preset
+    from tracking_sdf_tpu.core.camera import tum_fr1_camera
+    from tracking_sdf_tpu.pipeline import Reconstruction, ate_rmse, read_trajectory
+
+    cfg = preset(args.preset)
+    changes = {}
+    if args.no_color:
+        changes["fusion"] = cfg.fusion._replace(fuse_color=False)
+    if args.no_bilateral:
+        changes["bilateral_filter"] = False
+    if args.pixel_stride:
+        changes["tracking"] = cfg.tracking._replace(pixel_stride=args.pixel_stride)
+    if args.groundtruth_poses:
+        changes["use_groundtruth"] = True
+    changes["trajectory_path"] = args.trajectory or None
+    cfg = dataclasses.replace(cfg, **changes)
+
+    mesh = None
+    if args.distributed:
+        from tracking_sdf_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+
+    if args.synthetic:
+        dataset, cam, init_pose = _synthetic_dataset(cfg, args.frames or 20)
+    elif args.dataset:
+        from tracking_sdf_tpu.data.tum import TUMDataset
+
+        dataset = TUMDataset(args.dataset, with_rgb=not args.no_color)
+        cam = tum_fr1_camera()
+        init_pose = None
+        if cfg.use_groundtruth and dataset.groundtruth is None:
+            print("error: --groundtruth-poses needs groundtruth.txt", file=sys.stderr)
+            return 2
+    else:
+        print("error: need --dataset DIR or --synthetic", file=sys.stderr)
+        return 2
+
+    recon = Reconstruction(cam, cfg, initial_pose=init_pose, mesh=mesh)
+    try:
+        recon.run(dataset, max_frames=args.frames, progress=args.progress,
+                  mesh_every=args.mesh_every, mesh_path=args.mesh)
+        if args.mesh:
+            n_tri = recon.export_mesh(args.mesh)
+            print(f"mesh: {n_tri} triangles -> {args.mesh}", file=sys.stderr)
+    finally:
+        recon.close()
+
+    summary = recon.summary()
+    if args.eval and args.trajectory:
+        gt = getattr(dataset, "groundtruth", None)
+        if gt is not None:
+            est = read_trajectory(args.trajectory)
+            rmse, n = ate_rmse(est, gt)
+            summary["ate_rmse_m"] = rmse
+            summary["ate_pairs"] = float(n)
+
+    if args.json:
+        print(json.dumps(summary))
+    else:
+        for k, v in summary.items():
+            print(f"{k}: {v:.4f}")
+    return 0
+
+
+def _synthetic_dataset(cfg, n_frames):
+    """Orbit around the default two-object synthetic scene."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tracking_sdf_tpu.core.camera import PinholeCamera
+    from tracking_sdf_tpu.core.lie import quaternion_from_matrix
+    from tracking_sdf_tpu.data.synthetic import (
+        CuboidScene, SphereScene, look_at, render_scene_depth,
+    )
+    from tracking_sdf_tpu.data.tum import TUMFrame
+
+    g = cfg.grid
+    cx = g.origin[0] + g.width / 2
+    cy = g.origin[1] + g.height / 2
+    cz = g.origin[2] + g.depth / 2
+    r = min(g.width, g.height, g.depth)
+    sphere = SphereScene(center=(cx + 0.1 * r, cy + 0.05 * r, cz), radius=0.2 * r)
+    box = CuboidScene(
+        min_corner=(cx - 0.35 * r, cy - 0.2 * r, cz - 0.25 * r),
+        max_corner=(cx - 0.15 * r, cy + 0.2 * r, cz + 0.1 * r),
+    )
+
+    class Scene:
+        def sdf(self, x):
+            return jnp.minimum(sphere.sdf(x), box.sdf(x))
+
+        def color(self, x):
+            return sphere.color(x)
+
+        def intersect(self, o, d):
+            ta, tb = sphere.intersect(o, d), box.intersect(o, d)
+            return jnp.where(jnp.isnan(ta), tb,
+                             jnp.where(jnp.isnan(tb), ta, jnp.minimum(ta, tb)))
+
+    scene = Scene()
+    cam = PinholeCamera(fx=220.0, fy=220.0, cx=127.5, cy=95.5, width=256, height=192)
+
+    frames = []
+    poses = []
+    for i in range(n_frames):
+        # gentle orbit: inter-frame motion a few cm, trackable frame-to-model
+        a = 0.08 * np.sin(2 * np.pi * i / max(n_frames, 2))
+        eye = (cx + 0.45 * r * np.sin(a), cy - 0.45 * r * np.cos(a), cz + 0.1 * r)
+        pose = look_at(eye, (cx, cy, cz))
+        depth = render_scene_depth(scene, cam, pose)
+        rgb = jnp.broadcast_to(jnp.asarray([0.6, 0.5, 0.4]), depth.shape + (3,))
+        q = np.asarray(quaternion_from_matrix(pose.R))
+        frames.append(TUMFrame(
+            timestamp=1000.0 + i / 30.0,
+            depth=np.asarray(depth),
+            rgb=np.asarray(rgb),
+            gt_pose=(np.asarray(pose.t), q),
+        ))
+        poses.append(pose)
+    return frames, cam, poses[0]
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -75,7 +75,12 @@ class TrackingConfig(NamedTuple):
     jacobian: str = "analytic"
     convergence: str = "norm"
     pose_update: str = "se3"
-    damping: float = 0.0  # Levenberg-Marquardt diagonal damping (0 = pure GN)
+    # Marquardt damping: solve (A + damping*diag(A)) x = b. Pure GN (the
+    # reference, camera_tracking.cpp:191) oscillates and can diverge on
+    # sparse single-view models (measured: converges to 5 mm by iteration 7,
+    # then explodes); 0.1 converges monotonically in ~9 iterations.
+    # 0 = pure GN for reference parity.
+    damping: float = 0.1
 
 
 class FusionConfig(NamedTuple):

@@ -143,7 +143,7 @@ def sharded_track_frame(
             nvalid = jnp.sum(mask.astype(jnp.int32))
             sum_res = jnp.sum(jnp.where(mask, jnp.abs(phi), 0.0))
             A, b, nvalid, sum_res = lax.psum((A, b, nvalid, sum_res), "d")
-            A = A + cfg.damping * jnp.eye(6, dtype=A.dtype)
+            A = A + cfg.damping * jnp.diag(jnp.diag(A)) + 1e-12 * jnp.eye(6, dtype=A.dtype)
             twist = jnp.linalg.solve(A, b)
             twist = jnp.where(jnp.all(jnp.isfinite(twist)), twist, jnp.zeros_like(twist))
             done = converged(twist)

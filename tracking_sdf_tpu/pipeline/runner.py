@@ -1,0 +1,214 @@
+"""End-to-end reconstruction runner: the reference's frame loop, TPU-first.
+
+Plays the role of SDF_Reconstruction + kinect_callback
+(sdf_reconstruction.cpp:21-110): per frame — preprocess (bilateral filter,
+backprojection, normal estimation), track from frame 2 (or take the pose
+from groundtruth, the fusion-only oracle mode of sdf_reconstruction.cpp:51-66),
+append the pose to a TUM trajectory file, fuse. Meshing runs synchronously
+every `mesh_every` frames on the CURRENT grid snapshot — the functional
+replacement for the reference's intentionally-racy 1 Hz visualization thread
+(sdf.cpp:317-391; SURVEY.md §5 "race detection": purity removes the race).
+
+Single-device by default; pass a `jax.sharding.Mesh` to run the SPMD path
+(slab-sharded grid + psum'd tracking) on every device.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tracking_sdf_tpu.config import PipelineConfig
+from tracking_sdf_tpu.core.camera import PinholeCamera
+from tracking_sdf_tpu.core.lie import Pose, matrix_from_quaternion
+from tracking_sdf_tpu.fusion.fuse import make_fuse_fn
+from tracking_sdf_tpu.grid.grid import TSDFGrid, empty_grid
+from tracking_sdf_tpu.pipeline.trajectory import TrajectoryWriter
+from tracking_sdf_tpu.tracking.gauss_newton import track_frame
+from tracking_sdf_tpu.tracking.preprocess import preprocess_frame
+
+# Initial pose of the reference (camera_tracking.cpp:5-7): z forward along -y,
+# 1 m up — appropriate for the TUM sequences' first frame in the grid volume.
+REFERENCE_INITIAL_POSE = Pose(
+    R=jnp.asarray([[1.0, 0.0, 0.0], [0.0, 0.0, -1.0], [0.0, -1.0, 0.0]], jnp.float32),
+    t=jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+)
+
+
+@dataclasses.dataclass
+class FrameStats:
+    index: int
+    timestamp: float
+    track_ms: float
+    fuse_ms: float
+    gn_iterations: int
+    num_valid: int
+    mean_abs_residual: float
+
+
+class Reconstruction:
+    """Stateful frame-loop host: owns the grid, pose, and trajectory file."""
+
+    def __init__(
+        self,
+        cam: PinholeCamera,
+        config: PipelineConfig = PipelineConfig(),
+        initial_pose: Optional[Pose] = None,
+        mesh: Optional[Any] = None,  # jax.sharding.Mesh for the SPMD path
+    ):
+        self.cam = cam
+        self.config = config
+        self.pose = initial_pose if initial_pose is not None else REFERENCE_INITIAL_POSE
+        self.frame_num = 0
+        self.stats: List[FrameStats] = []
+        self._writer = (
+            TrajectoryWriter(config.trajectory_path)
+            if config.trajectory_path
+            else None
+        )
+        self._mesh = mesh
+        if mesh is not None:
+            from tracking_sdf_tpu.parallel import shard_grid, sharded_fuse_frame, sharded_track_frame
+
+            self.grid: TSDFGrid = shard_grid(empty_grid(config.grid), mesh)
+            self._fuse = sharded_fuse_frame(
+                mesh, params=config.grid, cam=cam, cfg=config.fusion
+            )
+            self._track = sharded_track_frame(
+                mesh, params=config.grid, cfg=config.tracking
+            )
+        else:
+            self.grid = empty_grid(config.grid)
+            self._fuse = make_fuse_fn(config.grid, cam, config.fusion)
+            self._track = None  # dense path calls track_frame directly
+
+    # ------------------------------------------------------------------ #
+
+    def process_frame(
+        self,
+        depth: jnp.ndarray,  # (H, W) meters, NaN holes
+        rgb: Optional[jnp.ndarray] = None,  # (H, W, 3) in [0, 1]
+        timestamp: Optional[float] = None,
+        gt_pose: Optional[Pose] = None,
+    ) -> FrameStats:
+        """Run the full per-frame pipeline; returns timing/optimizer stats."""
+        cfg = self.config
+        self.frame_num += 1
+        timestamp = float(timestamp) if timestamp is not None else float(self.frame_num)
+
+        points, normals = preprocess_frame(
+            jnp.asarray(depth), cam=self.cam, bilateral=cfg.bilateral_filter
+        )
+
+        gn_iters, nvalid, mean_res = 0, 0, 0.0
+        t0 = time.perf_counter()
+        if cfg.use_groundtruth and gt_pose is not None:
+            # fusion-only oracle mode (sdf_reconstruction.cpp:51-66)
+            self.pose = gt_pose
+        elif self.frame_num > 1:
+            pts = points[:: cfg.tracking.pixel_stride, :: cfg.tracking.pixel_stride]
+            pts = pts.reshape(-1, 3)
+            if self._track is not None:
+                res = self._track(self.grid, self.pose, pts)
+            else:
+                res = track_frame(
+                    self.grid, self.pose, pts, params=cfg.grid, cfg=cfg.tracking
+                )
+            jax.block_until_ready(res.pose.t)
+            self.pose = res.pose
+            gn_iters = int(res.iterations)
+            nvalid = int(res.num_valid)
+            mean_res = float(res.mean_abs_residual)
+        track_ms = (time.perf_counter() - t0) * 1e3
+
+        if self._writer is not None:
+            self._writer.write(timestamp, self.pose)
+
+        t0 = time.perf_counter()
+        rgb_j = jnp.asarray(rgb) if rgb is not None else None
+        self.grid = self._fuse(self.grid, self.pose, points, normals, rgb_j)
+        jax.block_until_ready(self.grid.D)
+        fuse_ms = (time.perf_counter() - t0) * 1e3
+
+        stat = FrameStats(
+            index=self.frame_num, timestamp=timestamp, track_ms=track_ms,
+            fuse_ms=fuse_ms, gn_iterations=gn_iters, num_valid=nvalid,
+            mean_abs_residual=mean_res,
+        )
+        self.stats.append(stat)
+        return stat
+
+    # ------------------------------------------------------------------ #
+
+    def run(
+        self,
+        dataset,
+        max_frames: Optional[int] = None,
+        mesh_every: int = 0,
+        mesh_path: Optional[str] = None,
+        progress: bool = False,
+    ) -> List[FrameStats]:
+        """Consume a TUMDataset (or any iterable of TUMFrame-likes)."""
+        for i, frame in enumerate(dataset):
+            if max_frames is not None and i >= max_frames:
+                break
+            gt = None
+            if getattr(frame, "gt_pose", None) is not None:
+                t, q = frame.gt_pose
+                gt = Pose(matrix_from_quaternion(jnp.asarray(q)), jnp.asarray(t))
+            stat = self.process_frame(
+                frame.depth, frame.rgb, timestamp=frame.timestamp, gt_pose=gt
+            )
+            if progress:
+                print(
+                    f"frame {stat.index}: track {stat.track_ms:.1f} ms "
+                    f"({stat.gn_iterations} GN iters, {stat.num_valid} px), "
+                    f"fuse {stat.fuse_ms:.1f} ms", flush=True,
+                )
+            if mesh_every and stat.index % mesh_every == 0 and mesh_path:
+                self.export_mesh(mesh_path)
+        return self.stats
+
+    def export_mesh(self, path: str, with_colors: bool = True) -> int:
+        """Marching-cubes the current grid snapshot to a PLY file."""
+        from tracking_sdf_tpu.render.marching_cubes import export_ply, marching_cubes
+
+        grid = self.grid
+        if self._mesh is not None:
+            grid = jax.device_get(grid)
+            grid = TSDFGrid(*(jnp.asarray(l) for l in grid))
+        mesh = marching_cubes(grid, params=self.config.grid, with_colors=with_colors)
+        export_ply(mesh, path)
+        return mesh.num_triangles
+
+    def render(self, pose: Optional[Pose] = None, stride: int = 1, with_color: bool = True):
+        """Raycast a depth/normal/color view of the current model."""
+        from tracking_sdf_tpu.render.raycast import raycast
+
+        return raycast(
+            self.grid, pose if pose is not None else self.pose,
+            params=self.config.grid, cam=self.cam, cfg=self.config.raycast,
+            stride=stride, with_color=with_color,
+        )
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
+
+    def summary(self) -> Dict[str, float]:
+        if not self.stats:
+            return {}
+        track = np.asarray([s.track_ms for s in self.stats[1:]] or [0.0])
+        fuse = np.asarray([s.fuse_ms for s in self.stats])
+        return {
+            "frames": float(len(self.stats)),
+            "track_ms_mean": float(track.mean()),
+            "fuse_ms_mean": float(fuse.mean()),
+            "gn_iters_mean": float(np.mean([s.gn_iterations for s in self.stats[1:]] or [0])),
+            "fps": 1e3 / float(track.mean() + fuse.mean()),
+        }

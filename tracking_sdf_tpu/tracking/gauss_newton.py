@@ -206,7 +206,9 @@ def track_frame(
         i, pose, _, _, _, _ = state
         phi, J, mask = residuals(pose)
         A, b = normal_equations(phi, J, mask)
-        A = A + cfg.damping * jnp.eye(6, dtype=A.dtype)
+        # Marquardt damping (relative, scale-free); tiny absolute floor so a
+        # fully-degenerate system stays solvable (guard below catches NaNs)
+        A = A + cfg.damping * jnp.diag(jnp.diag(A)) + 1e-12 * jnp.eye(6, dtype=A.dtype)
         twist = jnp.linalg.solve(A, b)
         # guard a singular system (e.g. zero valid pixels): no step
         twist = jnp.where(jnp.all(jnp.isfinite(twist)), twist, jnp.zeros_like(twist))
