@@ -1,0 +1,147 @@
+"""Brick-compacted fusion vs the dense reference path: exact equivalence.
+
+The bricked path's classification is conservative-exact: OUT/FREE bricks
+produce exactly the per-voxel numbers of the dense path, FULL bricks run the
+identical math on compacted voxels. Geometry (D, W) must therefore match the
+dense path everywhere (up to f32 association in the merge); color matches
+inside FULL bricks (the bricked path deliberately fuses color only there).
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from tracking_sdf_tpu.config import FusionConfig, GridParams
+from tracking_sdf_tpu.core.camera import PinholeCamera, backproject
+from tracking_sdf_tpu.data.synthetic import (
+    CuboidScene,
+    SphereScene,
+    look_at,
+    render_scene_depth,
+)
+from tracking_sdf_tpu.fusion.brick import fuse_frame_bricked
+from tracking_sdf_tpu.fusion.fuse import fuse_frame
+from tracking_sdf_tpu.grid.grid import empty_grid
+from tracking_sdf_tpu.tracking import estimate_normals
+
+PARAMS = GridParams(m=48, width=2.0, height=2.0, depth=2.0,
+                    origin=(-1.0, -1.0, -1.0), delta=0.15, epsilon=0.02)
+CAM = PinholeCamera(fx=60.0, fy=60.0, cx=47.5, cy=35.5, width=96, height=72)
+BS = (8, 8, 16)
+SPHERE = SphereScene(center=(0.15, 0.1, 0.0), radius=0.4)
+BOX = CuboidScene(min_corner=(-0.75, -0.4, -0.55), max_corner=(-0.35, 0.4, 0.15))
+# Backdrop wall filling the whole FOV: dense valid depth like a real indoor
+# TUM frame, so free-space (FREE) bricks actually occur.
+WALL = CuboidScene(min_corner=(-4.0, 0.8, -4.0), max_corner=(4.0, 1.2, 4.0))
+
+
+class Scene:
+    def sdf(self, x):
+        return jnp.minimum(jnp.minimum(SPHERE.sdf(x), BOX.sdf(x)), WALL.sdf(x))
+
+    def color(self, x):
+        return SPHERE.color(x)
+
+    def intersect(self, o, d):
+        t = SPHERE.intersect(o, d)
+        for s in (BOX, WALL):
+            tb = s.intersect(o, d)
+            t = jnp.where(jnp.isnan(t), tb,
+                          jnp.where(jnp.isnan(tb), t, jnp.minimum(t, tb)))
+        return t
+
+
+SCENE = Scene()
+POSES = [
+    look_at((0.0, -1.5, 0.25), (0.0, 0.0, 0.0)),
+    look_at((0.4, -1.4, 0.1), (0.0, 0.0, 0.0)),
+]
+
+
+def _frame(pose):
+    depth = render_scene_depth(SCENE, CAM, pose)
+    pts = backproject(CAM, depth)
+    normals = estimate_normals(pts)
+    rgb = jnp.stack([
+        jnp.full(depth.shape, 0.7), jnp.full(depth.shape, 0.4),
+        jnp.full(depth.shape, 0.2)], axis=-1).astype(jnp.float32)
+    return pts, normals, rgb
+
+
+def test_bricked_matches_dense_geometry_two_frames():
+    cfg = FusionConfig(fuse_color=False)
+    gd = empty_grid(PARAMS)
+    gb = empty_grid(PARAMS)
+    for pose in POSES:
+        pts, normals, _ = _frame(pose)
+        gd = fuse_frame(gd, pose, pts, normals, None,
+                        params=PARAMS, cam=CAM, cfg=cfg)
+        gb, stats = fuse_frame_bricked(gb, pose, pts, normals, None,
+                                       params=PARAMS, cam=CAM, cfg=cfg,
+                                       bs=BS, cap=128)
+        assert int(stats.overflow) == 0
+        assert int(stats.n_full) > 0
+    np.testing.assert_allclose(np.asarray(gb.W), np.asarray(gd.W), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb.D), np.asarray(gd.D), atol=1e-5)
+
+
+def test_free_bricks_classified_and_exact_on_wall_scene():
+    """A flat far wall: near-camera bricks are provably free space and must
+    take the FREE fast path while still producing the dense path's numbers."""
+    cfg = FusionConfig(fuse_color=False)
+    pose = look_at((0.0, -1.5, 0.0), (0.0, 1.0, 0.0))
+    wall_only = WALL
+    depth = render_scene_depth(wall_only, CAM, pose)
+    pts = backproject(CAM, depth)
+    normals = estimate_normals(pts)
+    gd = fuse_frame(empty_grid(PARAMS), pose, pts, normals, None,
+                    params=PARAMS, cam=CAM, cfg=cfg)
+    gb, stats = fuse_frame_bricked(empty_grid(PARAMS), pose, pts, normals, None,
+                                   params=PARAMS, cam=CAM, cfg=cfg, bs=BS, cap=128)
+    assert int(stats.n_free) > 0, "wall scene must produce FREE bricks"
+    assert int(stats.overflow) == 0
+    np.testing.assert_allclose(np.asarray(gb.W), np.asarray(gd.W), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb.D), np.asarray(gd.D), atol=1e-5)
+
+
+def test_bricked_color_matches_dense_in_band():
+    cfg = FusionConfig(fuse_color=True)
+    pts, normals, rgb = _frame(POSES[0])
+    gd = fuse_frame(empty_grid(PARAMS), POSES[0], pts, normals, rgb,
+                    params=PARAMS, cam=CAM, cfg=cfg)
+    gb, _ = fuse_frame_bricked(empty_grid(PARAMS), POSES[0], pts, normals, rgb,
+                               params=PARAMS, cam=CAM, cfg=cfg, bs=BS, cap=128)
+    np.testing.assert_allclose(np.asarray(gb.D), np.asarray(gd.D), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb.W), np.asarray(gd.W), atol=1e-5)
+    # wherever the bricked path fused color, it matches the dense path
+    fused_c = np.asarray(gb.Wc) > 0
+    assert fused_c.sum() > 100
+    np.testing.assert_allclose(np.asarray(gb.Wc)[fused_c],
+                               np.asarray(gd.Wc)[fused_c], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb.R)[fused_c],
+                               np.asarray(gd.R)[fused_c], atol=1e-5)
+    # and the near-surface band (where renders read color) is fully covered
+    near = (np.abs(np.asarray(gd.D)) < PARAMS.delta / 2) & (np.asarray(gd.Wc) > 0)
+    assert near.sum() > 0
+    assert (fused_c | ~near).all()
+
+
+def test_bricked_overflow_reported_and_grid_still_valid():
+    cfg = FusionConfig(fuse_color=False)
+    pts, normals, _ = _frame(POSES[0])
+    gb, stats = fuse_frame_bricked(empty_grid(PARAMS), POSES[0], pts, normals,
+                                   None, params=PARAMS, cam=CAM, cfg=cfg,
+                                   bs=BS, cap=2)
+    assert int(stats.overflow) > 0
+    assert bool(jnp.isfinite(gb.D).all())
+    # dropped bricks simply keep their old values; FREE updates still applied
+    assert float(gb.W.sum()) > 0
+
+
+def test_bricked_nan_frame_is_noop():
+    cfg = FusionConfig(fuse_color=False)
+    nanimg = jnp.full((72, 96, 3), jnp.nan, jnp.float32)
+    g0 = empty_grid(PARAMS)
+    gb, stats = fuse_frame_bricked(g0, POSES[0], nanimg, nanimg, None,
+                                   params=PARAMS, cam=CAM, cfg=cfg, bs=BS, cap=64)
+    assert float(gb.W.sum()) == 0.0
+    assert int(stats.n_free) == 0
+    assert bool(jnp.isfinite(gb.D).all())

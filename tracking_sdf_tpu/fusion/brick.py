@@ -1,0 +1,402 @@
+"""Brick-compacted TSDF fusion — the TPU-fast path.
+
+The dense path (fuse.fuse_frame) gathers a pixel row for EVERY voxel; on TPU
+that random gather runs at ~8 ns/row, so a 256^3 fuse costs ~130 ms of pure
+gather. This path reduces gathered rows by ~10-30x with EXACT per-brick
+classification:
+
+  OUT   brick entirely behind the camera or off-image -> every voxel skipped
+        (exactly the dense path's per-voxel skip rules: pz is affine in the
+        voxel index, and the projection of a box with all corners in front
+        is the convex hull of the corner projections, so corner bounds are
+        exact).
+  FREE  brick entirely inside the image and strictly in front of every
+        candidate surface: max brick z < zeta_min over its pixel bbox, where
+        per pixel  zeta = z_y - delta / (-r.n)  is the camera-z at which the
+        point-to-plane distance falls to delta (r = the pixel's unit-z ray;
+        invalid/NaN pixels get zeta = -inf). Then EVERY voxel's update is
+        exactly (w = 1, d = +delta) — the same numbers the dense path
+        computes — applied with zero gathers. zeta is queried conservatively
+        through a min-mip pyramid (4 cell lookups at a level where the
+        brick's pixel bbox spans <= 2x2 cells).
+  FULL  everything else (surface band, image/frustum edges, NaN regions):
+        compacted per-voxel processing with the exact dense math. Updates
+        are expressed as (w, w*d) partial sums and SCATTER-ADDED into dense
+        accumulators — the running weighted mean never needs to gather old
+        D/W — then one fused elementwise merge applies FREE and FULL
+        updates together.
+
+Color is fused only inside FULL (surface-band) bricks: free-space voxels'
+colors are unobservable garbage in the reference anyway (sdf.cpp:294-304
+fuses the color of whatever pixel is BEHIND the free voxel); renders only
+read colors at the surface. Set FusionConfig(mode="dense") for bit-exact
+reference-everywhere color parity.
+
+Sizing: `cap` bounds the number of FULL bricks processed per frame (static
+shape); overflowing bricks are dropped for that frame and reported in
+FuseStats.overflow — size `cap` to the surface area of the scene.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tracking_sdf_tpu.config import FusionConfig, GridParams
+from tracking_sdf_tpu.core.camera import PinholeCamera
+from tracking_sdf_tpu.core.lie import Pose
+from tracking_sdf_tpu.fusion.fuse import weighting
+from tracking_sdf_tpu.grid.grid import TSDFGrid
+
+_TILE = 8  # zeta mip base tile, pixels
+
+
+class FuseStats(NamedTuple):
+    n_full: jnp.ndarray  # () int32 — bricks classified FULL
+    overflow: jnp.ndarray  # () int32 — FULL bricks dropped (cap too small)
+    n_free: jnp.ndarray  # () int32
+
+
+def _zeta_mip(points_cam, normals_cam, cam, delta, dtype):
+    """Conservative free-space depth: per-pixel zeta then min-mip pyramid.
+
+    Returns (flat_table (sum levels,), offsets, dims) — a concatenated
+    pyramid of per-tile minima of zeta, padded so every level's query is a
+    plain flat-index take.
+    """
+    h, w = points_cam.shape[:2]
+    z_y = points_cam[..., 2]
+    n = normals_cam
+    # unit-z ray r = ((u-cx)/fx, (v-cy)/fy, 1); d = (z_p - z_y) * (r.n)
+    v = jnp.arange(h, dtype=dtype)[:, None]
+    u = jnp.arange(w, dtype=dtype)[None, :]
+    rx = (u - cam.cx) / cam.fx
+    ry = (v - cam.cy) / cam.fy
+    rn = rx * n[..., 0] + ry * n[..., 1] + n[..., 2]
+    ok = (
+        jnp.isfinite(points_cam[..., 0])
+        & jnp.isfinite(points_cam[..., 1])
+        & jnp.isfinite(n[..., 0])
+        & jnp.isfinite(n[..., 1])
+        & jnp.isfinite(n[..., 2])
+        & (rn < 0)  # normal toward camera; else no free-space guarantee
+    )
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+    # A voxel mapping to this pixel has its own continuous ray r'' with
+    # r''.n = r.n + du*nx/fx + dv*ny/fy, du,dv in [0,1). Worst case lowers
+    # d by z_p * e_minus, hence the (a + e_minus) denominator:
+    #   d >= a (z_y - z_p) - z_p e_minus >= delta  <=>  z_p <= zeta.
+    a = jnp.maximum(-rn, 1e-6)
+    e_minus = (
+        jnp.maximum(-n[..., 0], 0.0) / cam.fx + jnp.maximum(-n[..., 1], 0.0) / cam.fy
+    )
+    zeta = jnp.where(ok, (z_y * a - delta) / (a + e_minus), neg_inf)
+
+    # Pad to tile multiples with +inf: pad cells contain no real pixels, and
+    # FREE candidacy already requires the brick bbox fully inside the image,
+    # so +inf is neutral for the min (a -inf pad would falsely poison every
+    # brick whose query window touches the image edge).
+    pos_inf = jnp.asarray(jnp.inf, dtype)
+    H = -(-h // _TILE) * _TILE
+    W = -(-w // _TILE) * _TILE
+    zeta = jnp.pad(zeta, ((0, H - h), (0, W - w)), constant_values=pos_inf)
+    lvl = zeta.reshape(H // _TILE, _TILE, W // _TILE, _TILE).min(axis=(1, 3))
+    levels = [lvl]
+    while lvl.shape[0] > 1 or lvl.shape[1] > 1:
+        ph = lvl.shape[0] % 2
+        pw = lvl.shape[1] % 2
+        lvl = jnp.pad(lvl, ((0, ph), (0, pw)), constant_values=pos_inf)
+        lvl = lvl.reshape(lvl.shape[0] // 2, 2, lvl.shape[1] // 2, 2).min(axis=(1, 3))
+        levels.append(lvl)
+
+    dims = [l.shape for l in levels]
+    offsets = np.concatenate([[0], np.cumsum([dh * dw for dh, dw in dims])])
+    flat = jnp.concatenate([l.reshape(-1) for l in levels])
+    return flat, offsets[:-1], dims
+
+
+def _query_zeta(flat, offsets, dims, u0, u1, v0, v1):
+    """Conservative min of zeta over pixel bbox [u0,u1]x[v0,v1] (inclusive).
+
+    Uses a 4x4 cell window at the level where 3 cells cover the bbox span —
+    over-coverage <= ~1.7x per axis (a 2x2 window at the next-coarser level
+    would over-cover up to 4x and misclassify many genuinely-free bricks)."""
+    dtype = flat.dtype
+    span = jnp.maximum(u1 - u0, v1 - v0) / (3.0 * _TILE)
+    lvl = jnp.ceil(jnp.log2(jnp.maximum(span, 1.0))).astype(jnp.int32)
+    lvl = jnp.clip(lvl, 0, len(dims) - 1)
+    offs = jnp.asarray(offsets, jnp.int32)[lvl]
+    dh = jnp.asarray([d[0] for d in dims], jnp.int32)[lvl]
+    dw = jnp.asarray([d[1] for d in dims], jnp.int32)[lvl]
+    cell = (_TILE * (2 ** lvl)).astype(dtype)
+    cu0 = (u0 / cell).astype(jnp.int32)
+    cv0 = (v0 / cell).astype(jnp.int32)
+    # ONE batched 2D-shaped take: XLA's gather lowering is ~100x slower for
+    # 3D-shaped indices on a 1D table (measured 14 ms per 8k-element lookup),
+    # and 16 separate lookups would dominate the whole fusion.
+    rows = []
+    for dv in range(4):
+        for du in range(4):
+            cu = jnp.clip(cu0 + du, 0, dw - 1)
+            cv = jnp.clip(cv0 + dv, 0, dh - 1)
+            rows.append((offs + cv * dw + cu).reshape(-1))
+    idx = jnp.stack(rows, axis=0)  # (16, NB) — 2D
+    vals = jnp.take(flat, idx, axis=0)
+    return jnp.min(vals, axis=0).reshape(u0.shape)
+
+
+def _brick_corners_cam(params, pose, bs, dtype):
+    """Camera coords of every brick's 8 voxel-CENTER-hull corners.
+
+    Returns (px, py, pz) each (NBi, NBj, NBk, 8). Voxel centers of brick b
+    span [b*B + 0.5, b*B + B - 0.5] in continuous voxel units; pz is affine
+    in the voxel index so corner extrema bound the interior exactly, and
+    with all corners in front the (u, v) hull bound is exact too.
+    """
+    bi, bj, bk = bs
+    m = params.m
+    nbi, nbj, nbk = m // bi, m // bj, m // bk
+    Rt = pose.R.T
+    t = pose.t
+
+    def axis_world(nb, b, extent, origin):
+        idx = jnp.arange(nb, dtype=dtype) * b
+        lo = (extent / m) * (idx + 0.5) + origin
+        hi = (extent / m) * (idx + b - 0.5) + origin
+        return lo, hi
+
+    xlo, xhi = axis_world(nbi, bi, params.width, params.origin[0])
+    ylo, yhi = axis_world(nbj, bj, params.height, params.origin[1])
+    zlo, zhi = axis_world(nbk, bk, params.depth, params.origin[2])
+
+    # 8 corners via broadcasting: select lo/hi per axis
+    sel = np.array([[a, b, c] for a in (0, 1) for b in (0, 1) for c in (0, 1)])
+    px = []
+    for a, b, c in sel:
+        x = (xhi if a else xlo)[:, None, None]
+        y = (yhi if b else ylo)[None, :, None]
+        z = (zhi if c else zlo)[None, None, :]
+        dx, dy, dz = x - t[0], y - t[1], z - t[2]
+        px.append(jnp.stack([
+            Rt[0, 0] * dx + Rt[0, 1] * dy + Rt[0, 2] * dz,
+            Rt[1, 0] * dx + Rt[1, 1] * dy + Rt[1, 2] * dz,
+            Rt[2, 0] * dx + Rt[2, 1] * dy + Rt[2, 2] * dz,
+        ], axis=-1))
+    c = jnp.stack(px, axis=-2)  # (nbi, nbj, nbk, 8, 3)
+    return c[..., 0], c[..., 1], c[..., 2]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("params", "cam", "cfg", "bs", "cap"),
+    donate_argnames=("grid",),
+)
+def fuse_frame_bricked(
+    grid: TSDFGrid,
+    pose: Pose,
+    points_cam: jnp.ndarray,  # (H, W, 3)
+    normals_cam: jnp.ndarray,  # (H, W, 3)
+    rgb: Optional[jnp.ndarray],  # (H, W, 3) in [0,1] or None
+    *,
+    params: GridParams,
+    cam: PinholeCamera,
+    cfg: FusionConfig = FusionConfig(),
+    bs: Tuple[int, int, int] = (8, 8, 32),
+    cap: int = 1024,
+) -> Tuple[TSDFGrid, FuseStats]:
+    """Brick-compacted fusion; exact dense semantics for geometry, color in
+    surface-band bricks only. Returns (grid, FuseStats)."""
+    dtype = grid.D.dtype
+    h, w_img = points_cam.shape[:2]
+    m = params.m
+    bi, bj, bk = bs
+    if m % bi or m % bj or m % bk:
+        raise ValueError(f"grid m={m} not divisible by brick {bs}")
+    nbi, nbj, nbk = m // bi, m // bj, m // bk
+    NB = nbi * nbj * nbk
+    fuse_color = cfg.fuse_color and rgb is not None
+
+    # ---- per-pixel tables --------------------------------------------------
+    n_img, y_img = normals_cam, points_cam
+    finite = (
+        jnp.isfinite(y_img[..., 0]) & jnp.isfinite(y_img[..., 1])
+        & jnp.isfinite(n_img[..., 0]) & jnp.isfinite(n_img[..., 1])
+        & jnp.isfinite(n_img[..., 2])
+    )
+    s_img = jnp.sum(jnp.where(finite[..., None], y_img * n_img, 0.0), axis=-1)
+    channels = [
+        jnp.where(finite, n_img[..., 0], 0.0),
+        jnp.where(finite, n_img[..., 1], 0.0),
+        jnp.where(finite, n_img[..., 2], 0.0),
+        s_img,
+        finite.astype(dtype),
+    ]
+    if fuse_color:
+        norm_n = jnp.sqrt(jnp.sum(jnp.where(finite[..., None], n_img * n_img, 0.0), -1))
+        cos_img = jnp.where(norm_n > 0,
+                            jnp.abs(jnp.where(finite, n_img[..., 2], 0.0))
+                            / jnp.where(norm_n > 0, norm_n, 1.0), 0.0)
+        channels += [cos_img, rgb[..., 0], rgb[..., 1], rgb[..., 2]]
+    pix = jnp.stack(channels, axis=-1).reshape(h * w_img, -1).astype(dtype)
+
+    zflat, zoffs, zdims = _zeta_mip(points_cam, normals_cam, cam, params.delta, dtype)
+
+    # ---- brick classification ---------------------------------------------
+    cx_, cy_, cz_ = _brick_corners_cam(params, pose, bs, dtype)  # (...,8)
+    pz_min = cz_.min(-1)
+    pz_max = cz_.max(-1)
+    all_front = pz_min > 0
+    safe_z = jnp.where(cz_ > 0, cz_, 1.0)
+    u_c = (cam.fx * cx_ + cam.cx * cz_) / safe_z
+    v_c = (cam.fy * cy_ + cam.cy * cz_) / safe_z
+    u0, u1 = u_c.min(-1), u_c.max(-1)
+    v0, v1 = v_c.min(-1), v_c.max(-1)
+    # fully inside the image (after per-voxel trunc): hull bound is exact
+    # only when all corners are in front
+    inside = all_front & (u0 >= 0) & (u1 < w_img) & (v0 >= 0) & (v1 < h)
+    # entirely out: behind camera, or hull misses the image (hull bound on
+    # (u, v) is valid only when all corners are in front — otherwise keep)
+    out = (pz_max <= 0) | (
+        all_front & ((u1 < 0) | (u0 >= w_img) | (v1 < 0) | (v0 >= h))
+    )
+    zeta_min = _query_zeta(zflat, zoffs, zdims, u0, u1, v0, v1)
+    free = inside & (pz_max < zeta_min)
+    # class: 0 = OUT, 1 = FREE, 2 = FULL
+    brick_class = jnp.where(out, 0, jnp.where(free, 1, 2)).astype(jnp.int32)
+
+    # ---- compact FULL bricks ----------------------------------------------
+    is_full = brick_class.reshape(-1) == 2
+    n_full = jnp.sum(is_full.astype(jnp.int32))
+    full_ids = jnp.nonzero(is_full, size=cap, fill_value=NB)[0]  # sorted
+    valid_brick = full_ids < NB
+    fb = jnp.where(valid_brick, full_ids, 0)
+    fbi = fb // (nbj * nbk)
+    fbj = (fb // nbk) % nbj
+    fbk = fb % nbk
+
+    # voxel coords of compacted bricks: (cap, bi*bj, bk)
+    di = jnp.arange(bi, dtype=jnp.int32)
+    dj = jnp.arange(bj, dtype=jnp.int32)
+    dk = jnp.arange(bk, dtype=jnp.int32)
+    vi = (fbi[:, None] * bi + di[None, :])  # (cap, bi)
+    vj = (fbj[:, None] * bj + dj[None, :])  # (cap, bj)
+    vk = (fbk[:, None] * bk + dk[None, :])  # (cap, bk)
+    # broadcast to (cap, bi, bj, bk)
+    I = vi[:, :, None, None]
+    J = vj[:, None, :, None]
+    K = vk[:, None, None, :]
+
+    ox, oy, oz = params.origin
+    X = (params.width / m) * (I.astype(dtype) + 0.5) + ox
+    Y = (params.height / m) * (J.astype(dtype) + 0.5) + oy
+    Z = (params.depth / m) * (K.astype(dtype) + 0.5) + oz
+    Rt = pose.R.T
+    t = pose.t
+    dx, dy, dz = X - t[0], Y - t[1], Z - t[2]
+    px = Rt[0, 0] * dx + Rt[0, 1] * dy + Rt[0, 2] * dz
+    py = Rt[1, 0] * dx + Rt[1, 1] * dy + Rt[1, 2] * dz
+    pz = Rt[2, 0] * dx + Rt[2, 1] * dy + Rt[2, 2] * dz
+
+    in_front = pz > 0
+    safe_pz = jnp.where(in_front, pz, 1.0)
+    u = (cam.fx * px + cam.cx * pz) / safe_pz
+    v = (cam.fy * py + cam.cy * pz) / safe_pz
+    iu = jnp.trunc(u).astype(jnp.int32)
+    iv = jnp.trunc(v).astype(jnp.int32)
+    ins = (iu >= 0) & (iu < w_img) & (iv >= 0) & (iv < h)
+    flat_pix = jnp.clip(iv, 0, h - 1) * w_img + jnp.clip(iu, 0, w_img - 1)
+
+    g = jnp.take(
+        pix, flat_pix.reshape(cap * bi * bj, bk), axis=0
+    ).reshape(cap, bi, bj, bk, -1)
+    nx, ny, nz, s, fin = g[..., 0], g[..., 1], g[..., 2], g[..., 3], g[..., 4]
+
+    if cfg.distance != "point_to_plane":
+        raise NotImplementedError(
+            "bricked fusion supports point_to_plane only (the shipped "
+            "reference mode, sdf.cpp:272); use mode='dense' otherwise"
+        )
+    d_ref = s - (px * nx + py * ny + pz * nz)
+    d = -d_ref  # canonical +free-space
+
+    observe = in_front & ins & (fin > 0) & valid_brick[:, None, None, None]
+    fuse_mask = observe & (d >= -params.delta)
+    d = jnp.minimum(d, params.delta)
+    w_new = jnp.where(
+        fuse_mask, weighting(cfg.weighting, d, params.epsilon, params.delta), 0.0
+    )
+
+    upd = [w_new, w_new * d]
+    if fuse_color:
+        cosv, cr, cg, cb = g[..., 5], g[..., 6], g[..., 7], g[..., 8]
+        wc = w_new * cosv
+        upd += [wc, wc * cr, wc * cg, wc * cb]
+    U = jnp.stack(upd, axis=-1)  # (cap, bi, bj, bk, C)
+    C = U.shape[-1]
+
+    # ---- scatter-add into dense run-row accumulators -----------------------
+    # dense flat index ordered (i, j, k); k-runs of bk are contiguous rows.
+    # Padded/dropped bricks get DISTINCT out-of-bounds rows so the
+    # unique_indices promise stays true; mode="drop" discards them.
+    NR = m * m * m // bk
+    run_row = (vi[:, :, None] * m + vj[:, None, :]) * (m // bk) + fbk[:, None, None]
+    oob = NR + jnp.arange(cap * bi * bj, dtype=jnp.int32).reshape(cap, bi, bj)
+    run_row = jnp.where(valid_brick[:, None, None], run_row, oob)
+    acc = jnp.zeros((NR, bk, C), dtype)
+    acc = acc.at[run_row.reshape(-1)].add(
+        U.reshape(cap * bi * bj, bk, C),
+        indices_are_sorted=False, unique_indices=True, mode="drop",
+    )
+
+    # ---- fused dense merge -------------------------------------------------
+    # per-voxel class via broadcast of the brick class (free reshape)
+    cls = brick_class.reshape(nbi, 1, nbj, 1, nbk, 1)
+    Dv = grid.D.reshape(nbi, bi, nbj, bj, nbk, bk)
+    Wv = grid.W.reshape(nbi, bi, nbj, bj, nbk, bk)
+    accv = acc.reshape(m, m, m // bk, bk, C).reshape(m, m, m, C)
+    accv = accv.reshape(nbi, bi, nbj, bj, nbk, bk, C)
+
+    is_free = cls == 1
+    is_fullc = cls == 2
+    w_add = jnp.where(is_free, 1.0, jnp.where(is_fullc, accv[..., 0], 0.0))
+    wd_add = jnp.where(is_free, params.delta,
+                       jnp.where(is_fullc, accv[..., 1], 0.0))
+    W_new = Wv + w_add
+    if cfg.max_weight is not None:
+        W_new = jnp.minimum(W_new, cfg.max_weight)
+    has = w_add > 0
+    D_new = jnp.where(has, (Wv * Dv + wd_add) / jnp.where(has, W_new, 1.0), Dv)
+    D_out = D_new.reshape(m, m, m)
+    W_out = W_new.reshape(m, m, m)
+
+    if fuse_color:
+        Rv = grid.R.reshape(nbi, bi, nbj, bj, nbk, bk)
+        Gv = grid.G.reshape(nbi, bi, nbj, bj, nbk, bk)
+        Bv = grid.B.reshape(nbi, bi, nbj, bj, nbk, bk)
+        Wcv = grid.Wc.reshape(nbi, bi, nbj, bj, nbk, bk)
+        wc_add = jnp.where(is_fullc, accv[..., 2], 0.0)
+        Wc_new = Wcv + wc_add
+        if cfg.max_weight is not None:
+            Wc_new = jnp.minimum(Wc_new, cfg.max_weight)
+        has_c = wc_add > 0
+        safe = jnp.where(has_c, Wc_new, 1.0)
+        R_new = jnp.where(has_c, (Wcv * Rv + accv[..., 3]) / safe, Rv)
+        G_new = jnp.where(has_c, (Wcv * Gv + accv[..., 4]) / safe, Gv)
+        B_new = jnp.where(has_c, (Wcv * Bv + accv[..., 5]) / safe, Bv)
+        R_out, G_out, B_out = (a.reshape(m, m, m) for a in (R_new, G_new, B_new))
+        Wc_out = Wc_new.reshape(m, m, m)
+    else:
+        R_out, G_out, B_out, Wc_out = grid.R, grid.G, grid.B, grid.Wc
+
+    stats = FuseStats(
+        n_full=n_full,
+        overflow=jnp.maximum(n_full - cap, 0),
+        n_free=jnp.sum((brick_class == 1).astype(jnp.int32)),
+    )
+    return (
+        TSDFGrid(D=D_out, W=W_out, R=R_out, G=G_out, B=B_out, Wc=Wc_out),
+        stats,
+    )

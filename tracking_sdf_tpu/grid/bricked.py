@@ -1,0 +1,52 @@
+"""Brick-major TSDF grid layout + dense<->bricked conversion.
+
+The BASELINE north star calls for "dense array -> sharded bricked HBM
+tensor". A brick is a B^3 voxel block stored CONTIGUOUSLY: grid leaves have
+shape (nb, nb, nb, B, B, B) with ``m = nb * B``. Contiguity is what makes
+brick-granular processing fast on TPU: fetching a brick is one 4*B^3-byte
+row take (measured ~0.8 us/brick at B=8) instead of a strided (8,8,8) block
+gather (~20 us/brick) — the difference between a usable and unusable
+compacted fusion path (fusion/brick.py).
+
+Dense (m, m, m) <-> bricked (nb, nb, nb, B, B, B) conversion is a pure
+reshape+transpose pair; XLA lowers it to a copy at HBM bandwidth. The dense
+layout remains canonical for interpolation/raycasting/meshing (contiguous k
+rows); the bricked layout is fusion's working format.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from tracking_sdf_tpu.config import GridParams
+from tracking_sdf_tpu.grid.grid import TSDFGrid
+
+
+def to_bricks(x: jnp.ndarray, brick: int = 8) -> jnp.ndarray:
+    """(m, m, m) -> (nb, nb, nb, B, B, B)."""
+    m = x.shape[0]
+    nb = m // brick
+    assert nb * brick == m, (m, brick)
+    return (
+        x.reshape(nb, brick, nb, brick, nb, brick)
+        .transpose(0, 2, 4, 1, 3, 5)
+    )
+
+
+def from_bricks(x: jnp.ndarray) -> jnp.ndarray:
+    """(nb, nb, nb, B, B, B) -> (m, m, m)."""
+    nb, _, _, b, _, _ = x.shape
+    return x.transpose(0, 3, 1, 4, 2, 5).reshape(nb * b, nb * b, nb * b)
+
+
+def grid_to_bricks(grid: TSDFGrid, brick: int = 8) -> TSDFGrid:
+    return TSDFGrid(*(to_bricks(l, brick) for l in grid))
+
+
+def grid_from_bricks(grid: TSDFGrid) -> TSDFGrid:
+    return TSDFGrid(*(from_bricks(l) for l in grid))
+
+
+def num_bricks(params: GridParams, brick: int = 8) -> int:
+    return (params.m // brick) ** 3
