@@ -1,0 +1,80 @@
+"""Native C++ PNG loader vs the PIL reference path: bit-exact decode + order."""
+import numpy as np
+import pytest
+
+from tracking_sdf_tpu.data import native
+from tracking_sdf_tpu.data.tum import load_depth_png, load_rgb_png, write_synthetic_tum
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def seq(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("native_seq"))
+    rng = np.random.default_rng(0)
+    depths, rgbs = [], []
+    for i in range(6):
+        d = rng.uniform(0.4, 4.0, size=(48, 64)).astype(np.float32)
+        d[rng.random((48, 64)) < 0.15] = np.nan  # Kinect holes
+        depths.append(d)
+        rgbs.append(rng.random((48, 64, 3)).astype(np.float32))
+    write_synthetic_tum(root, depths, rgbs)
+    return root, depths, rgbs
+
+
+def _listing(root, name):
+    import os
+
+    out = []
+    with open(os.path.join(root, name)) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            out.append(os.path.join(root, line.split()[1]))
+    return out
+
+
+def test_native_depth_decode_matches_pil(seq):
+    root, depths, _ = seq
+    for path in _listing(root, "depth.txt"):
+        a = native.decode_depth(path)
+        b = load_depth_png(path)
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+        both = ~np.isnan(a)
+        np.testing.assert_array_equal(a[both], b[both])
+
+
+def test_native_rgb_decode_matches_pil(seq):
+    root, _, rgbs = seq
+    for path in _listing(root, "rgb.txt"):
+        a = native.decode_rgb(path)
+        b = load_rgb_png(path)
+        np.testing.assert_array_equal(a, b.astype(np.float32))
+
+
+def test_prefetching_loader_ordered_and_complete(seq):
+    root, depths, rgbs = seq
+    dp = _listing(root, "depth.txt")
+    rp = _listing(root, "rgb.txt")
+    with native.PrefetchingLoader(dp, rp, prefetch=3, threads=4) as ld:
+        assert (ld.width, ld.height) == (64, 48)
+        seen = []
+        for idx, depth, rgb in ld:
+            seen.append(idx)
+            ref = load_depth_png(dp[idx])
+            both = ~np.isnan(ref)
+            np.testing.assert_array_equal(depth[both], ref[both])
+            assert rgb is not None
+    assert seen == list(range(6))
+
+
+def test_prefetching_loader_depth_only(seq):
+    root, depths, _ = seq
+    dp = _listing(root, "depth.txt")
+    with native.PrefetchingLoader(dp, None, prefetch=2, threads=2) as ld:
+        frames = list(ld)
+    assert [i for i, _, _ in frames] == list(range(6))
+    assert all(rgb is None for _, _, rgb in frames)

@@ -90,12 +90,21 @@ class FusionConfig(NamedTuple):
     code, Eq. 31), "linear", "constant", and the "narrow_*" variants.
     ``distance`` selects point-to-plane (shipped, sdf.cpp:272) or
     point-to-point (present but commented out, sdf.cpp:267).
+
+    ``mode``:
+      * "dense": the reference-exact per-voxel gather pass (fuse.fuse_frame).
+      * "bricked": brick-compacted fast path (fusion.brick) — identical
+        geometry, color fused in surface-band bricks only; ~an order of
+        magnitude fewer gathered rows. ``brick_shape``/``brick_cap`` size it.
     """
 
     weighting: str = "exponential"
     distance: str = "point_to_plane"
     fuse_color: bool = True
     max_weight: Optional[float] = None  # optional running-weight clamp (ref: none)
+    mode: str = "dense"
+    brick_shape: Tuple[int, int, int] = (8, 8, 32)
+    brick_cap: int = 2048
 
 
 class RaycastConfig(NamedTuple):
@@ -121,6 +130,9 @@ class PipelineConfig:
     bilateral_filter: bool = True
     trajectory_path: Optional[str] = "trajectory.txt"
     mesh_hz: float = 0.0  # 0 = no periodic meshing; reference runs 1 Hz async
+    # coarse-to-fine pyramid: extra decimation factors (coarsest first,
+    # ending at 1) multiplied onto tracking.pixel_stride; None = single level
+    pyramid_levels: Optional[Tuple[int, ...]] = None
 
 
 def preset(name: str) -> PipelineConfig:
@@ -136,6 +148,11 @@ def preset(name: str) -> PipelineConfig:
         # Full fr1/plant, 256^3 (reference's own configuration).
         "tum256": PipelineConfig(grid=GridParams(m=256)),
         # 512^3 bricked grid + pyramid + device-side marching cubes.
-        "tum512": PipelineConfig(grid=GridParams(m=512)),
+        "tum512": PipelineConfig(
+            grid=GridParams(m=512),
+            fusion=FusionConfig(mode="bricked", brick_shape=(8, 8, 32),
+                                brick_cap=8192),
+            pyramid_levels=(4, 2, 1),
+        ),
     }
     return presets[name]

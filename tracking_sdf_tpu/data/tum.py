@@ -107,6 +107,28 @@ class TUMDataset:
         r = self._rgb_for_depth[i]
         return d, (os.path.join(self.root, r) if r is not None else None)
 
+    def stream(self, prefetch: int = 8, threads: int = 0) -> Iterator[TUMFrame]:
+        """Iterate frames through the native prefetching loader when built
+        (C++ thread pool overlapping PNG decode with device compute); falls
+        back to the PIL path otherwise."""
+        from tracking_sdf_tpu.data import native
+
+        if not native.available():
+            yield from self
+            return
+        dp = [self.frame_paths(i)[0] for i in range(len(self))]
+        rp = [self.frame_paths(i)[1] for i in range(len(self))] if self.with_rgb else None
+        with native.PrefetchingLoader(dp, rp, prefetch=prefetch, threads=threads) as ld:
+            for idx, depth, rgb in ld:
+                stamp = self._depth[idx][0]
+                gt = None
+                if self._gt_for_depth[idx] is not None:
+                    g = self.groundtruth
+                    gi = self._gt_for_depth[idx]
+                    gt = (g.translations[gi].astype(np.float32),
+                          g.quaternions[gi].astype(np.float32))
+                yield TUMFrame(timestamp=stamp, depth=depth, rgb=rgb, gt_pose=gt)
+
 
 def load_depth_png(path: str) -> np.ndarray:
     """16-bit depth PNG -> float32 meters with NaN holes (value 0 = no data)."""

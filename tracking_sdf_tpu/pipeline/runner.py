@@ -83,8 +83,23 @@ class Reconstruction:
             )
         else:
             self.grid = empty_grid(config.grid)
-            self._fuse = make_fuse_fn(config.grid, cam, config.fusion)
+            if config.fusion.mode == "bricked":
+                from tracking_sdf_tpu.fusion.brick import fuse_frame_bricked
+
+                def fuse(grid, pose, pts, normals, rgb):
+                    grid, stats = fuse_frame_bricked(
+                        grid, pose, pts, normals, rgb,
+                        params=config.grid, cam=cam, cfg=config.fusion,
+                        bs=config.fusion.brick_shape, cap=config.fusion.brick_cap,
+                    )
+                    self.last_fuse_stats = stats
+                    return grid
+
+                self._fuse = fuse
+            else:
+                self._fuse = make_fuse_fn(config.grid, cam, config.fusion)
             self._track = None  # dense path calls track_frame directly
+        self.last_fuse_stats = None
 
     # ------------------------------------------------------------------ #
 
@@ -110,13 +125,21 @@ class Reconstruction:
             # fusion-only oracle mode (sdf_reconstruction.cpp:51-66)
             self.pose = gt_pose
         elif self.frame_num > 1:
-            pts = points[:: cfg.tracking.pixel_stride, :: cfg.tracking.pixel_stride]
-            pts = pts.reshape(-1, 3)
             if self._track is not None:
-                res = self._track(self.grid, self.pose, pts)
+                pts = points[:: cfg.tracking.pixel_stride, :: cfg.tracking.pixel_stride]
+                res = self._track(self.grid, self.pose, pts.reshape(-1, 3))
+            elif cfg.pyramid_levels:
+                from tracking_sdf_tpu.tracking.pyramid import track_frame_pyramid
+
+                res, _ = track_frame_pyramid(
+                    self.grid, self.pose, points, params=cfg.grid,
+                    cfg=cfg.tracking, levels=cfg.pyramid_levels,
+                )
             else:
+                pts = points[:: cfg.tracking.pixel_stride, :: cfg.tracking.pixel_stride]
                 res = track_frame(
-                    self.grid, self.pose, pts, params=cfg.grid, cfg=cfg.tracking
+                    self.grid, self.pose, pts.reshape(-1, 3),
+                    params=cfg.grid, cfg=cfg.tracking,
                 )
             jax.block_until_ready(res.pose.t)
             self.pose = res.pose
@@ -194,6 +217,27 @@ class Reconstruction:
             params=self.config.grid, cam=self.cam, cfg=self.config.raycast,
             stride=stride, with_color=with_color,
         )
+
+    def save_checkpoint(self, path: str) -> None:
+        """Snapshot grid + pose + frame counter (reference has none; §5)."""
+        from tracking_sdf_tpu.pipeline.checkpoint import save_checkpoint
+
+        grid = self.grid
+        if self._mesh is not None:
+            grid = TSDFGrid(*(jnp.asarray(jax.device_get(l)) for l in grid))
+        save_checkpoint(path, grid, self.pose, self.frame_num)
+
+    def restore_checkpoint(self, path: str) -> None:
+        from tracking_sdf_tpu.pipeline.checkpoint import load_checkpoint
+
+        grid, pose, frame_num, _ = load_checkpoint(path)
+        if self._mesh is not None:
+            from tracking_sdf_tpu.parallel import shard_grid
+
+            grid = shard_grid(grid, self._mesh)
+        self.grid = grid
+        self.pose = pose
+        self.frame_num = frame_num
 
     def close(self) -> None:
         if self._writer is not None:

@@ -1,0 +1,57 @@
+"""Coarse-to-fine Gauss-Newton tracking pyramid.
+
+The reference subsamples pixels at a fixed stride 3 (camera_tracking.cpp:
+162-163) and relies on small inter-frame motion. The pyramid replaces that
+with the standard coarse-to-fine schedule (SURVEY.md §5 "long-context":
+"coarse-to-fine pyramid replaces stride subsampling"): run GN on heavily
+decimated points first — each coarse step is cheap and has a wide
+convergence basin — then refine at finer decimation from the coarse result.
+Decimation (not averaging) mirrors the reference's nodelet pipeline, which
+decimates the depth image 2x before tracking (launch/kinect_normal.launch),
+and never invents depth values across discontinuities.
+
+All levels reuse the same jit'd track_frame; each (level-shape, config)
+pair compiles once.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+from tracking_sdf_tpu.config import GridParams, TrackingConfig
+from tracking_sdf_tpu.core.lie import Pose
+from tracking_sdf_tpu.grid.grid import TSDFGrid
+from tracking_sdf_tpu.tracking.gauss_newton import TrackResult, track_frame
+
+
+def track_frame_pyramid(
+    grid: TSDFGrid,
+    pose0: Pose,
+    points_img: jnp.ndarray,  # (H, W, 3) organized camera-frame points
+    *,
+    params: GridParams,
+    cfg: TrackingConfig = TrackingConfig(),
+    levels: Sequence[int] = (4, 2, 1),
+    coarse_iterations: int = 10,
+) -> Tuple[TrackResult, Tuple[TrackResult, ...]]:
+    """Track one frame coarse-to-fine.
+
+    ``levels`` are extra decimation factors multiplied onto
+    ``cfg.pixel_stride``, coarsest first, ending at 1 (= the reference's
+    stride). Returns (finest-level result, per-level results).
+    """
+    if levels[-1] != 1:
+        raise ValueError("levels must end at 1 (finest = cfg.pixel_stride)")
+    pose = pose0
+    results = []
+    for li, mult in enumerate(levels):
+        stride = cfg.pixel_stride * mult
+        pts = points_img[::stride, ::stride].reshape(-1, 3)
+        level_cfg = cfg if mult == 1 else cfg._replace(
+            max_iterations=coarse_iterations
+        )
+        res = track_frame(grid, pose, pts, params=params, cfg=level_cfg)
+        pose = res.pose
+        results.append(res)
+    return results[-1], tuple(results)
