@@ -49,6 +49,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard grid+tracking over all visible devices")
     p.add_argument("--progress", action="store_true")
     p.add_argument("--json", action="store_true", help="print summary as JSON")
+    p.add_argument("--profile",
+                   help="capture a jax.profiler trace of the run into this "
+                        "directory (view with xprof/tensorboard) — the "
+                        "reference's callgrind wrapper, TPU-style "
+                        "(sdf.launch.valgrind)")
+    p.add_argument("--checkpoint",
+                   help="checkpoint directory; resumes from it when present")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save the checkpoint every N frames")
+    p.add_argument("--metrics-log",
+                   help="append per-frame stats as JSON lines to this file")
+    p.add_argument("--native-loader", action="store_true",
+                   help="stream frames through the C++ prefetching loader")
     return p
 
 
@@ -98,13 +111,35 @@ def main(argv=None) -> int:
         return 2
 
     recon = Reconstruction(cam, cfg, initial_pose=init_pose, mesh=mesh)
+    skip = 0
+    if args.checkpoint:
+        from tracking_sdf_tpu.pipeline import checkpoint as ckpt
+
+        if ckpt.exists(args.checkpoint):
+            recon.restore_checkpoint(args.checkpoint)
+            skip = recon.frame_num
+            print(f"resumed from {args.checkpoint} at frame {skip}",
+                  file=sys.stderr)
+
+    if args.native_loader and hasattr(dataset, "stream"):
+        dataset = dataset.stream()
+
+    profile_cm = None
+    if args.profile:
+        profile_cm = jax.profiler.trace(args.profile)
+        profile_cm.__enter__()
     try:
         recon.run(dataset, max_frames=args.frames, progress=args.progress,
-                  mesh_every=args.mesh_every, mesh_path=args.mesh)
+                  mesh_every=args.mesh_every, mesh_path=args.mesh,
+                  checkpoint_every=args.checkpoint_every,
+                  checkpoint_path=args.checkpoint,
+                  metrics_log=args.metrics_log, skip_frames=skip)
         if args.mesh:
             n_tri = recon.export_mesh(args.mesh)
             print(f"mesh: {n_tri} triangles -> {args.mesh}", file=sys.stderr)
     finally:
+        if profile_cm is not None:
+            profile_cm.__exit__(None, None, None)
         recon.close()
 
     summary = recon.summary()

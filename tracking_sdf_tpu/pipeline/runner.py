@@ -174,26 +174,51 @@ class Reconstruction:
         mesh_every: int = 0,
         mesh_path: Optional[str] = None,
         progress: bool = False,
+        checkpoint_every: int = 0,
+        checkpoint_path: Optional[str] = None,
+        metrics_log: Optional[str] = None,
+        skip_frames: int = 0,
     ) -> List[FrameStats]:
-        """Consume a TUMDataset (or any iterable of TUMFrame-likes)."""
-        for i, frame in enumerate(dataset):
-            if max_frames is not None and i >= max_frames:
-                break
-            gt = None
-            if getattr(frame, "gt_pose", None) is not None:
-                t, q = frame.gt_pose
-                gt = Pose(matrix_from_quaternion(jnp.asarray(q)), jnp.asarray(t))
-            stat = self.process_frame(
-                frame.depth, frame.rgb, timestamp=frame.timestamp, gt_pose=gt
-            )
-            if progress:
-                print(
-                    f"frame {stat.index}: track {stat.track_ms:.1f} ms "
-                    f"({stat.gn_iterations} GN iters, {stat.num_valid} px), "
-                    f"fuse {stat.fuse_ms:.1f} ms", flush=True,
+        """Consume a TUMDataset (or any iterable of TUMFrame-likes).
+
+        ``skip_frames`` skips already-processed frames after a checkpoint
+        restore (pass ``self.frame_num``). ``metrics_log`` appends one JSON
+        line of FrameStats per frame — the machine-readable version of the
+        reference's per-phase cout timings (sdf.cpp:306 etc.).
+        """
+        import json as _json
+
+        mf = open(metrics_log, "a") if metrics_log else None
+        try:
+            for i, frame in enumerate(dataset):
+                if i < skip_frames:
+                    continue
+                if max_frames is not None and i >= max_frames:
+                    break
+                gt = None
+                if getattr(frame, "gt_pose", None) is not None:
+                    t, q = frame.gt_pose
+                    gt = Pose(matrix_from_quaternion(jnp.asarray(q)), jnp.asarray(t))
+                stat = self.process_frame(
+                    frame.depth, frame.rgb, timestamp=frame.timestamp, gt_pose=gt
                 )
-            if mesh_every and stat.index % mesh_every == 0 and mesh_path:
-                self.export_mesh(mesh_path)
+                if progress:
+                    print(
+                        f"frame {stat.index}: track {stat.track_ms:.1f} ms "
+                        f"({stat.gn_iterations} GN iters, {stat.num_valid} px), "
+                        f"fuse {stat.fuse_ms:.1f} ms", flush=True,
+                    )
+                if mf is not None:
+                    mf.write(_json.dumps(dataclasses.asdict(stat)) + "\n")
+                    mf.flush()
+                if mesh_every and stat.index % mesh_every == 0 and mesh_path:
+                    self.export_mesh(mesh_path)
+                if (checkpoint_every and checkpoint_path
+                        and stat.index % checkpoint_every == 0):
+                    self.save_checkpoint(checkpoint_path)
+        finally:
+            if mf is not None:
+                mf.close()
         return self.stats
 
     def export_mesh(self, path: str, with_colors: bool = True) -> int:
