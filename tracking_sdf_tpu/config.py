@@ -105,6 +105,10 @@ class FusionConfig(NamedTuple):
     mode: str = "dense"
     brick_shape: Tuple[int, int, int] = (8, 8, 32)
     brick_cap: int = 2048
+    # merge tail for mode="bricked": "xla" (scatter + dense merge) or
+    # "pallas" (in-place active-brick kernel; fastest on TPU)
+    brick_merge: str = "xla"
+    brick_cap_active: int = 0  # 0 = auto (4 * brick_cap)
 
 
 class RaycastConfig(NamedTuple):

@@ -58,6 +58,7 @@ class FuseStats(NamedTuple):
     n_full: jnp.ndarray  # () int32 — bricks classified FULL
     overflow: jnp.ndarray  # () int32 — FULL bricks dropped (cap too small)
     n_free: jnp.ndarray  # () int32
+    overflow_active: jnp.ndarray = jnp.int32(0)  # active bricks dropped (pallas merge)
 
 
 def _zeta_mip(points_cam, normals_cam, cam, delta, dtype):
@@ -191,7 +192,8 @@ def _brick_corners_cam(params, pose, bs, dtype):
 
 @partial(
     jax.jit,
-    static_argnames=("params", "cam", "cfg", "bs", "cap"),
+    static_argnames=("params", "cam", "cfg", "bs", "cap", "merge", "cap_act",
+                     "interpret"),
     donate_argnames=("grid",),
 )
 def fuse_frame_bricked(
@@ -206,9 +208,18 @@ def fuse_frame_bricked(
     cfg: FusionConfig = FusionConfig(),
     bs: Tuple[int, int, int] = (8, 8, 32),
     cap: int = 1024,
+    merge: str = "xla",
+    cap_act: Optional[int] = None,
+    interpret: bool = False,
 ) -> Tuple[TSDFGrid, FuseStats]:
     """Brick-compacted fusion; exact dense semantics for geometry, color in
-    surface-band bricks only. Returns (grid, FuseStats)."""
+    surface-band bricks only. Returns (grid, FuseStats).
+
+    ``merge`` selects the tail: "xla" scatter-adds (w, w*d, ...) into dense
+    accumulators and runs a full-grid merge; "pallas" updates only the
+    active bricks in place (fusion.pallas_merge) — same numbers, traffic
+    proportional to active bricks. ``cap_act`` bounds active (FREE + FULL)
+    bricks for the pallas path (default 4 * cap)."""
     dtype = grid.D.dtype
     h, w_img = points_cam.shape[:2]
     m = params.m
@@ -337,6 +348,41 @@ def fuse_frame_bricked(
     U = jnp.stack(upd, axis=-1)  # (cap, bi, bj, bk, C)
     C = U.shape[-1]
 
+    stats = FuseStats(
+        n_full=n_full,
+        overflow=jnp.maximum(n_full - cap, 0),
+        n_free=jnp.sum((brick_class == 1).astype(jnp.int32)),
+    )
+
+    if merge == "pallas":
+        from tracking_sdf_tpu.fusion.pallas_merge import merge_active_bricks
+
+        if cap_act is None:
+            cap_act = 4 * cap
+        is_active = brick_class.reshape(-1) > 0
+        n_active = jnp.sum(is_active.astype(jnp.int32))
+        act_ids = jnp.nonzero(is_active, size=cap_act, fill_value=0)[0][::-1]
+        # padding FIRST (see pallas_merge docstring): positions below
+        # pad_count read brick 0 with class PAD and write identical bytes
+        pad_count = jnp.maximum(cap_act - n_active, 0)
+        pos = jnp.arange(cap_act, dtype=jnp.int32)
+        cls_act = jnp.where(pos < pad_count, 0,
+                            brick_class.reshape(-1)[act_ids]).astype(jnp.int32)
+        # slot map: FULL brick id -> its row in U (cap = dummy zero row)
+        slot_map = jnp.full((NB,), cap, jnp.int32).at[full_ids].set(
+            jnp.arange(cap, dtype=jnp.int32), mode="drop")
+        slot_act = jnp.where(cls_act == 2, slot_map[act_ids], cap).astype(jnp.int32)
+        U_pad = jnp.concatenate(
+            [U, jnp.zeros((1,) + U.shape[1:], U.dtype)], axis=0)
+        grid_out = merge_active_bricks(
+            grid, U_pad, act_ids.astype(jnp.int32), cls_act, slot_act,
+            bs=bs, cap_act=cap_act, delta=params.delta,
+            fuse_color=fuse_color, interpret=interpret,
+        )
+        stats = stats._replace(
+            overflow_active=jnp.maximum(n_active - cap_act, 0))
+        return grid_out, stats
+
     # ---- scatter-add into dense run-row accumulators -----------------------
     # dense flat index ordered (i, j, k); k-runs of bk are contiguous rows.
     # Padded/dropped bricks get DISTINCT out-of-bounds rows so the
@@ -391,11 +437,6 @@ def fuse_frame_bricked(
     else:
         R_out, G_out, B_out, Wc_out = grid.R, grid.G, grid.B, grid.Wc
 
-    stats = FuseStats(
-        n_full=n_full,
-        overflow=jnp.maximum(n_full - cap, 0),
-        n_free=jnp.sum((brick_class == 1).astype(jnp.int32)),
-    )
     return (
         TSDFGrid(D=D_out, W=W_out, R=R_out, G=G_out, B=B_out, Wc=Wc_out),
         stats,

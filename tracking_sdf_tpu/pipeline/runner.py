@@ -91,6 +91,8 @@ class Reconstruction:
                         grid, pose, pts, normals, rgb,
                         params=config.grid, cam=cam, cfg=config.fusion,
                         bs=config.fusion.brick_shape, cap=config.fusion.brick_cap,
+                        merge=config.fusion.brick_merge,
+                        cap_act=config.fusion.brick_cap_active or None,
                     )
                     self.last_fuse_stats = stats
                     return grid
