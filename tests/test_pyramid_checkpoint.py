@@ -110,6 +110,27 @@ def test_checkpoint_resume_bitwise_continuation(tmp_path):
     np.testing.assert_array_equal(np.asarray(r1.pose.t), np.asarray(r3.pose.t))
 
 
+def test_async_mesh_publisher(tmp_path):
+    """The reference's 1 Hz vis thread, functional: publishes snapshots
+    concurrently with fusion and writes a final mesh on close."""
+    import os
+    import time as _time
+
+    cfg = PipelineConfig(grid=PARAMS, trajectory_path=None,
+                         bilateral_filter=False, use_groundtruth=True)
+    recon = Reconstruction(CAM, cfg, initial_pose=TRUE_POSE)
+    mesh_path = str(tmp_path / "live.ply")
+    pub = recon.start_mesh_publisher(mesh_path, with_colors=False)
+    for i in range(3):
+        depth = render_scene_depth(SCENE, CAM, TRUE_POSE)
+        recon.process_frame(depth, timestamp=float(i), gt_pose=TRUE_POSE)
+        _time.sleep(0.05)
+    recon.close()  # stops the thread + publishes the final snapshot
+    assert pub.published >= 1
+    assert pub.errors == 0
+    assert os.path.getsize(mesh_path) > 500
+
+
 def test_runner_bricked_fusion_mode():
     cfg = PipelineConfig(
         grid=PARAMS,

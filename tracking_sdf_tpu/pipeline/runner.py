@@ -102,6 +102,7 @@ class Reconstruction:
                 self._fuse = make_fuse_fn(config.grid, cam, config.fusion)
             self._track = None  # dense path calls track_frame directly
         self.last_fuse_stats = None
+        self._publisher = None
 
     # ------------------------------------------------------------------ #
 
@@ -159,6 +160,9 @@ class Reconstruction:
         jax.block_until_ready(self.grid.D)
         fuse_ms = (time.perf_counter() - t0) * 1e3
 
+        if self._publisher is not None:
+            self._publisher.publish(self.grid)
+
         stat = FrameStats(
             index=self.frame_num, timestamp=timestamp, track_ms=track_ms,
             fuse_ms=fuse_ms, gn_iterations=gn_iters, num_valid=nvalid,
@@ -166,6 +170,24 @@ class Reconstruction:
         )
         self.stats.append(stat)
         return stat
+
+    def start_mesh_publisher(self, path: str, with_colors: bool = True):
+        """Start the async mesh export thread (the reference's 1 Hz
+        visualization thread, sdf_reconstruction.cpp:97 — race-free here
+        because grid snapshots are immutable pytrees). Rate comes from
+        config.mesh_hz (0 -> default 1 Hz)."""
+        from tracking_sdf_tpu.pipeline.visualizer import MeshPublisher
+        from tracking_sdf_tpu.render.marching_cubes import export_ply, marching_cubes
+
+        interval = 1.0 / (self.config.mesh_hz or 1.0)
+
+        def export(grid):
+            mesh = marching_cubes(grid, params=self.config.grid,
+                                  with_colors=with_colors)
+            export_ply(mesh, path)
+
+        self._publisher = MeshPublisher(export, interval=interval)
+        return self._publisher
 
     # ------------------------------------------------------------------ #
 
@@ -267,6 +289,9 @@ class Reconstruction:
         self.frame_num = frame_num
 
     def close(self) -> None:
+        if self._publisher is not None:
+            self._publisher.close()
+            self._publisher = None
         if self._writer is not None:
             self._writer.close()
             self._writer = None
