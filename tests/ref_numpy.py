@@ -116,6 +116,39 @@ def interpolate_distance(D, W, coords):  # sdf.cpp:127-163
     return sum_d / w_sum, is_interp
 
 
+def interpolate_color(R, G, B, Color_W, coords):  # sdf.cpp:164-217
+    """Returns ((r, g, b) in [0, 1], is_interpolated). R/G/B on the
+    reference's 0..255 scale; output divides by 255 (sdf.cpp:213-216)."""
+    m0, m1, m2 = R.shape
+    i, j, k = coords
+    w_sum = 0.0
+    sr = sg = sb = 0.0
+    is_interp = False
+    for io in range(2):
+        for jo in range(2):
+            for ko in range(2):
+                ci, cj, ck = int(i) + io, int(j) + jo, int(k) + ko
+                vol = abs(ci - i) + abs(cj - j) + abs(ck - k)
+                if ci < 0 or cj < 0 or ck < 0 or ci >= m0 or cj >= m1 or ck >= m2:
+                    continue
+                if Color_W[ci, cj, ck] > 0:
+                    is_interp = True
+                    if vol < 1e-5:
+                        return (
+                            float(R[ci, cj, ck]) / 255.0,
+                            float(G[ci, cj, ck]) / 255.0,
+                            float(B[ci, cj, ck]) / 255.0,
+                        ), True
+                    w = 1.0 / vol
+                    w_sum += w
+                    sr += w * R[ci, cj, ck]
+                    sg += w * G[ci, cj, ck]
+                    sb += w * B[ci, cj, ck]
+    if w_sum == 0.0:
+        return (0.0, 0.0, 0.0), is_interp
+    return (sr / (w_sum * 255.0), sg / (w_sum * 255.0), sb / (w_sum * 255.0)), is_interp
+
+
 # ---------------------------------------------------------------- fusion
 def weighting_ref(d_ref, eps, delta):  # sdf.cpp:276-279 (exponential)
     if eps <= d_ref <= delta:

@@ -67,6 +67,40 @@ def test_shepard_matches_reference_oracle():
             np.testing.assert_allclose(v, v_ref, rtol=1e-4, atol=1e-5)
 
 
+def test_shepard_color_matches_reference_oracle():
+    """shepard_color vs a direct port of SDF::interpolate_color
+    (sdf.cpp:164-217). Our unit-scale colors equal the reference's
+    0..255-scale divided by 255 exactly."""
+    rng = np.random.default_rng(3)
+    m = 8
+    R255 = rng.uniform(0, 255, (m, m, m)).astype(np.float32)
+    G255 = rng.uniform(0, 255, (m, m, m)).astype(np.float32)
+    B255 = rng.uniform(0, 255, (m, m, m)).astype(np.float32)
+    Wc = (rng.random((m, m, m)) > 0.35).astype(np.float32)
+
+    coords = np.concatenate([
+        rng.uniform(-0.8, m - 0.2, (60, 3)),
+        np.floor(rng.uniform(0, m - 1, (20, 3))),  # exact-hit path
+    ]).astype(np.float32)
+
+    from tracking_sdf_tpu.grid.interp import shepard_color
+
+    rgb, valid = shepard_color(
+        jnp.asarray(R255 / 255.0), jnp.asarray(G255 / 255.0),
+        jnp.asarray(B255 / 255.0), jnp.asarray(Wc), jnp.asarray(coords),
+    )
+    rgb = np.asarray(rgb)
+    valid = np.asarray(valid)
+    for n, c in enumerate(coords):
+        (r_ref, g_ref, b_ref), ok_ref = ref_numpy.interpolate_color(
+            R255, G255, B255, Wc, c
+        )
+        assert bool(valid[n]) == ok_ref, c
+        if ok_ref:
+            np.testing.assert_allclose(rgb[n], [r_ref, g_ref, b_ref],
+                                       atol=1e-5, err_msg=str(c))
+
+
 def test_trilinear_exact_on_linear_field():
     # a trilinear interpolant reproduces any linear function exactly
     m = 8

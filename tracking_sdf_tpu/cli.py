@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="append per-frame stats as JSON lines to this file")
     p.add_argument("--native-loader", action="store_true",
                    help="stream frames through the C++ prefetching loader")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() first so "
+                        "jax.devices() spans all hosts; combine with "
+                        "--distributed to shard over the full pod slice")
     return p
 
 
@@ -88,6 +92,9 @@ def main(argv=None) -> int:
         changes["use_groundtruth"] = True
     changes["trajectory_path"] = args.trajectory or None
     cfg = dataclasses.replace(cfg, **changes)
+
+    if args.multihost:
+        jax.distributed.initialize()
 
     mesh = None
     if args.distributed:

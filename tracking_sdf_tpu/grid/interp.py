@@ -178,6 +178,27 @@ def shepard_l1(
     return jnp.where(valid, value, 0.0), valid
 
 
+def shepard_color(
+    R: jnp.ndarray,
+    G: jnp.ndarray,
+    B: jnp.ndarray,
+    Wc: jnp.ndarray,
+    coords: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference-exact color interpolation (SDF::interpolate_color,
+    sdf.cpp:164-217): Shepard inverse-L1 weights over the 8 corners gated on
+    Color_W > 0, exact-hit early return, output normalized by w_sum.
+
+    The reference stores colors 0..255 and divides by 255 on output
+    (sdf.cpp:213-216); this grid stores [0, 1], which scales linearly
+    through the weighted mean, so the per-channel formula reduces to
+    shepard_l1 with Wc as the gate. Returns (rgb (..., 3), valid)."""
+    r, valid = shepard_l1(R, Wc, coords)
+    g, _ = shepard_l1(G, Wc, coords)
+    b, _ = shepard_l1(B, Wc, coords)
+    return jnp.stack([r, g, b], axis=-1), valid
+
+
 def interp_color(
     R: jnp.ndarray,
     G: jnp.ndarray,
