@@ -72,6 +72,51 @@ def build_inputs():
     return cfg, cam, pose_gt, pose_p, pose_m, pts, normals, rgb
 
 
+def _emit(fps):
+    print(json.dumps({
+        "metric": "fused_frames_per_s_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+def _fallback_sequential():
+    """Per-call dispatch measurement — latency-inflated but always completes
+    (the on-device loop's large graph can hit multi-minute remote compiles
+    when the compile tunnel is congested)."""
+    from tracking_sdf_tpu.fusion.brick import fuse_frame_bricked
+    from tracking_sdf_tpu.fusion.fuse import fuse_frame
+    from tracking_sdf_tpu.grid.grid import empty_grid
+    from tracking_sdf_tpu.tracking.gauss_newton import track_frame
+
+    cfg, cam, pose_gt, pose_p, pose_m, pts, normals, rgb = build_inputs()
+    params, tcfg = cfg.grid, cfg.tracking
+    fcfg = cfg.fusion._replace(mode="bricked")
+    stride = tcfg.pixel_stride
+    pts_track = pts[::stride, ::stride].reshape(-1, 3)
+
+    @jax.jit
+    def frame(grid, p0):
+        res = track_frame(grid, p0, pts_track, params=params, cfg=tcfg)
+        grid, _ = fuse_frame_bricked(
+            grid, res.pose, pts, normals, rgb, params=params, cam=cam,
+            cfg=fcfg, bs=fcfg.brick_shape, cap=fcfg.brick_cap)
+        return grid
+
+    grid = empty_grid(params)
+    grid = fuse_frame(grid, pose_gt, pts, normals, rgb,
+                      params=params, cam=cam, cfg=cfg.fusion)
+    grid = frame(grid, pose_p)
+    jax.block_until_ready(grid.D)
+    n = 20
+    t0 = time.perf_counter()
+    for k in range(n):
+        grid = frame(grid, pose_p if k % 2 == 0 else pose_m)
+    jax.block_until_ready(grid.D)
+    _emit(n / (time.perf_counter() - t0))
+
+
 def main():
     from tracking_sdf_tpu.fusion.brick import fuse_frame_bricked
     from tracking_sdf_tpu.fusion.fuse import fuse_frame
@@ -115,12 +160,7 @@ def main():
         best_dt = min(best_dt, (time.perf_counter() - t0) / K)
 
     fps = 1.0 / best_dt
-    print(json.dumps({
-        "metric": "fused_frames_per_s_per_chip",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+    _emit(fps)
     d = jax.devices()[0]
     print(
         f"# {d.platform}:{d.device_kind} m={params.m} K={K} on-device loop, "
@@ -131,4 +171,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import signal
+
+    def _on_timeout(signum, frame):
+        raise TimeoutError("bench main path exceeded budget")
+
+    signal.signal(signal.SIGALRM, _on_timeout)
+    signal.alarm(int(float(__import__("os").environ.get("BENCH_BUDGET_S", "480"))))
+    try:
+        main()
+        signal.alarm(0)
+    except Exception as e:
+        signal.alarm(300)
+        print(f"# main bench path failed ({type(e).__name__}: {e}); "
+              f"falling back to sequential dispatch", file=sys.stderr)
+        _fallback_sequential()
+        signal.alarm(0)

@@ -73,6 +73,34 @@ def test_pyramid_converges_and_uses_levels():
     assert int(per_level[-1].iterations) <= int(per_level[0].iterations) + 5
 
 
+def test_frame_skip_robustness_with_pyramid():
+    """Paper §V-D: the tracker survives processing only every k-th frame
+    (3x the inter-frame motion). The pyramid's coarse levels supply the
+    wide convergence basin that fixed-stride GN lacks."""
+    def orbit(n):
+        out = []
+        for i in range(n):
+            a = 0.10 * np.sin(2 * np.pi * i / n)
+            out.append(look_at((0.45 * np.sin(a), -1.45, 0.25), (0.0, 0.0, 0.0)))
+        return out
+
+    poses = orbit(12)[::3]  # every 3rd frame
+    cfg = PipelineConfig(
+        grid=PARAMS,
+        tracking=TrackingConfig(max_iterations=20, pixel_stride=1),
+        pyramid_levels=(4, 2, 1),
+        trajectory_path=None,
+        bilateral_filter=False,
+    )
+    recon = Reconstruction(CAM, cfg, initial_pose=poses[0])
+    for i, p in enumerate(poses):
+        depth = render_scene_depth(SCENE, CAM, p)
+        recon.process_frame(depth, timestamp=float(i))
+    t_err, r_err = _err(recon.pose, poses[-1])
+    assert t_err < 0.05, t_err
+    assert r_err < 0.06, r_err
+
+
 def test_checkpoint_resume_bitwise_continuation(tmp_path):
     def orbit(n):
         out = []

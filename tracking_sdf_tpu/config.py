@@ -103,10 +103,15 @@ class FusionConfig(NamedTuple):
     fuse_color: bool = True
     max_weight: Optional[float] = None  # optional running-weight clamp (ref: none)
     mode: str = "dense"
-    brick_shape: Tuple[int, int, int] = (8, 8, 32)
-    brick_cap: int = 2048
-    # merge tail for mode="bricked": "xla" (scatter + dense merge) or
-    # "pallas" (in-place active-brick kernel; fastest on TPU)
+    # (1, 8, 128): best measured shape at 256^3 — bk=128 satisfies the TPU
+    # (8,128) tile rule (enabling the pallas merge) and makes scatter rows
+    # fat; bi=1 keeps classification granularity fine. Requires m >= 128;
+    # use e.g. (8, 8, 16) for small test grids.
+    brick_shape: Tuple[int, int, int] = (1, 8, 128)
+    brick_cap: int = 6144
+    # merge tail for mode="bricked": "xla" (scatter + dense merge; fastest
+    # measured) or "pallas" (in-place active-brick kernel — correct on TPU
+    # but currently per-step-overhead-bound at small bricks)
     brick_merge: str = "xla"
     brick_cap_active: int = 0  # 0 = auto (4 * brick_cap)
 
@@ -150,12 +155,14 @@ def preset(name: str) -> PipelineConfig:
         # 10-frame TUM clip, 128^3.
         "tum128": PipelineConfig(grid=GridParams(m=128)),
         # Full fr1/plant, 256^3 (reference's own configuration).
-        "tum256": PipelineConfig(grid=GridParams(m=256)),
+        "tum256": PipelineConfig(
+            grid=GridParams(m=256),
+            fusion=FusionConfig(mode="bricked"),
+        ),
         # 512^3 bricked grid + pyramid + device-side marching cubes.
         "tum512": PipelineConfig(
             grid=GridParams(m=512),
-            fusion=FusionConfig(mode="bricked", brick_shape=(8, 8, 32),
-                                brick_cap=8192),
+            fusion=FusionConfig(mode="bricked", brick_cap=24576),
             pyramid_levels=(4, 2, 1),
         ),
     }
