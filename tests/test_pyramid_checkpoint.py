@@ -159,6 +159,31 @@ def test_async_mesh_publisher(tmp_path):
     assert os.path.getsize(mesh_path) > 500
 
 
+def test_tracking_failure_gate_drops_bad_frames():
+    """A garbage frame (all-NaN depth) must not move the pose or touch the
+    grid; the next good frame recovers (reference has no such guard)."""
+    cfg = PipelineConfig(grid=PARAMS, tracking=TrackingConfig(),
+                         trajectory_path=None, bilateral_filter=False)
+    recon = Reconstruction(CAM, cfg, initial_pose=TRUE_POSE)
+    depth = render_scene_depth(SCENE, CAM, TRUE_POSE)
+    recon.process_frame(depth, timestamp=0.0)
+    W_before = np.asarray(recon.grid.W).sum()
+    pose_before = np.asarray(recon.pose.t).copy()
+
+    bad = jnp.full_like(jnp.asarray(depth), jnp.nan)
+    stat = recon.process_frame(bad, timestamp=1.0)
+    assert stat.rejected
+    np.testing.assert_array_equal(np.asarray(recon.pose.t), pose_before)
+    assert np.asarray(recon.grid.W).sum() == W_before
+
+    stat = recon.process_frame(depth, timestamp=2.0)
+    assert not stat.rejected
+    assert np.asarray(recon.grid.W).sum() > W_before
+    # single-view fused model has a measured ~5-9 mm optimum offset
+    t_err, r_err = _err(recon.pose, TRUE_POSE)
+    assert t_err < 0.02 and r_err < 0.02
+
+
 def test_runner_bricked_fusion_mode():
     cfg = PipelineConfig(
         grid=PARAMS,

@@ -142,6 +142,13 @@ class PipelineConfig:
     # coarse-to-fine pyramid: extra decimation factors (coarsest first,
     # ending at 1) multiplied onto tracking.pixel_stride; None = single level
     pyramid_levels: Optional[Tuple[int, ...]] = None
+    # Tracking-failure detection (reference: none — a diverged pose fuses
+    # garbage into the grid, sdf_reconstruction.cpp:69-74). A frame whose
+    # track ends with fewer valid pixels or a larger mean |residual| than
+    # these gates is REJECTED: the pose reverts to the previous frame's and
+    # fusion is skipped (mirroring the tf-timeout drop path, :57-60).
+    min_valid_pixels: int = 50
+    max_mean_residual: float = 0.25  # meters; <=0 disables the gate
 
 
 def preset(name: str) -> PipelineConfig:

@@ -48,6 +48,7 @@ class FrameStats:
     gn_iterations: int
     num_valid: int
     mean_abs_residual: float
+    rejected: bool = False  # tracking-failure gate fired; frame dropped
 
 
 class Reconstruction:
@@ -123,6 +124,7 @@ class Reconstruction:
         )
 
         gn_iters, nvalid, mean_res = 0, 0, 0.0
+        rejected = False
         t0 = time.perf_counter()
         if cfg.use_groundtruth and gt_pose is not None:
             # fusion-only oracle mode (sdf_reconstruction.cpp:51-66)
@@ -145,28 +147,36 @@ class Reconstruction:
                     params=cfg.grid, cfg=cfg.tracking,
                 )
             jax.block_until_ready(res.pose.t)
-            self.pose = res.pose
             gn_iters = int(res.iterations)
             nvalid = int(res.num_valid)
             mean_res = float(res.mean_abs_residual)
+            # failure gate: a diverged/starved track must not poison the
+            # grid — revert the pose and drop the frame (like the
+            # reference's tf-timeout path, sdf_reconstruction.cpp:57-60)
+            rejected = nvalid < cfg.min_valid_pixels or (
+                cfg.max_mean_residual > 0 and mean_res > cfg.max_mean_residual
+            ) or not bool(jnp.all(jnp.isfinite(res.pose.t)))
+            if not rejected:
+                self.pose = res.pose
         track_ms = (time.perf_counter() - t0) * 1e3
 
-        if self._writer is not None:
+        if self._writer is not None and not rejected:
             self._writer.write(timestamp, self.pose)
 
         t0 = time.perf_counter()
-        rgb_j = jnp.asarray(rgb) if rgb is not None else None
-        self.grid = self._fuse(self.grid, self.pose, points, normals, rgb_j)
-        jax.block_until_ready(self.grid.D)
+        if not rejected:
+            rgb_j = jnp.asarray(rgb) if rgb is not None else None
+            self.grid = self._fuse(self.grid, self.pose, points, normals, rgb_j)
+            jax.block_until_ready(self.grid.D)
         fuse_ms = (time.perf_counter() - t0) * 1e3
 
-        if self._publisher is not None:
+        if self._publisher is not None and not rejected:
             self._publisher.publish(self.grid)
 
         stat = FrameStats(
             index=self.frame_num, timestamp=timestamp, track_ms=track_ms,
             fuse_ms=fuse_ms, gn_iterations=gn_iters, num_valid=nvalid,
-            mean_abs_residual=mean_res,
+            mean_abs_residual=mean_res, rejected=rejected,
         )
         self.stats.append(stat)
         return stat
