@@ -105,8 +105,26 @@ def test_marching_cubes_respects_weight_gate():
 def test_export_ply(tmp_path):
     grid = grid_from_scene(PARAMS, SCENE)
     mesh = marching_cubes(grid, params=PARAMS, with_colors=True)
+    n_v = mesh.num_triangles * 3
+
+    # binary (default): header + exact payload size + vertex roundtrip
     path = str(tmp_path / "sphere.ply")
     export_ply(mesh, path)
-    head = open(path).read(400)
-    assert head.startswith("ply")
+    raw = open(path, "rb").read()
+    head, _, body = raw.partition(b"end_header\n")
+    head = head.decode()
+    assert head.startswith("ply") and "binary_little_endian" in head
     assert f"element face {mesh.num_triangles}" in head
+    vert_bytes = n_v * (12 + 3)  # xyz f32 + rgb u8
+    face_bytes = mesh.num_triangles * (1 + 12)
+    assert len(body) == vert_bytes + face_bytes
+    rec = np.frombuffer(body[:vert_bytes],
+                        dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
+    np.testing.assert_allclose(rec["xyz"].reshape(-1, 3, 3),
+                               mesh.vertices, atol=1e-6)
+
+    # ascii variant still available
+    path2 = str(tmp_path / "sphere_ascii.ply")
+    export_ply(mesh, path2, binary=False)
+    head2 = open(path2).read(400)
+    assert "format ascii" in head2

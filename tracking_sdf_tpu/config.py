@@ -169,7 +169,8 @@ def preset(name: str) -> PipelineConfig:
         # 512^3 bricked grid + pyramid + device-side marching cubes.
         "tum512": PipelineConfig(
             grid=GridParams(m=512),
-            fusion=FusionConfig(mode="bricked", brick_cap=24576),
+            # measured n_full ~28k bricks at 512^3 on a full-FOV scene
+            fusion=FusionConfig(mode="bricked", brick_cap=32768),
             pyramid_levels=(4, 2, 1),
         ),
     }

@@ -213,12 +213,46 @@ def marching_cubes(
     return Mesh(tri.astype(np.float32), colors)
 
 
-def export_ply(mesh: Mesh, path: str) -> None:
-    """Binary-less ASCII PLY export (colored if the mesh has colors)."""
+def export_ply(mesh: Mesh, path: str, binary: bool = True) -> None:
+    """PLY export (colored if the mesh has colors).
+
+    Binary by default: vectorized numpy serialization handles million-
+    triangle 512^3 meshes in well under a second (the ASCII Python loop took
+    ~tens of seconds and 5x the bytes)."""
     t = mesh.vertices
     n_v = t.shape[0] * 3
     n_f = t.shape[0]
     has_c = mesh.colors is not None
+    verts = np.ascontiguousarray(t.reshape(-1, 3), dtype="<f4")
+    if has_c:
+        cols = np.clip(mesh.colors.reshape(-1, 3) * 255.0, 0, 255).astype(np.uint8)
+
+    if binary:
+        with open(path, "wb") as f:
+            hdr = ["ply", "format binary_little_endian 1.0",
+                   f"element vertex {n_v}",
+                   "property float x", "property float y", "property float z"]
+            if has_c:
+                hdr += ["property uchar red", "property uchar green",
+                        "property uchar blue"]
+            hdr += [f"element face {n_f}",
+                    "property list uchar int vertex_indices", "end_header"]
+            f.write(("\n".join(hdr) + "\n").encode())
+            if has_c:
+                rec = np.zeros(n_v, dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
+                rec["xyz"] = verts
+                rec["rgb"] = cols
+            else:
+                rec = np.zeros(n_v, dtype=[("xyz", "<f4", 3)])
+                rec["xyz"] = verts
+            rec.tofile(f)
+            idx = np.arange(3 * n_f, dtype="<i4").reshape(n_f, 3)
+            faces = np.zeros(n_f, dtype=[("n", "u1"), ("idx", "<i4", 3)])
+            faces["n"] = 3
+            faces["idx"] = idx
+            faces.tofile(f)
+        return
+
     with open(path, "w") as f:
         f.write("ply\nformat ascii 1.0\n")
         f.write(f"element vertex {n_v}\n")
@@ -227,9 +261,7 @@ def export_ply(mesh: Mesh, path: str) -> None:
             f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
         f.write(f"element face {n_f}\n")
         f.write("property list uchar int vertex_indices\nend_header\n")
-        verts = t.reshape(-1, 3)
         if has_c:
-            cols = np.clip(mesh.colors.reshape(-1, 3) * 255.0, 0, 255).astype(np.uint8)
             for v, c in zip(verts, cols):
                 f.write(f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f} {c[0]} {c[1]} {c[2]}\n")
         else:
