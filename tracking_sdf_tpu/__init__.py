@@ -25,5 +25,26 @@ from tracking_sdf_tpu.config import (
     GridParams,
     TrackingConfig,
     FusionConfig,
+    RaycastConfig,
     PipelineConfig,
+    preset,
 )
+
+# Lazy submodule access keeps `import tracking_sdf_tpu` light; the heavy
+# modules (jax tracing caches etc.) load on first touch.
+_SUBMODULES = (
+    "core", "grid", "fusion", "tracking", "render",
+    "parallel", "pipeline", "data", "utils",
+)
+
+
+def __getattr__(name):
+    if name in _SUBMODULES:
+        import importlib
+
+        return importlib.import_module(f"tracking_sdf_tpu.{name}")
+    raise AttributeError(f"module 'tracking_sdf_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals().keys()) + list(_SUBMODULES))

@@ -37,7 +37,7 @@ from tracking_sdf_tpu.core.camera import PinholeCamera
 from tracking_sdf_tpu.core.lie import Pose
 from tracking_sdf_tpu.fusion.fuse import fuse_voxels, pixel_channels
 from tracking_sdf_tpu.grid.grid import TSDFGrid, world_to_voxel
-from tracking_sdf_tpu.grid.interp import trilinear_with_grad
+from tracking_sdf_tpu.grid.interp import masked_view, trilinear_with_grad_nan
 from tracking_sdf_tpu.tracking.gauss_newton import (
     TrackResult,
     _apply_update,
@@ -68,8 +68,7 @@ def _halo_plane(slab: jnp.ndarray, axis_name: str, zero_last: bool):
 
 
 def _owned_residuals(
-    D_ext: jnp.ndarray,  # (slab+1, m, m) with halo plane appended
-    W_ext: jnp.ndarray,
+    Dm_ext: jnp.ndarray,  # masked_view of the (slab+1, m, m) haloed slab
     pose: Pose,
     points_cam: jnp.ndarray,  # (N, 3) replicated
     i0: jnp.ndarray,  # () global i of this slab's first plane
@@ -90,7 +89,7 @@ def _owned_residuals(
     uvw_local = uvw - jnp.stack(
         [i0.astype(uvw.dtype), jnp.zeros_like(i0, uvw.dtype), jnp.zeros_like(i0, uvw.dtype)]
     )
-    phi, g_uvw, ok = trilinear_with_grad(D_ext, W_ext, uvw_local)
+    phi, g_uvw, ok = trilinear_with_grad_nan(Dm_ext, uvw_local)
     scale = jnp.asarray(
         [params.m / params.width, params.m / params.height, params.m / params.depth],
         dtype=g_uvw.dtype,
@@ -124,6 +123,7 @@ def sharded_track_frame(
         i0 = lax.axis_index("d") * slab
         D_ext = jnp.concatenate([D_slab, _halo_plane(D_slab, "d", False)], axis=0)
         W_ext = jnp.concatenate([W_slab, _halo_plane(W_slab, "d", True)], axis=0)
+        Dm_ext = masked_view(D_ext, W_ext)  # one gather per query in the loop
 
         def converged(twist):
             if cfg.convergence == "norm":
@@ -137,7 +137,7 @@ def sharded_track_frame(
         def body(state):
             i, pose_c, _, _, _, _ = state
             phi, J, mask = _owned_residuals(
-                D_ext, W_ext, pose_c, points_cam, i0, slab, params
+                Dm_ext, pose_c, points_cam, i0, slab, params
             )
             A, b = normal_equations(phi, J, mask)
             nvalid = jnp.sum(mask.astype(jnp.int32))

@@ -88,8 +88,15 @@ def raycast(
         phi, ok = trilinear(grid.D, grid.W, uvw)
         return phi, ok
 
-    def body(_, state):
-        t, hit, alive, steps = state
+    def cond(state):
+        k, t, hit, alive, steps = state
+        # stop as soon as every ray hit or left the volume — typical scenes
+        # finish in ~1/3 of max_steps, and each saved step saves a full
+        # all-rays grid gather
+        return (k < cfg.max_steps) & jnp.any(alive)
+
+    def body(state):
+        k, t, hit, alive, steps = state
         phi, ok = sample(t)
         hit_now = alive & ok & (jnp.abs(phi) < cfg.hit_epsilon)
         step = jnp.where(ok, phi * cfg.step_scale, cfg.miss_step)
@@ -100,6 +107,7 @@ def raycast(
         t_new = jnp.maximum(t_new, t_start)
         out_of_volume = t_new > t_stop
         return (
+            k + 1,
             t_new,
             hit | hit_now,
             alive & ~hit_now & ~out_of_volume,
@@ -108,8 +116,8 @@ def raycast(
 
     hit0 = jnp.zeros(t_start.shape, dtype=bool)
     steps0 = jnp.zeros(t_start.shape, dtype=jnp.int32)
-    t_m, hit, _, steps = jax.lax.fori_loop(
-        0, cfg.max_steps, body, (t_start, hit0, alive0 & True, steps0)
+    _, t_m, hit, _, steps = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t_start, hit0, alive0 & True, steps0)
     )
     t_m = jax.lax.stop_gradient(t_m)
 
