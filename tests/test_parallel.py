@@ -86,6 +86,28 @@ def test_sharded_fusion_matches_dense(mesh, frame):
 TSDF_FIELDS = ("D", "W", "R", "G", "B", "Wc")
 
 
+def test_sharded_bricked_fusion_matches_dense(mesh, frame):
+    """Per-slab brick classification + compaction (i_offset path) must equal
+    the dense fusion's geometry exactly — the brick-sharded fusion of the
+    BASELINE north star, zero collectives."""
+    from tracking_sdf_tpu.parallel import sharded_fuse_frame_bricked
+
+    pts, normals, rgb = frame
+    cfg = FusionConfig(fuse_color=False, brick_shape=(1, 8, 16))
+    g_dense = fuse_frame(empty_grid(PARAMS), TRUE_POSE, pts, normals, None,
+                         params=PARAMS, cam=CAM, cfg=cfg)
+    fuse_sh = sharded_fuse_frame_bricked(
+        mesh, params=PARAMS, cam=CAM, cfg=cfg, cap=224)
+    g_sh, stats = fuse_sh(shard_grid(empty_grid(PARAMS), mesh),
+                          TRUE_POSE, pts, normals)
+    assert int(stats.overflow) == 0
+    assert int(stats.n_full) > 0
+    np.testing.assert_allclose(np.asarray(g_sh.W), np.asarray(g_dense.W),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_sh.D), np.asarray(g_dense.D),
+                               atol=1e-5)
+
+
 def test_sharded_tracking_matches_dense(mesh):
     grid = grid_from_scene(PARAMS, SCENE)
     depth = render_scene_depth(SCENE, CAM, TRUE_POSE)

@@ -149,27 +149,30 @@ def _query_zeta(flat, offsets, dims, u0, u1, v0, v1):
     return jnp.min(vals, axis=0).reshape(u0.shape)
 
 
-def _brick_corners_cam(params, pose, bs, dtype):
+def _brick_corners_cam(params, pose, bs, dtype, nbi, i_offset):
     """Camera coords of every brick's 8 voxel-CENTER-hull corners.
 
-    Returns (px, py, pz) each (NBi, NBj, NBk, 8). Voxel centers of brick b
+    Returns (px, py, pz) each (nbi, NBj, NBk, 8). Voxel centers of brick b
     span [b*B + 0.5, b*B + B - 0.5] in continuous voxel units; pz is affine
     in the voxel index so corner extrema bound the interior exactly, and
     with all corners in front the (u, v) hull bound is exact too.
+
+    ``nbi``/``i_offset`` support SLAB grids (SPMD): the local slab's bricks
+    start at global voxel i = i_offset (may be traced).
     """
     bi, bj, bk = bs
     m = params.m
-    nbi, nbj, nbk = m // bi, m // bj, m // bk
+    nbj, nbk = m // bj, m // bk
     Rt = pose.R.T
     t = pose.t
 
-    def axis_world(nb, b, extent, origin):
-        idx = jnp.arange(nb, dtype=dtype) * b
+    def axis_world(nb, b, extent, origin, off=0):
+        idx = jnp.arange(nb, dtype=dtype) * b + jnp.asarray(off, dtype)
         lo = (extent / m) * (idx + 0.5) + origin
         hi = (extent / m) * (idx + b - 0.5) + origin
         return lo, hi
 
-    xlo, xhi = axis_world(nbi, bi, params.width, params.origin[0])
+    xlo, xhi = axis_world(nbi, bi, params.width, params.origin[0], i_offset)
     ylo, yhi = axis_world(nbj, bj, params.height, params.origin[1])
     zlo, zhi = axis_world(nbk, bk, params.depth, params.origin[2])
 
@@ -211,6 +214,7 @@ def fuse_frame_bricked(
     merge: str = "xla",
     cap_act: Optional[int] = None,
     interpret: bool = False,
+    i_offset=0,  # global voxel-i of grid.D[0] — traced OK (SPMD slabs)
 ) -> Tuple[TSDFGrid, FuseStats]:
     """Brick-compacted fusion; exact dense semantics for geometry, color in
     surface-band bricks only. Returns (grid, FuseStats).
@@ -223,10 +227,11 @@ def fuse_frame_bricked(
     dtype = grid.D.dtype
     h, w_img = points_cam.shape[:2]
     m = params.m
+    mi = grid.D.shape[0]  # slab extent along i (== m unless sharded)
     bi, bj, bk = bs
-    if m % bi or m % bj or m % bk:
-        raise ValueError(f"grid m={m} not divisible by brick {bs}")
-    nbi, nbj, nbk = m // bi, m // bj, m // bk
+    if mi % bi or m % bj or m % bk:
+        raise ValueError(f"grid slab {grid.D.shape} not divisible by brick {bs}")
+    nbi, nbj, nbk = mi // bi, m // bj, m // bk
     NB = nbi * nbj * nbk
     fuse_color = cfg.fuse_color and rgb is not None
 
@@ -256,7 +261,7 @@ def fuse_frame_bricked(
     zflat, zoffs, zdims = _zeta_mip(points_cam, normals_cam, cam, params.delta, dtype)
 
     # ---- brick classification ---------------------------------------------
-    cx_, cy_, cz_ = _brick_corners_cam(params, pose, bs, dtype)  # (...,8)
+    cx_, cy_, cz_ = _brick_corners_cam(params, pose, bs, dtype, nbi, i_offset)
     pz_min = cz_.min(-1)
     pz_max = cz_.max(-1)
     all_front = pz_min > 0
@@ -301,7 +306,7 @@ def fuse_frame_bricked(
     K = vk[:, None, None, :]
 
     ox, oy, oz = params.origin
-    X = (params.width / m) * (I.astype(dtype) + 0.5) + ox
+    X = (params.width / m) * (I.astype(dtype) + jnp.asarray(i_offset, dtype) + 0.5) + ox
     Y = (params.height / m) * (J.astype(dtype) + 0.5) + oy
     Z = (params.depth / m) * (K.astype(dtype) + 0.5) + oz
     Rt = pose.R.T
@@ -387,7 +392,7 @@ def fuse_frame_bricked(
     # dense flat index ordered (i, j, k); k-runs of bk are contiguous rows.
     # Padded/dropped bricks get DISTINCT out-of-bounds rows so the
     # unique_indices promise stays true; mode="drop" discards them.
-    NR = m * m * m // bk
+    NR = mi * m * m // bk
     run_row = (vi[:, :, None] * m + vj[:, None, :]) * (m // bk) + fbk[:, None, None]
     oob = NR + jnp.arange(cap * bi * bj, dtype=jnp.int32).reshape(cap, bi, bj)
     run_row = jnp.where(valid_brick[:, None, None], run_row, oob)
@@ -402,7 +407,7 @@ def fuse_frame_bricked(
     cls = brick_class.reshape(nbi, 1, nbj, 1, nbk, 1)
     Dv = grid.D.reshape(nbi, bi, nbj, bj, nbk, bk)
     Wv = grid.W.reshape(nbi, bi, nbj, bj, nbk, bk)
-    accv = acc.reshape(m, m, m // bk, bk, C).reshape(m, m, m, C)
+    accv = acc.reshape(mi, m, m // bk, bk, C).reshape(mi, m, m, C)
     accv = accv.reshape(nbi, bi, nbj, bj, nbk, bk, C)
 
     is_free = cls == 1
@@ -415,8 +420,8 @@ def fuse_frame_bricked(
         W_new = jnp.minimum(W_new, cfg.max_weight)
     has = w_add > 0
     D_new = jnp.where(has, (Wv * Dv + wd_add) / jnp.where(has, W_new, 1.0), Dv)
-    D_out = D_new.reshape(m, m, m)
-    W_out = W_new.reshape(m, m, m)
+    D_out = D_new.reshape(mi, m, m)
+    W_out = W_new.reshape(mi, m, m)
 
     if fuse_color:
         Rv = grid.R.reshape(nbi, bi, nbj, bj, nbk, bk)
@@ -432,8 +437,8 @@ def fuse_frame_bricked(
         R_new = jnp.where(has_c, (Wcv * Rv + accv[..., 3]) / safe, Rv)
         G_new = jnp.where(has_c, (Wcv * Gv + accv[..., 4]) / safe, Gv)
         B_new = jnp.where(has_c, (Wcv * Bv + accv[..., 5]) / safe, Bv)
-        R_out, G_out, B_out = (a.reshape(m, m, m) for a in (R_new, G_new, B_new))
-        Wc_out = Wc_new.reshape(m, m, m)
+        R_out, G_out, B_out = (a.reshape(mi, m, m) for a in (R_new, G_new, B_new))
+        Wc_out = Wc_new.reshape(mi, m, m)
     else:
         R_out, G_out, B_out, Wc_out = grid.R, grid.G, grid.B, grid.Wc
 

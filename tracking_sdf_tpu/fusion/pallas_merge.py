@@ -106,8 +106,7 @@ def merge_active_bricks(
 ) -> TSDFGrid:
     """Apply FREE/FULL brick updates to the grid in place (donated)."""
     BI, BJ, BK = bs
-    m = grid.D.shape[0]
-    nbj, nbk = m // BJ, m // BK
+    nbj, nbk = grid.D.shape[1] // BJ, grid.D.shape[2] // BK
 
     def grid_map(i, bid_ref, cls_ref, slot_ref):
         b = bid_ref[i]

@@ -17,6 +17,7 @@ from tracking_sdf_tpu.parallel.mesh import (
 )
 from tracking_sdf_tpu.parallel.sharded import (
     sharded_fuse_frame,
+    sharded_fuse_frame_bricked,
     sharded_track_frame,
     make_sharded_step,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "shard_grid",
     "MeshAxes",
     "sharded_fuse_frame",
+    "sharded_fuse_frame_bricked",
     "sharded_track_frame",
     "make_sharded_step",
 ]

@@ -216,6 +216,67 @@ def sharded_fuse_frame(
     return fn
 
 
+def sharded_fuse_frame_bricked(
+    mesh: Mesh,
+    *,
+    params: GridParams,
+    cam: PinholeCamera,
+    cfg: FusionConfig = FusionConfig(),
+    bs=None,
+    cap: Optional[int] = None,
+):
+    """SPMD brick-compacted fusion: each slab classifies and compacts ITS
+    OWN bricks (fuse_frame_bricked with a per-shard i_offset) — the
+    brick-sharded fusion of the BASELINE north star ("fusion
+    scatter-updates are resolved per-shard"), still with zero collectives.
+
+    `cap` is PER SHARD (default: brick_cap / n_devices, min 256). Returns
+    fn(grid, pose, points, normals, rgb) -> (grid, FuseStats summed over
+    shards)."""
+    from tracking_sdf_tpu.fusion.brick import FuseStats, fuse_frame_bricked
+
+    n_dev = mesh.devices.size
+    if params.m % n_dev != 0:
+        raise ValueError(f"grid m={params.m} not divisible by mesh size {n_dev}")
+    slab = params.m // n_dev
+    bs = bs if bs is not None else cfg.brick_shape
+    if slab % bs[0]:
+        raise ValueError(f"slab {slab} not divisible by brick i-extent {bs[0]}")
+    cap = cap if cap is not None else max(256, cfg.brick_cap // n_dev)
+
+    use_color = cfg.fuse_color
+
+    def local_fuse(grid_slab: TSDFGrid, pose, points, normals, rgb):
+        i0 = lax.axis_index("d") * slab
+        grid_new, stats = fuse_frame_bricked(
+            grid_slab, pose, points, normals, rgb if use_color else None,
+            params=params, cam=cam, cfg=cfg, bs=bs, cap=cap,
+            merge="xla", i_offset=i0,
+        )
+        stats = FuseStats(*(lax.psum(s, "d") for s in stats))
+        return grid_new, stats
+
+    gspec = _grid_specs()
+    sspec = FuseStats(P(), P(), P(), P())
+    shmapped = jax.shard_map(
+        local_fuse,
+        mesh=mesh,
+        in_specs=(gspec, Pose(P(), P()), P(), P(), P()),
+        out_specs=(gspec, sspec),
+        check_vma=False,
+    )
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def fn(grid, pose, points_cam, normals_cam, rgb=None):
+        if use_color and rgb is None:
+            raise ValueError("cfg.fuse_color=True but rgb is None")
+        if rgb is None:  # unused placeholder (specs are positional arrays)
+            rgb = jnp.zeros(points_cam.shape[:2] + (3,), grid.D.dtype)
+        return shmapped(grid, pose, points_cam, normals_cam, rgb)
+
+    return fn
+
+
 def make_sharded_step(
     mesh: Mesh,
     *,

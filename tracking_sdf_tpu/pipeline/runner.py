@@ -73,12 +73,29 @@ class Reconstruction:
         )
         self._mesh = mesh
         if mesh is not None:
-            from tracking_sdf_tpu.parallel import shard_grid, sharded_fuse_frame, sharded_track_frame
+            from tracking_sdf_tpu.parallel import (
+                shard_grid,
+                sharded_fuse_frame,
+                sharded_fuse_frame_bricked,
+                sharded_track_frame,
+            )
 
             self.grid: TSDFGrid = shard_grid(empty_grid(config.grid), mesh)
-            self._fuse = sharded_fuse_frame(
-                mesh, params=config.grid, cam=cam, cfg=config.fusion
-            )
+            if config.fusion.mode == "bricked":
+                fuse_b = sharded_fuse_frame_bricked(
+                    mesh, params=config.grid, cam=cam, cfg=config.fusion
+                )
+
+                def fuse(grid, pose, pts, normals, rgb):
+                    grid, stats = fuse_b(grid, pose, pts, normals, rgb)
+                    self.last_fuse_stats = stats
+                    return grid
+
+                self._fuse = fuse
+            else:
+                self._fuse = sharded_fuse_frame(
+                    mesh, params=config.grid, cam=cam, cfg=config.fusion
+                )
             self._track = sharded_track_frame(
                 mesh, params=config.grid, cfg=config.tracking
             )
