@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trajectory", default="trajectory.txt",
                    help="output TUM trajectory path ('' disables)")
     p.add_argument("--mesh", help="export marching-cubes PLY to this path at the end")
+    p.add_argument("--render",
+                   help="raycast the final model from the last pose and save "
+                        "a depth|normals|color PNG panel to this path")
     p.add_argument("--mesh-every", type=int, default=0,
                    help="also export every N frames (reference meshes at 1 Hz)")
     p.add_argument("--eval", action="store_true",
@@ -144,6 +147,12 @@ def main(argv=None) -> int:
         if args.mesh:
             n_tri = recon.export_mesh(args.mesh)
             print(f"mesh: {n_tri} triangles -> {args.mesh}", file=sys.stderr)
+        if args.render:
+            from tracking_sdf_tpu.render.image_io import save_render_png
+
+            save_render_png(recon.render(with_color=not args.no_color),
+                            args.render)
+            print(f"render -> {args.render}", file=sys.stderr)
     finally:
         if profile_cm is not None:
             profile_cm.__exit__(None, None, None)

@@ -119,12 +119,18 @@ class FusionConfig(NamedTuple):
 class RaycastConfig(NamedTuple):
     """Sphere-tracing raycaster (new capability vs the reference)."""
 
-    max_steps: int = 96
+    # 64 covers the worst miss-ray (7 m volume diagonal at delta/2 = 0.15 m
+    # auto miss steps) with margin; each step costs a full all-rays gather
+    max_steps: int = 64
     hit_epsilon: float = 1e-3  # meters
     step_scale: float = 0.9
     t_near: float = 0.1
     t_far: float = 10.0
-    miss_step: float = 0.04  # step (m) through unobserved space
+    # step (m) through UNOBSERVED space; 0 = auto (delta/2 — cannot tunnel
+    # through an observed band, which is >= 2*delta thick along the ray).
+    # The old fixed 0.04 m default made rays outside the observed frustum
+    # crawl for the full max_steps budget.
+    miss_step: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

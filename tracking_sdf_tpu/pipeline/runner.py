@@ -104,15 +104,31 @@ class Reconstruction:
             if config.fusion.mode == "bricked":
                 from tracking_sdf_tpu.fusion.brick import fuse_frame_bricked
 
+                # Adaptive cap: gather/scatter cost scales with the PADDED
+                # cap, so pick the smallest of three jit-cached levels that
+                # covers ~1.3x the previous frame's FULL-brick count
+                # (scenes change slowly; overflow is reported and escalates
+                # the next frame).
+                cap_max = config.fusion.brick_cap
+                self._cap_levels = sorted({max(256, cap_max // 4),
+                                           max(256, cap_max // 2), cap_max})
+                self._cap_idx = len(self._cap_levels) - 1
+
                 def fuse(grid, pose, pts, normals, rgb):
+                    cap = self._cap_levels[self._cap_idx]
                     grid, stats = fuse_frame_bricked(
                         grid, pose, pts, normals, rgb,
                         params=config.grid, cam=cam, cfg=config.fusion,
-                        bs=config.fusion.brick_shape, cap=config.fusion.brick_cap,
+                        bs=config.fusion.brick_shape, cap=cap,
                         merge=config.fusion.brick_merge,
                         cap_act=config.fusion.brick_cap_active or None,
                     )
                     self.last_fuse_stats = stats
+                    need = int(stats.n_full) * 1.3
+                    self._cap_idx = next(
+                        (i for i, c in enumerate(self._cap_levels) if c >= need),
+                        len(self._cap_levels) - 1,
+                    )
                     return grid
 
                 self._fuse = fuse

@@ -32,7 +32,12 @@ from tracking_sdf_tpu.config import GridParams, RaycastConfig
 from tracking_sdf_tpu.core.camera import PinholeCamera, pixel_rays
 from tracking_sdf_tpu.core.lie import Pose
 from tracking_sdf_tpu.grid.grid import TSDFGrid, world_to_voxel
-from tracking_sdf_tpu.grid.interp import interp_color, trilinear, trilinear_with_grad
+from tracking_sdf_tpu.grid.interp import (
+    interp_color,
+    masked_view,
+    trilinear_with_grad,
+    trilinear_with_grad_nan,
+)
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -69,6 +74,8 @@ def raycast(
     with_color: bool = False,
 ) -> RenderResult:
     dtype = grid.D.dtype
+    miss_step = cfg.miss_step if cfg.miss_step > 0 else params.delta / 2
+    Dm = masked_view(grid.D, grid.W)  # one gather per sample instead of two
     dirs_cam, _ = pixel_rays(cam, stride)  # (H, W, 3), z == 1
     d_world = jnp.einsum("ij,hwj->hwi", pose.R, dirs_cam, precision=_HI)
     dn = jnp.linalg.norm(d_world, axis=-1, keepdims=True)
@@ -85,7 +92,7 @@ def raycast(
     def sample(t):
         pos = origin + t[..., None] * unit
         uvw = world_to_voxel(params, pos)
-        phi, ok = trilinear(grid.D, grid.W, uvw)
+        phi, _, ok = trilinear_with_grad_nan(Dm, uvw)
         return phi, ok
 
     def cond(state):
@@ -99,7 +106,7 @@ def raycast(
         k, t, hit, alive, steps = state
         phi, ok = sample(t)
         hit_now = alive & ok & (jnp.abs(phi) < cfg.hit_epsilon)
-        step = jnp.where(ok, phi * cfg.step_scale, cfg.miss_step)
+        step = jnp.where(ok, phi * cfg.step_scale, miss_step)
         # never step backwards past the entry point; cap forward progress at
         # the truncation band (phi is truncated anyway, but be explicit)
         step = jnp.clip(step, -params.delta, params.delta)
