@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from tracking_sdf_tpu.config import FusionConfig, GridParams
 from tracking_sdf_tpu.core.camera import PinholeCamera
 from tracking_sdf_tpu.core.lie import Pose
-from tracking_sdf_tpu.grid.grid import TSDFGrid, voxel_centers_world
+from tracking_sdf_tpu.grid.grid import TSDFGrid
 
 
 def weighting(name: str, d: jnp.ndarray, eps: float, delta: float) -> jnp.ndarray:

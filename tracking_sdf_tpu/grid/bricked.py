@@ -15,8 +15,6 @@ rows); the bricked layout is fusion's working format.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 
 from tracking_sdf_tpu.config import GridParams

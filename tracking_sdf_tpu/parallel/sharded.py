@@ -30,7 +30,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from tracking_sdf_tpu.config import FusionConfig, GridParams, TrackingConfig
 from tracking_sdf_tpu.core.camera import PinholeCamera

@@ -11,7 +11,7 @@ timestamp association, Horn/Umeyama alignment, ATE RMSE and RPE.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

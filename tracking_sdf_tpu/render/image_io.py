@@ -7,8 +7,6 @@ depth (turbo-less grayscale with NaN=black), world-space normals
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from tracking_sdf_tpu.render.raycast import RenderResult
