@@ -161,6 +161,35 @@ def test_pallas_merge_matches_xla_merge():
                 atol=1e-5, err_msg=f"{name} color={fuse_color}")
 
 
+def test_bricked_matches_dense_randomized():
+    """Fuzz the classification proofs: random camera poses (including views
+    from inside the volume and oblique angles) and random NaN speckle must
+    never break bricked == dense geometry."""
+    rng = np.random.default_rng(7)
+    cfg = FusionConfig(fuse_color=False)
+    for trial in range(4):
+        eye = rng.uniform([-1.3, -1.8, -0.6], [1.3, -0.4, 0.8])
+        target = rng.uniform(-0.4, 0.4, 3)
+        pose = look_at(tuple(eye), tuple(target))
+        depth = render_scene_depth(SCENE, CAM, pose)
+        depth = np.asarray(depth)
+        speckle = rng.random(depth.shape) < 0.05
+        depth = np.where(speckle, np.nan, depth)
+        pts = backproject(CAM, jnp.asarray(depth))
+        normals = estimate_normals(pts)
+
+        gd = fuse_frame(empty_grid(PARAMS), pose, pts, normals, None,
+                        params=PARAMS, cam=CAM, cfg=cfg)
+        gb, stats = fuse_frame_bricked(
+            empty_grid(PARAMS), pose, pts, normals, None,
+            params=PARAMS, cam=CAM, cfg=cfg, bs=BS, cap=220)
+        assert int(stats.overflow) == 0, trial
+        np.testing.assert_allclose(np.asarray(gb.W), np.asarray(gd.W),
+                                   atol=1e-5, err_msg=f"trial {trial}")
+        np.testing.assert_allclose(np.asarray(gb.D), np.asarray(gd.D),
+                                   atol=1e-5, err_msg=f"trial {trial}")
+
+
 def test_bricked_nan_frame_is_noop():
     cfg = FusionConfig(fuse_color=False)
     nanimg = jnp.full((72, 96, 3), jnp.nan, jnp.float32)

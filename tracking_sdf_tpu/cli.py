@@ -161,6 +161,20 @@ def main(argv=None) -> int:
     summary = recon.summary()
     if args.eval and args.trajectory:
         gt = getattr(dataset, "groundtruth", None)
+        if gt is None:
+            # synthetic mode: build the groundtruth from the frames' poses
+            import numpy as np
+
+            from tracking_sdf_tpu.pipeline import Trajectory
+
+            frames_with_gt = [f for f in dataset
+                              if getattr(f, "gt_pose", None) is not None]
+            if frames_with_gt:
+                gt = Trajectory(
+                    np.asarray([f.timestamp for f in frames_with_gt]),
+                    np.stack([f.gt_pose[0] for f in frames_with_gt]),
+                    np.stack([f.gt_pose[1] for f in frames_with_gt]),
+                )
         if gt is not None:
             est = read_trajectory(args.trajectory)
             rmse, n = ate_rmse(est, gt)
