@@ -81,6 +81,11 @@ class TrackingConfig(NamedTuple):
     # then explodes); 0.1 converges monotonically in ~9 iterations.
     # 0 = pure GN for reference parity.
     damping: float = 0.1
+    # Per-iteration multiplier on the damping (LM-style schedule): <1 lets
+    # late iterations take full GN steps once near the optimum (measured on
+    # the synthetic fixture: decay 0.5 converges in 9 iters to 2.2 mm vs 10
+    # iters to 5.3 mm with fixed damping). 1.0 = constant damping (default).
+    damping_decay: float = 1.0
 
 
 class FusionConfig(NamedTuple):

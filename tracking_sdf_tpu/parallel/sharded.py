@@ -135,7 +135,7 @@ def sharded_track_frame(
             return (i < cfg.max_iterations) & jnp.logical_not(done)
 
         def body(state):
-            i, pose_c, _, _, _, _ = state
+            i, pose_c, _, _, _, _, lam = state
             phi, J, mask = _owned_residuals(
                 Dm_ext, pose_c, points_cam, i0, slab, params
             )
@@ -143,20 +143,22 @@ def sharded_track_frame(
             nvalid = jnp.sum(mask.astype(jnp.int32))
             sum_res = jnp.sum(jnp.where(mask, jnp.abs(phi), 0.0))
             A, b, nvalid, sum_res = lax.psum((A, b, nvalid, sum_res), "d")
-            A = A + cfg.damping * jnp.diag(jnp.diag(A)) + 1e-12 * jnp.eye(6, dtype=A.dtype)
+            A = A + lam * jnp.diag(jnp.diag(A)) + 1e-12 * jnp.eye(6, dtype=A.dtype)
             twist = jnp.linalg.solve(A, b)
             twist = jnp.where(jnp.all(jnp.isfinite(twist)), twist, jnp.zeros_like(twist))
             done = converged(twist)
             pose_new = _apply_update(pose_c, twist, cfg.pose_update)
             mean_res = sum_res / jnp.maximum(nvalid, 1)
-            return (i + 1, pose_new, done, twist, nvalid, mean_res)
+            return (i + 1, pose_new, done, twist, nvalid, mean_res,
+                    lam * cfg.damping_decay)
 
         state0 = (
             jnp.int32(0), pose, jnp.bool_(False),
             jnp.zeros((6,), dtype=D_slab.dtype), jnp.int32(0),
             jnp.zeros((), dtype=D_slab.dtype),
+            jnp.asarray(cfg.damping, dtype=D_slab.dtype),
         )
-        i, pose_f, _, twist, nvalid, mean_res = lax.while_loop(cond, body, state0)
+        i, pose_f, _, twist, nvalid, mean_res, _ = lax.while_loop(cond, body, state0)
         return TrackResult(pose=pose_f, iterations=i, final_twist=twist,
                            num_valid=nvalid, mean_abs_residual=mean_res)
 

@@ -220,12 +220,12 @@ def track_frame(
         return (i < cfg.max_iterations) & jnp.logical_not(done)
 
     def body(state):
-        i, pose, _, _, _, _ = state
+        i, pose, _, _, _, _, lam = state
         phi, J, mask = residuals(pose)
         A, b = normal_equations(phi, J, mask)
         # Marquardt damping (relative, scale-free); tiny absolute floor so a
         # fully-degenerate system stays solvable (guard below catches NaNs)
-        A = A + cfg.damping * jnp.diag(jnp.diag(A)) + 1e-12 * jnp.eye(6, dtype=A.dtype)
+        A = A + lam * jnp.diag(jnp.diag(A)) + 1e-12 * jnp.eye(6, dtype=A.dtype)
         twist = jnp.linalg.solve(A, b)
         # guard a singular system (e.g. zero valid pixels): no step
         twist = jnp.where(jnp.all(jnp.isfinite(twist)), twist, jnp.zeros_like(twist))
@@ -234,7 +234,8 @@ def track_frame(
         pose_new = _apply_update(pose, twist, cfg.pose_update)
         nvalid = jnp.sum(mask.astype(jnp.int32))
         mean_res = jnp.sum(jnp.where(mask, jnp.abs(phi), 0.0)) / jnp.maximum(nvalid, 1)
-        return (i + 1, pose_new, done, twist, nvalid, mean_res)
+        return (i + 1, pose_new, done, twist, nvalid, mean_res,
+                lam * cfg.damping_decay)
 
     state0 = (
         jnp.int32(0),
@@ -243,7 +244,8 @@ def track_frame(
         jnp.zeros((6,), dtype=grid.D.dtype),
         jnp.int32(0),
         jnp.zeros((), dtype=grid.D.dtype),
+        jnp.asarray(cfg.damping, dtype=grid.D.dtype),
     )
-    i, pose, _, twist, nvalid, mean_res = jax.lax.while_loop(cond, body, state0)
+    i, pose, _, twist, nvalid, mean_res, _ = jax.lax.while_loop(cond, body, state0)
     return TrackResult(pose=pose, iterations=i, final_twist=twist,
                        num_valid=nvalid, mean_abs_residual=mean_res)
