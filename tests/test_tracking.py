@@ -145,6 +145,40 @@ def test_central_residuals_match_reference_oracle():
     np.testing.assert_allclose(np.asarray(b), b_ref, rtol=5e-3, atol=5e-3)
 
 
+def test_full_gn_loop_matches_reference_oracle():
+    """Whole-tracker parity: 3 fixed GN iterations in full reference mode
+    (central differences, signed convergence, non-rotated-translation update,
+    no damping) against the oracle's estimate_new_position
+    (camera_tracking.cpp:66-245). Covers the solve + exp-map + composition
+    chain beyond the per-pixel checks above."""
+    true_pose = look_at((0.0, -1.5, 0.25), (0.0, 0.0, 0.0))
+    grid = grid_from_scene(PARAMS, SCENE)
+    ref = ref_numpy.RefGrid(PARAMS.m, PARAMS.width, PARAMS.height, PARAMS.depth,
+                            PARAMS.origin, PARAMS.delta, PARAMS.epsilon)
+    ref.D = -np.asarray(grid.D, np.float64)
+    ref.W = np.asarray(grid.W, np.float64)
+
+    pose0 = pose_compose(
+        se3_exp(jnp.asarray([0.015, -0.01, 0.02, 0.01, -0.015, 0.01])), true_pose
+    )
+    depth = render_scene_depth(SCENE, CAM, pose0)  # rendered AT pose0: residuals
+    pts_img = backproject(CAM, depth)              # nonzero but bounded
+
+    res = track_frame(
+        grid, pose0, strided_points(pts_img, 3), params=PARAMS,
+        cfg=TrackingConfig(jacobian="central", convergence="signed",
+                           pose_update="reference", damping=0.0,
+                           max_iterations=3, max_twist_diff=-1.0),  # never "converges"
+    )
+    R_ref, t_ref = ref_numpy.estimate_new_position(
+        ref, np.asarray(pose0.R, np.float64), np.asarray(pose0.t, np.float64),
+        np.asarray(pts_img, np.float64), max_iter=3, max_twist_diff=-1.0,
+    )
+    assert int(res.iterations) == 3
+    np.testing.assert_allclose(np.asarray(res.pose.R), R_ref, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(res.pose.t), t_ref, atol=2e-3)
+
+
 def test_track_with_nan_holes_and_no_observations():
     grid = grid_from_scene(PARAMS, SCENE)
     pose = look_at((0.0, -1.5, 0.25), (0.0, 0.0, 0.0))
