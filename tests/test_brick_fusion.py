@@ -161,6 +161,47 @@ def test_pallas_merge_matches_xla_merge():
                 atol=1e-5, err_msg=f"{name} color={fuse_color}")
 
 
+def test_rows_merge_matches_xla_merge():
+    """The row-granular gather/scatter-set tail must produce the XLA
+    scatter+accumulator tail's numbers exactly (incl. FREE-brick updates,
+    color, padding, and the no-free-bricks case)."""
+    for fuse_color in (False, True):
+        cfg = FusionConfig(fuse_color=fuse_color)
+        gx = empty_grid(PARAMS)
+        gr = empty_grid(PARAMS)
+        for pose in POSES:
+            pts, normals, rgb = _frame(pose)
+            rgb_in = rgb if fuse_color else None
+            gx, sx = fuse_frame_bricked(
+                gx, pose, pts, normals, rgb_in, params=PARAMS, cam=CAM,
+                cfg=cfg, bs=BS, cap=128, merge="xla")
+            gr, sr = fuse_frame_bricked(
+                gr, pose, pts, normals, rgb_in, params=PARAMS, cam=CAM,
+                cfg=cfg, bs=BS, cap=128, merge="rows")
+            assert int(sr.overflow_active) == 0
+            assert int(sr.n_free) == int(sx.n_free)
+        for name in TSDF_FIELDS:
+            np.testing.assert_allclose(
+                np.asarray(getattr(gx, name)), np.asarray(getattr(gr, name)),
+                atol=1e-5, err_msg=f"{name} color={fuse_color}")
+
+
+def test_rows_merge_free_overflow_reported():
+    """cap_free smaller than the FREE count: overflow_active reports the
+    dropped bricks and the grid stays finite."""
+    cfg = FusionConfig(fuse_color=False)
+    pose = look_at((0.0, -1.5, 0.0), (0.0, 1.0, 0.0))
+    depth = render_scene_depth(WALL, CAM, pose)
+    pts = backproject(CAM, depth)
+    normals = estimate_normals(pts)
+    gr, sr = fuse_frame_bricked(empty_grid(PARAMS), pose, pts, normals, None,
+                                params=PARAMS, cam=CAM, cfg=cfg, bs=BS,
+                                cap=128, merge="rows", cap_free=1)
+    assert int(sr.n_free) > 1
+    assert int(sr.overflow_active) == int(sr.n_free) - 1
+    assert bool(jnp.isfinite(gr.D).all())
+
+
 def test_bricked_matches_dense_randomized():
     """Fuzz the classification proofs: random camera poses (including views
     from inside the volume and oblique angles) and random NaN speckle must

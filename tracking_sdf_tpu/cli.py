@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="append per-frame stats as JSON lines to this file")
     p.add_argument("--native-loader", action="store_true",
                    help="stream frames through the C++ prefetching loader")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the TPU proxy backend is "
+                        "selected by default and claims the chip exclusively)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first so "
                         "jax.devices() spans all hosts; combine with "
@@ -78,6 +81,11 @@ def main(argv=None) -> int:
     import dataclasses
 
     import jax
+
+    if args.cpu:
+        # must happen before any backend touch; the env var alone is
+        # ignored once the TPU-proxy plugin has pre-registered
+        jax.config.update("jax_platforms", "cpu")
 
     from tracking_sdf_tpu.config import preset
     from tracking_sdf_tpu.core.camera import tum_fr1_camera

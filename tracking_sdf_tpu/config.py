@@ -160,6 +160,15 @@ class PipelineConfig:
     # fusion is skipped (mirroring the tf-timeout drop path, :57-60).
     min_valid_pixels: int = 50
     max_mean_residual: float = 0.25  # meters; <=0 disables the gate
+    # Initial pose guess for each frame's GN descent:
+    #   * "velocity" (default): constant-velocity prediction
+    #     T_init = T_{n-1} ∘ (T_{n-2}^{-1} ∘ T_{n-1}) — the camera-frame
+    #     inter-frame motion is assumed to repeat. Falls back to the previous
+    #     pose for the first tracked frame and after a rejected frame.
+    #   * "previous": the reference's behavior — start at the last pose
+    #     (camera_tracking.cpp:66-79 never re-initializes). Halved GN
+    #     iteration counts measured with "velocity" on smooth motion.
+    pose_init: str = "velocity"
 
 
 def preset(name: str) -> PipelineConfig:

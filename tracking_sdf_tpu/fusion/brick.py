@@ -196,7 +196,7 @@ def _brick_corners_cam(params, pose, bs, dtype, nbi, i_offset):
 @partial(
     jax.jit,
     static_argnames=("params", "cam", "cfg", "bs", "cap", "merge", "cap_act",
-                     "interpret"),
+                     "cap_free", "interpret"),
     donate_argnames=("grid",),
 )
 def fuse_frame_bricked(
@@ -213,17 +213,24 @@ def fuse_frame_bricked(
     cap: int = 1024,
     merge: str = "xla",
     cap_act: Optional[int] = None,
+    cap_free: Optional[int] = None,
     interpret: bool = False,
     i_offset=0,  # global voxel-i of grid.D[0] — traced OK (SPMD slabs)
 ) -> Tuple[TSDFGrid, FuseStats]:
     """Brick-compacted fusion; exact dense semantics for geometry, color in
     surface-band bricks only. Returns (grid, FuseStats).
 
-    ``merge`` selects the tail: "xla" scatter-adds (w, w*d, ...) into dense
-    accumulators and runs a full-grid merge; "pallas" updates only the
-    active bricks in place (fusion.pallas_merge) — same numbers, traffic
-    proportional to active bricks. ``cap_act`` bounds active (FREE + FULL)
-    bricks for the pallas path (default 4 * cap)."""
+    ``merge`` selects the tail:
+      * "xla": scatter-add (w, w*d, ...) into dense accumulators + one
+        full-grid merge pass. Robust; cost has a full-grid floor (~1.2 GB of
+        HBM traffic at 256^3 with color).
+      * "rows": gather the touched grid rows, merge in-register, scatter-SET
+        back (in-place on the donated buffers) — same numbers, traffic
+        proportional to active bricks only. FREE bricks get a second
+        row-pass bounded by ``cap_free`` (default = cap; overflow reported
+        in FuseStats.overflow_active).
+      * "pallas": in-place active-brick kernel (fusion.pallas_merge);
+        ``cap_act`` bounds active bricks (default 4 * cap)."""
     dtype = grid.D.dtype
     h, w_img = points_cam.shape[:2]
     m = params.m
@@ -325,8 +332,14 @@ def fuse_frame_bricked(
     ins = (iu >= 0) & (iu < w_img) & (iv >= 0) & (iv < h)
     flat_pix = jnp.clip(iv, 0, h - 1) * w_img + jnp.clip(iu, 0, w_img - 1)
 
+    # Gather with a 128-wide index minor dim regardless of brick shape: the
+    # take's lowering vectorizes over the index minor dim, so bk < 128 wastes
+    # lanes (measured: (8,8,8) bricks ran 3x slower end-to-end with bk=8-wide
+    # indices; reshaping the same elements to 128-wide restores the fast path).
+    nvox = cap * bi * bj * bk
+    lane = 128 if nvox % 128 == 0 else bk
     g = jnp.take(
-        pix, flat_pix.reshape(cap * bi * bj, bk), axis=0
+        pix, flat_pix.reshape(nvox // lane, lane), axis=0
     ).reshape(cap, bi, bj, bk, -1)
     nx, ny, nz, s, fin = g[..., 0], g[..., 1], g[..., 2], g[..., 3], g[..., 4]
 
@@ -388,6 +401,11 @@ def fuse_frame_bricked(
             overflow_active=jnp.maximum(n_active - cap_act, 0))
         return grid_out, stats
 
+    if merge == "rows":
+        return _merge_rows(
+            grid, U, brick_class, vi, vj, fbk, valid_brick, params, cfg,
+            bs, cap, cap_free, fuse_color, mi, m, nbj, nbk, stats)
+
     # ---- scatter-add into dense run-row accumulators -----------------------
     # dense flat index ordered (i, j, k); k-runs of bk are contiguous rows.
     # Padded/dropped bricks get DISTINCT out-of-bounds rows so the
@@ -403,42 +421,40 @@ def fuse_frame_bricked(
     )
 
     # ---- fused dense merge -------------------------------------------------
-    # per-voxel class via broadcast of the brick class (free reshape)
-    cls = brick_class.reshape(nbi, 1, nbj, 1, nbk, 1)
-    Dv = grid.D.reshape(nbi, bi, nbj, bj, nbk, bk)
-    Wv = grid.W.reshape(nbi, bi, nbj, bj, nbk, bk)
-    accv = acc.reshape(mi, m, m // bk, bk, C).reshape(mi, m, m, C)
-    accv = accv.reshape(nbi, bi, nbj, bj, nbk, bk, C)
+    # All elementwise merge math runs on FLAT (mi, m, m) arrays so the minor
+    # (lane) dim is m, not bk: with compact bricks (bk=8) the 6-D
+    # (nbi,bi,nbj,bj,nbk,bk) view starves the VPU to bk/128 lane utilization
+    # on ~1.2 GB of full-grid traffic (measured 3x whole-fusion slowdown).
+    # The per-voxel class is materialized by broadcast+reshape (free: the
+    # reshape is contiguous) instead of keeping the 6-D view alive.
+    cls_vox = jnp.broadcast_to(
+        brick_class[:, None, :, None, :, None], (nbi, bi, nbj, bj, nbk, bk)
+    ).reshape(mi, m, m)
+    accf = acc.reshape(mi, m, m, C)
 
-    is_free = cls == 1
-    is_fullc = cls == 2
-    w_add = jnp.where(is_free, 1.0, jnp.where(is_fullc, accv[..., 0], 0.0))
+    is_free = cls_vox == 1
+    is_fullc = cls_vox == 2
+    w_add = jnp.where(is_free, 1.0, jnp.where(is_fullc, accf[..., 0], 0.0))
     wd_add = jnp.where(is_free, params.delta,
-                       jnp.where(is_fullc, accv[..., 1], 0.0))
-    W_new = Wv + w_add
+                       jnp.where(is_fullc, accf[..., 1], 0.0))
+    W_out = grid.W + w_add
     if cfg.max_weight is not None:
-        W_new = jnp.minimum(W_new, cfg.max_weight)
+        W_out = jnp.minimum(W_out, cfg.max_weight)
     has = w_add > 0
-    D_new = jnp.where(has, (Wv * Dv + wd_add) / jnp.where(has, W_new, 1.0), Dv)
-    D_out = D_new.reshape(mi, m, m)
-    W_out = W_new.reshape(mi, m, m)
+    D_out = jnp.where(
+        has, (grid.W * grid.D + wd_add) / jnp.where(has, W_out, 1.0), grid.D
+    )
 
     if fuse_color:
-        Rv = grid.R.reshape(nbi, bi, nbj, bj, nbk, bk)
-        Gv = grid.G.reshape(nbi, bi, nbj, bj, nbk, bk)
-        Bv = grid.B.reshape(nbi, bi, nbj, bj, nbk, bk)
-        Wcv = grid.Wc.reshape(nbi, bi, nbj, bj, nbk, bk)
-        wc_add = jnp.where(is_fullc, accv[..., 2], 0.0)
-        Wc_new = Wcv + wc_add
+        wc_add = jnp.where(is_fullc, accf[..., 2], 0.0)
+        Wc_out = grid.Wc + wc_add
         if cfg.max_weight is not None:
-            Wc_new = jnp.minimum(Wc_new, cfg.max_weight)
+            Wc_out = jnp.minimum(Wc_out, cfg.max_weight)
         has_c = wc_add > 0
-        safe = jnp.where(has_c, Wc_new, 1.0)
-        R_new = jnp.where(has_c, (Wcv * Rv + accv[..., 3]) / safe, Rv)
-        G_new = jnp.where(has_c, (Wcv * Gv + accv[..., 4]) / safe, Gv)
-        B_new = jnp.where(has_c, (Wcv * Bv + accv[..., 5]) / safe, Bv)
-        R_out, G_out, B_out = (a.reshape(mi, m, m) for a in (R_new, G_new, B_new))
-        Wc_out = Wc_new.reshape(mi, m, m)
+        safe = jnp.where(has_c, Wc_out, 1.0)
+        R_out = jnp.where(has_c, (grid.Wc * grid.R + accf[..., 3]) / safe, grid.R)
+        G_out = jnp.where(has_c, (grid.Wc * grid.G + accf[..., 4]) / safe, grid.G)
+        B_out = jnp.where(has_c, (grid.Wc * grid.B + accf[..., 5]) / safe, grid.B)
     else:
         R_out, G_out, B_out, Wc_out = grid.R, grid.G, grid.B, grid.Wc
 
@@ -446,3 +462,108 @@ def fuse_frame_bricked(
         TSDFGrid(D=D_out, W=W_out, R=R_out, G=G_out, B=B_out, Wc=Wc_out),
         stats,
     )
+
+
+def _merge_rows(grid, U, brick_class, vi, vj, fbk, valid_brick, params, cfg,
+                bs, cap, cap_free, fuse_color, mi, m, nbj, nbk, stats):
+    """Row-granular merge tail: gather touched grid rows, merge, scatter-SET.
+
+    Each brick's voxels are bi*bj contiguous k-runs of bk elements in the
+    (i, j, k) row-major grid, so rows are fat (bk floats) and FULL/FREE
+    bricks touch disjoint row sets (runs align to brick boundaries). All
+    traffic is proportional to cap + cap_free rows; there is no accumulator
+    and no full-grid pass — at 512^3 the "xla" tail's dense passes would be
+    8x the 256^3 cost while this tail's cost is unchanged for the same
+    surface area. Scatter-sets alias the donated grid buffers in place."""
+    bi, bj, bk = bs
+    NR = mi * m * m // bk
+    NB = brick_class.size
+    if cap_free is None:
+        cap_free = cap
+    dtype = grid.D.dtype
+
+    def leaf_rows(leaf):
+        return leaf.reshape(NR, bk)
+
+    def gather(tab2, rows2):  # rows2 (n, bi*bj) int32, clamped valid
+        return jnp.take(tab2, rows2, axis=0)  # (n, bi*bj, bk)
+
+    def scatter_set(tab2, rows_s, new_rows):
+        return tab2.at[rows_s.reshape(-1)].set(
+            new_rows.reshape(-1, bk), mode="drop", unique_indices=True)
+
+    # ---- FULL bricks -------------------------------------------------------
+    run_row = (vi[:, :, None] * m + vj[:, None, :]) * (m // bk) + fbk[:, None, None]
+    rows = run_row.reshape(cap, bi * bj)
+    rows_g = jnp.where(valid_brick[:, None], rows, 0)
+    # distinct out-of-bounds rows for padded bricks keep unique_indices true
+    oob = NR + jnp.arange(cap * bi * bj, dtype=jnp.int32).reshape(cap, bi * bj)
+    rows_s = jnp.where(valid_brick[:, None], rows, oob)
+
+    Ur = U.reshape(cap, bi * bj, bk, -1)
+    Dt, Wt = leaf_rows(grid.D), leaf_rows(grid.W)
+    Dold = gather(Dt, rows_g)
+    Wold = gather(Wt, rows_g)
+    w_add = Ur[..., 0]
+    W_new = Wold + w_add
+    if cfg.max_weight is not None:
+        W_new = jnp.minimum(W_new, cfg.max_weight)
+    has = w_add > 0
+    D_new = jnp.where(has, (Wold * Dold + Ur[..., 1]) / jnp.where(has, W_new, 1.0),
+                      Dold)
+    Dt = scatter_set(Dt, rows_s, D_new)
+    Wt = scatter_set(Wt, rows_s, W_new)
+
+    if fuse_color:
+        Rt, Gt, Bt, Wct = (leaf_rows(l) for l in (grid.R, grid.G, grid.B, grid.Wc))
+        Rold, Gold, Bold, Wcold = (gather(t, rows_g) for t in (Rt, Gt, Bt, Wct))
+        wc_add = Ur[..., 2]
+        Wc_new = Wcold + wc_add
+        if cfg.max_weight is not None:
+            Wc_new = jnp.minimum(Wc_new, cfg.max_weight)
+        has_c = wc_add > 0
+        safe = jnp.where(has_c, Wc_new, 1.0)
+        R_new = jnp.where(has_c, (Wcold * Rold + Ur[..., 3]) / safe, Rold)
+        G_new = jnp.where(has_c, (Wcold * Gold + Ur[..., 4]) / safe, Gold)
+        B_new = jnp.where(has_c, (Wcold * Bold + Ur[..., 5]) / safe, Bold)
+        Rt = scatter_set(Rt, rows_s, R_new)
+        Gt = scatter_set(Gt, rows_s, G_new)
+        Bt = scatter_set(Bt, rows_s, B_new)
+        Wct = scatter_set(Wct, rows_s, Wc_new)
+    # ---- FREE bricks: w = 1, d = +delta, no pixel data needed --------------
+    is_free_f = brick_class.reshape(-1) == 1
+    fr_ids = jnp.nonzero(is_free_f, size=cap_free, fill_value=NB)[0]
+    valid_f = fr_ids < NB
+    fb = jnp.where(valid_f, fr_ids, 0)
+    fbi_f = fb // (nbj * nbk)
+    fbj_f = (fb // nbk) % nbj
+    fbk_f = fb % nbk
+    di = jnp.arange(bi, dtype=jnp.int32)
+    dj = jnp.arange(bj, dtype=jnp.int32)
+    vi_f = fbi_f[:, None] * bi + di[None, :]
+    vj_f = fbj_f[:, None] * bj + dj[None, :]
+    run_f = (vi_f[:, :, None] * m + vj_f[:, None, :]) * (m // bk) + fbk_f[:, None, None]
+    rows_f = run_f.reshape(cap_free, bi * bj)
+    rows_fg = jnp.where(valid_f[:, None], rows_f, 0)
+    oob_f = NR + jnp.arange(cap_free * bi * bj, dtype=jnp.int32).reshape(
+        cap_free, bi * bj)
+    rows_fs = jnp.where(valid_f[:, None], rows_f, oob_f)
+    Dof = gather(Dt, rows_fg)
+    Wof = gather(Wt, rows_fg)
+    W_nf = Wof + 1.0
+    if cfg.max_weight is not None:
+        W_nf = jnp.minimum(W_nf, cfg.max_weight)
+    D_nf = (Wof * Dof + jnp.asarray(params.delta, dtype)) / W_nf
+    Dt = scatter_set(Dt, rows_fs, D_nf)
+    Wt = scatter_set(Wt, rows_fs, W_nf)
+
+    out = TSDFGrid(
+        D=Dt.reshape(mi, m, m), W=Wt.reshape(mi, m, m),
+        R=Rt.reshape(mi, m, m) if fuse_color else grid.R,
+        G=Gt.reshape(mi, m, m) if fuse_color else grid.G,
+        B=Bt.reshape(mi, m, m) if fuse_color else grid.B,
+        Wc=Wct.reshape(mi, m, m) if fuse_color else grid.Wc,
+    )
+    n_free = stats.n_free
+    return out, stats._replace(
+        overflow_active=jnp.maximum(n_free - cap_free, 0))

@@ -29,13 +29,20 @@ def save_checkpoint(
     pose: Pose,
     frame_num: int,
     extra: Optional[dict] = None,
+    pose_prev: Optional[Pose] = None,
 ) -> None:
-    """Write a checkpoint directory (atomic via temp+rename)."""
+    """Write a checkpoint directory (atomic via temp+rename).
+
+    ``pose_prev`` preserves the constant-velocity tracker-initialization
+    state so a resumed run is bitwise-identical to an uninterrupted one."""
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, _STATE_FILE + ".tmp")
     arrays = {f"grid_{name}": np.asarray(leaf) for name, leaf in zip(grid._fields, grid)}
     arrays["pose_R"] = np.asarray(pose.R)
     arrays["pose_t"] = np.asarray(pose.t)
+    if pose_prev is not None:
+        arrays["pose_prev_R"] = np.asarray(pose_prev.R)
+        arrays["pose_prev_t"] = np.asarray(pose_prev.t)
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
     os.replace(tmp, os.path.join(path, _STATE_FILE))
@@ -46,15 +53,21 @@ def save_checkpoint(
     os.replace(tmp_meta, os.path.join(path, _META_FILE))
 
 
-def load_checkpoint(path: str) -> Tuple[TSDFGrid, Pose, int, dict]:
-    """Read a checkpoint directory -> (grid, pose, frame_num, meta)."""
+def load_checkpoint(
+    path: str,
+) -> Tuple[TSDFGrid, Pose, int, dict, Optional[Pose]]:
+    """Read a checkpoint directory -> (grid, pose, frame_num, meta, pose_prev)."""
     with np.load(os.path.join(path, _STATE_FILE)) as z:
         grid = TSDFGrid(*(jnp.asarray(z[f"grid_{name}"]) for name in TSDFGrid._fields))
         pose = Pose(jnp.asarray(z["pose_R"]), jnp.asarray(z["pose_t"]))
+        pose_prev = None
+        if "pose_prev_R" in z:
+            pose_prev = Pose(jnp.asarray(z["pose_prev_R"]),
+                             jnp.asarray(z["pose_prev_t"]))
     with open(os.path.join(path, _META_FILE)) as f:
         meta = json.load(f)
     frame_num = int(meta.pop("frame_num"))
-    return grid, pose, frame_num, meta
+    return grid, pose, frame_num, meta, pose_prev
 
 
 def exists(path: str) -> bool:

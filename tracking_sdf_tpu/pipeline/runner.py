@@ -24,7 +24,12 @@ import numpy as np
 
 from tracking_sdf_tpu.config import PipelineConfig
 from tracking_sdf_tpu.core.camera import PinholeCamera
-from tracking_sdf_tpu.core.lie import Pose, matrix_from_quaternion
+from tracking_sdf_tpu.core.lie import (
+    Pose,
+    matrix_from_quaternion,
+    pose_compose,
+    pose_inverse,
+)
 from tracking_sdf_tpu.fusion.fuse import make_fuse_fn
 from tracking_sdf_tpu.grid.grid import TSDFGrid, empty_grid
 from tracking_sdf_tpu.pipeline.trajectory import TrajectoryWriter
@@ -64,6 +69,9 @@ class Reconstruction:
         self.cam = cam
         self.config = config
         self.pose = initial_pose if initial_pose is not None else REFERENCE_INITIAL_POSE
+        # previous frame's pose, for the constant-velocity prediction
+        # (config.pose_init="velocity"); None = no velocity estimate yet
+        self._pose_prev: Optional[Pose] = None
         self.frame_num = 0
         self.stats: List[FrameStats] = []
         self._writer = (
@@ -140,6 +148,17 @@ class Reconstruction:
 
     # ------------------------------------------------------------------ #
 
+    def _predict_pose(self) -> Pose:
+        """Initial pose guess for the next frame's GN descent.
+
+        "velocity" assumes the camera-frame inter-frame motion repeats:
+        T_init = T_{n-1} ∘ (T_{n-2}^{-1} ∘ T_{n-1}). The reference always
+        starts at the previous pose (camera_tracking.cpp:66-79)."""
+        if self.config.pose_init == "velocity" and self._pose_prev is not None:
+            delta = pose_compose(pose_inverse(self._pose_prev), self.pose)
+            return pose_compose(self.pose, delta)
+        return self.pose
+
     def process_frame(
         self,
         depth: jnp.ndarray,  # (H, W) meters, NaN holes
@@ -161,22 +180,24 @@ class Reconstruction:
         t0 = time.perf_counter()
         if cfg.use_groundtruth and gt_pose is not None:
             # fusion-only oracle mode (sdf_reconstruction.cpp:51-66)
+            self._pose_prev = self.pose
             self.pose = gt_pose
         elif self.frame_num > 1:
+            pose0 = self._predict_pose()
             if self._track is not None:
                 pts = points[:: cfg.tracking.pixel_stride, :: cfg.tracking.pixel_stride]
-                res = self._track(self.grid, self.pose, pts.reshape(-1, 3))
+                res = self._track(self.grid, pose0, pts.reshape(-1, 3))
             elif cfg.pyramid_levels:
                 from tracking_sdf_tpu.tracking.pyramid import track_frame_pyramid
 
                 res, _ = track_frame_pyramid(
-                    self.grid, self.pose, points, params=cfg.grid,
+                    self.grid, pose0, points, params=cfg.grid,
                     cfg=cfg.tracking, levels=cfg.pyramid_levels,
                 )
             else:
                 pts = points[:: cfg.tracking.pixel_stride, :: cfg.tracking.pixel_stride]
                 res = track_frame(
-                    self.grid, self.pose, pts.reshape(-1, 3),
+                    self.grid, pose0, pts.reshape(-1, 3),
                     params=cfg.grid, cfg=cfg.tracking,
                 )
             jax.block_until_ready(res.pose.t)
@@ -190,7 +211,11 @@ class Reconstruction:
                 cfg.max_mean_residual > 0 and mean_res > cfg.max_mean_residual
             ) or not bool(jnp.all(jnp.isfinite(res.pose.t)))
             if not rejected:
+                self._pose_prev = self.pose
                 self.pose = res.pose
+            else:
+                # the velocity estimate is stale once a frame is dropped
+                self._pose_prev = None
         track_ms = (time.perf_counter() - t0) * 1e3
 
         if self._writer is not None and not rejected:
@@ -317,18 +342,20 @@ class Reconstruction:
         grid = self.grid
         if self._mesh is not None:
             grid = TSDFGrid(*(jnp.asarray(jax.device_get(l)) for l in grid))
-        save_checkpoint(path, grid, self.pose, self.frame_num)
+        save_checkpoint(path, grid, self.pose, self.frame_num,
+                        pose_prev=self._pose_prev)
 
     def restore_checkpoint(self, path: str) -> None:
         from tracking_sdf_tpu.pipeline.checkpoint import load_checkpoint
 
-        grid, pose, frame_num, _ = load_checkpoint(path)
+        grid, pose, frame_num, _, pose_prev = load_checkpoint(path)
         if self._mesh is not None:
             from tracking_sdf_tpu.parallel import shard_grid
 
             grid = shard_grid(grid, self._mesh)
         self.grid = grid
         self.pose = pose
+        self._pose_prev = pose_prev
         self.frame_num = frame_num
 
     def close(self) -> None:
