@@ -7,10 +7,10 @@ brick-compacted fusion path.
 
 The workload is a K-frame camera trajectory with realistic handheld motion
 (~13 mm + ~0.9 deg per frame, TUM fr1-like, with 30% frame-to-frame
-"acceleration" jitter so the constant-velocity pose prediction the runner
-uses stays honest — prediction error is the jitter, not zero). Each frame
-has its own rendered depth image; the tracker starts from the
-constant-velocity prediction and the grid fuses at the TRACKED pose, so
+"acceleration" jitter). Each frame has its own rendered depth image; the
+tracker starts from the previous frame's pose (the reference's
+initialization — see PipelineConfig.pose_init for why constant-velocity
+extrapolation is not used) and the grid fuses at the TRACKED pose, so
 drift compounds exactly as in the real pipeline.
 
 The K-frame loop runs ON DEVICE inside one dispatch (lax.fori_loop carrying
@@ -132,8 +132,10 @@ def _bootstrap(cfg, cam, poses, rgb):
 
 
 def _frame_fn(cfg, cam):
-    """One tracked+fused frame with constant-velocity initialization."""
-    from tracking_sdf_tpu.core.lie import pose_compose, pose_inverse
+    """One tracked+fused frame, initialized at the previous pose (the
+    reference's scheme and the config default — constant-velocity
+    extrapolation measures UNSTABLE for frame-to-model tracking, see
+    PipelineConfig.pose_init)."""
     from tracking_sdf_tpu.fusion.brick import fuse_frame_bricked
     from tracking_sdf_tpu.tracking.gauss_newton import track_frame
 
@@ -141,9 +143,7 @@ def _frame_fn(cfg, cam):
     fcfg = cfg.fusion._replace(mode="bricked")
 
     def frame(grid, pose_prev2, pose_prev, pts_s, pts, nrm, rgb):
-        delta = pose_compose(pose_inverse(pose_prev2), pose_prev)
-        pose_init = pose_compose(pose_prev, delta)
-        res = track_frame(grid, pose_init, pts_s, params=params, cfg=tcfg)
+        res = track_frame(grid, pose_prev, pts_s, params=params, cfg=tcfg)
         grid, _ = fuse_frame_bricked(
             grid, res.pose, pts, nrm, rgb, params=params, cam=cam,
             cfg=fcfg, bs=fcfg.brick_shape, cap=fcfg.brick_cap)
@@ -201,7 +201,7 @@ def main():
     d = jax.devices()[0]
     print(
         f"# {d.platform}:{d.device_kind} m={cfg.grid.m} K={K} on-device loop, "
-        f"cv-init track(stride {cfg.tracking.pixel_stride})+bricked-fuse(color) "
+        f"track(stride {cfg.tracking.pixel_stride})+bricked-fuse(color) "
         f"{best_dt*1e3:.1f} ms/frame, {int(it)} GN iters/{K} frames, "
         f"final |t err| {err*1e3:.1f} mm (baseline {BASELINE_FPS:.1f} fps)",
         file=sys.stderr,

@@ -202,6 +202,30 @@ def test_rows_merge_free_overflow_reported():
     assert bool(jnp.isfinite(gr.D).all())
 
 
+def test_pixel_share_close_to_exact():
+    """pixel_share=2 (approximate fast mode) must stay within a few mm of
+    the exact path away from silhouettes, and keep identical W support."""
+    for share in (2, 4):
+        cfg1 = FusionConfig(fuse_color=False)
+        cfg2 = FusionConfig(fuse_color=False, pixel_share=share)
+        pts, normals, _ = _frame(POSES[0])
+        g1, _ = fuse_frame_bricked(empty_grid(PARAMS), POSES[0], pts, normals,
+                                   None, params=PARAMS, cam=CAM, cfg=cfg1,
+                                   bs=BS, cap=128)
+        g2, _ = fuse_frame_bricked(empty_grid(PARAMS), POSES[0], pts, normals,
+                                   None, params=PARAMS, cam=CAM, cfg=cfg2,
+                                   bs=BS, cap=128)
+        D1, D2 = np.asarray(g1.D), np.asarray(g2.D)
+        W1, W2 = np.asarray(g1.W), np.asarray(g2.W)
+        both = (W1 > 0) & (W2 > 0)
+        assert both.sum() > 1000
+        # at least 98% of commonly-observed voxels within 2 voxel sizes
+        diff = np.abs(D1[both] - D2[both])
+        assert np.quantile(diff, 0.98) < 2 * PARAMS.width / PARAMS.m, share
+        # support differs only in a thin boundary band
+        assert ((W1 > 0) != (W2 > 0)).mean() < 0.02
+
+
 def test_bricked_matches_dense_randomized():
     """Fuzz the classification proofs: random camera poses (including views
     from inside the volume and oblique angles) and random NaN speckle must

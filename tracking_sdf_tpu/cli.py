@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-color", action="store_true", help="skip color fusion")
     p.add_argument("--no-bilateral", action="store_true")
     p.add_argument("--pixel-stride", type=int, default=None)
+    p.add_argument("--pixel-share", type=int, default=None,
+                   help="approximate fast fusion: k-voxel groups of this "
+                        "size share one gathered pixel (1 = exact)")
     p.add_argument("--distributed", action="store_true",
                    help="shard grid+tracking over all visible devices")
     p.add_argument("--progress", action="store_true")
@@ -93,8 +96,13 @@ def main(argv=None) -> int:
 
     cfg = preset(args.preset)
     changes = {}
+    fusion = cfg.fusion
     if args.no_color:
-        changes["fusion"] = cfg.fusion._replace(fuse_color=False)
+        fusion = fusion._replace(fuse_color=False)
+    if args.pixel_share:
+        fusion = fusion._replace(pixel_share=args.pixel_share)
+    if fusion is not cfg.fusion:
+        changes["fusion"] = fusion
     if args.no_bilateral:
         changes["bilateral_filter"] = False
     if args.pixel_stride:

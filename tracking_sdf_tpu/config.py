@@ -119,6 +119,17 @@ class FusionConfig(NamedTuple):
     # but currently per-step-overhead-bound at small bricks)
     brick_merge: str = "xla"
     brick_cap_active: int = 0  # 0 = auto (4 * brick_cap)
+    # Approximate fast mode for bricked fusion (1 = exact, the default).
+    # Groups of ``pixel_share`` adjacent k-voxels share ONE gathered pixel
+    # row (the group center's): the random pixel gather — the measured TPU
+    # bottleneck at ~8 ns/row regardless of width — shrinks by the same
+    # factor. Per-voxel geometry (projection, point-to-plane distance
+    # against the shared pixel's plane, weighting, masks) stays per-voxel.
+    # Deviation is bounded by the group's image-space footprint (~2-9 px):
+    # wrong-plane error away from depth edges is sub-mm; at silhouettes a
+    # 1-2 voxel band can take the neighbor surface's update. NOT
+    # reference-exact — bricked==dense tests require pixel_share=1.
+    pixel_share: int = 1
 
 
 class RaycastConfig(NamedTuple):
@@ -161,14 +172,19 @@ class PipelineConfig:
     min_valid_pixels: int = 50
     max_mean_residual: float = 0.25  # meters; <=0 disables the gate
     # Initial pose guess for each frame's GN descent:
-    #   * "velocity" (default): constant-velocity prediction
-    #     T_init = T_{n-1} ∘ (T_{n-2}^{-1} ∘ T_{n-1}) — the camera-frame
-    #     inter-frame motion is assumed to repeat. Falls back to the previous
-    #     pose for the first tracked frame and after a rejected frame.
-    #   * "previous": the reference's behavior — start at the last pose
-    #     (camera_tracking.cpp:66-79 never re-initializes). Halved GN
-    #     iteration counts measured with "velocity" on smooth motion.
-    pose_init: str = "velocity"
+    #   * "previous" (default): the reference's behavior — start at the last
+    #     pose (camera_tracking.cpp:66-79 never re-initializes).
+    #   * "velocity": constant-velocity prediction
+    #     T_init = T_{n-1} ∘ (T_{n-2}^{-1} ∘ T_{n-1}). MEASURED UNSTABLE for
+    #     this frame-to-model tracker and NOT recommended: the fused model's
+    #     residual basin is flat at mm scale (the tracker cannot correct
+    #     errors smaller than ~the fusion smear), so an extrapolating init
+    #     double-integrates the per-frame error — 20-frame synthetic orbit
+    #     ATE degrades 12.5 mm -> 113 mm (and tightening max_twist_diff to
+    #     1e-4 only recovers it to 38 mm at 2.5x the iterations). The
+    #     prediction itself is accurate (2-7 mm vs 4-22 mm from "previous"
+    #     on groundtruth poses); the instability is the closed loop.
+    pose_init: str = "previous"
 
 
 def preset(name: str) -> PipelineConfig:

@@ -336,11 +336,26 @@ def fuse_frame_bricked(
     # take's lowering vectorizes over the index minor dim, so bk < 128 wastes
     # lanes (measured: (8,8,8) bricks ran 3x slower end-to-end with bk=8-wide
     # indices; reshaping the same elements to 128-wide restores the fast path).
-    nvox = cap * bi * bj * bk
-    lane = 128 if nvox % 128 == 0 else bk
-    g = jnp.take(
-        pix, flat_pix.reshape(nvox // lane, lane), axis=0
-    ).reshape(cap, bi, bj, bk, -1)
+    share = getattr(cfg, "pixel_share", 1)
+    if share > 1 and bk % share == 0:
+        # approximate fast mode (see FusionConfig.pixel_share): groups of
+        # `share` adjacent k-voxels read the group-CENTER voxel's pixel row;
+        # the per-row-bound gather shrinks by the same factor. Per-voxel
+        # projection, masks, and distance math below stay per-voxel.
+        fp = flat_pix.reshape(cap, bi, bj, bk // share, share)[..., share // 2]
+        nrow = cap * bi * bj * (bk // share)
+        lane = 128 if nrow % 128 == 0 else bk // share
+        g = jnp.take(pix, fp.reshape(nrow // lane, lane), axis=0)
+        g = g.reshape(cap, bi, bj, bk // share, 1, -1)
+        g = jnp.broadcast_to(
+            g, (cap, bi, bj, bk // share, share, g.shape[-1])
+        ).reshape(cap, bi, bj, bk, -1)
+    else:
+        nvox = cap * bi * bj * bk
+        lane = 128 if nvox % 128 == 0 else bk
+        g = jnp.take(
+            pix, flat_pix.reshape(nvox // lane, lane), axis=0
+        ).reshape(cap, bi, bj, bk, -1)
     nx, ny, nz, s, fin = g[..., 0], g[..., 1], g[..., 2], g[..., 3], g[..., 4]
 
     if cfg.distance != "point_to_plane":
