@@ -33,6 +33,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: the remote compile helper can take minutes
+# when congested; a warm cache makes re-runs (and the driver's run) cheap.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 BASELINE_FPS = 1000.0 / 23.0  # paper §V-E, m=256
 K = 10  # frames per on-device dispatch (compile time scales with K)
 
@@ -201,7 +206,8 @@ def main():
     d = jax.devices()[0]
     print(
         f"# {d.platform}:{d.device_kind} m={cfg.grid.m} K={K} on-device loop, "
-        f"track(stride {cfg.tracking.pixel_stride})+bricked-fuse(color) "
+        f"track(stride {cfg.tracking.pixel_stride})+bricked-fuse(color, "
+        f"pixel_share={cfg.fusion.pixel_share}) "
         f"{best_dt*1e3:.1f} ms/frame, {int(it)} GN iters/{K} frames, "
         f"final |t err| {err*1e3:.1f} mm (baseline {BASELINE_FPS:.1f} fps)",
         file=sys.stderr,

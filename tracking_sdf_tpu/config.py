@@ -198,15 +198,20 @@ def preset(name: str) -> PipelineConfig:
         # 10-frame TUM clip, 128^3.
         "tum128": PipelineConfig(grid=GridParams(m=128)),
         # Full fr1/plant, 256^3 (reference's own configuration).
+        # pixel_share=2 halves the gather-bound fusion cost with measured
+        # ZERO accuracy cost (30-frame 256^3 orbit ATE: 12.2 mm vs 14.5 mm
+        # exact — noise-level equal; BENCHMARKS.md). Exact per-voxel
+        # semantics: pixel_share=1 (pinned by the bricked==dense tests).
         "tum256": PipelineConfig(
             grid=GridParams(m=256),
-            fusion=FusionConfig(mode="bricked"),
+            fusion=FusionConfig(mode="bricked", pixel_share=2),
         ),
         # 512^3 bricked grid + pyramid + device-side marching cubes.
         "tum512": PipelineConfig(
             grid=GridParams(m=512),
             # measured n_full ~28k bricks at 512^3 on a full-FOV scene
-            fusion=FusionConfig(mode="bricked", brick_cap=32768),
+            fusion=FusionConfig(mode="bricked", brick_cap=32768,
+                                pixel_share=2),
             pyramid_levels=(4, 2, 1),
         ),
     }
