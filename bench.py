@@ -156,6 +156,27 @@ def _frame_fn(cfg, cam):
     return frame
 
 
+def _frame_fn_brickmajor(cfg, cam):
+    """Brick-major state variant: carries (bgrid, Dm) instead of the dense
+    grid; fusion's merge relayout doubles as tracking's masked view."""
+    from tracking_sdf_tpu.fusion.brickmajor import fuse_frame_brickmajor
+    from tracking_sdf_tpu.tracking.gauss_newton import track_frame
+
+    params, tcfg = cfg.grid, cfg.tracking
+    fcfg = cfg.fusion._replace(mode="bricked")
+    bs = (8, 8, 8)
+
+    def frame(state, pose_prev2, pose_prev, pts_s, pts, nrm, rgb):
+        bgrid, Dm = state
+        res = track_frame(None, pose_prev, pts_s, params=params, cfg=tcfg,
+                          Dm=Dm)
+        bgrid, Dm, _ = fuse_frame_brickmajor(
+            bgrid, res.pose, pts, nrm, rgb, params=params, cam=cam,
+            cfg=fcfg, bs=bs, cap=fcfg.brick_cap, cap_free=2048)
+        return (bgrid, Dm), res
+    return frame
+
+
 def _fallback_sequential():
     """Per-call dispatch measurement — latency-inflated but always completes
     (the on-device loop's large graph can hit multi-minute remote compiles
@@ -175,30 +196,42 @@ def _fallback_sequential():
 
 
 def main():
+    import os
+
     cfg, cam, poses, PTS, NRM, PTS_S, rgb = build_inputs()
-    frame = _frame_fn(cfg, cam)
+    mode = os.environ.get("BENCH_MODE", "brickmajor")
+    if mode == "brickmajor":
+        from tracking_sdf_tpu.fusion.brickmajor import brick_grid_from_dense
+        from tracking_sdf_tpu.grid.interp import masked_view
+
+        frame = _frame_fn_brickmajor(cfg, cam)
+        dense0 = _bootstrap(cfg, cam, poses, rgb)
+        state0 = (brick_grid_from_dense(dense0, (8, 8, 8)),
+                  masked_view(dense0.D, dense0.W))
+    else:
+        frame = _frame_fn(cfg, cam)
+        state0 = _bootstrap(cfg, cam, poses, rgb)
 
     @jax.jit
-    def run_k(grid, pose_prev2, pose_prev):
+    def run_k(state, pose_prev2, pose_prev):
         def body(k, carry):
-            grid, p2, p1, iters = carry
-            grid, res = frame(grid, p2, p1, PTS_S[k], PTS[k], NRM[k], rgb)
-            return (grid, p1, res.pose, iters + res.iterations)
+            state, p2, p1, iters = carry
+            state, res = frame(state, p2, p1, PTS_S[k], PTS[k], NRM[k], rgb)
+            return (state, p1, res.pose, iters + res.iterations)
         return jax.lax.fori_loop(
-            0, K, body, (grid, pose_prev2, pose_prev, jnp.int32(0)))
+            0, K, body, (state, pose_prev2, pose_prev, jnp.int32(0)))
 
-    grid0 = _bootstrap(cfg, cam, poses, rgb)
-    jax.block_until_ready(grid0.D)
-    grid, _, pose_out, iters = run_k(grid0, poses[0], poses[0])  # compile+warm
-    jax.block_until_ready(grid.D)
+    jax.block_until_ready(jax.tree_util.tree_leaves(state0)[0])
+    state, _, pose_out, iters = run_k(state0, poses[0], poses[0])  # compile+warm
+    jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
 
     best_dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        g, _, p_out, it = run_k(grid, poses[0], poses[0])
-        _ = float(g.W.ravel()[0])  # force full materialization
+        s, _, p_out, it = run_k(state, poses[0], poses[0])
+        _ = float(jax.tree_util.tree_leaves(s)[0].ravel()[0])  # force materialization
         best_dt = min(best_dt, (time.perf_counter() - t0) / K)
-        grid = g
+        state = s
 
     fps = 1.0 / best_dt
     _emit(fps)
@@ -206,7 +239,7 @@ def main():
     d = jax.devices()[0]
     print(
         f"# {d.platform}:{d.device_kind} m={cfg.grid.m} K={K} on-device loop, "
-        f"track(stride {cfg.tracking.pixel_stride})+bricked-fuse(color, "
+        f"mode={mode} track(stride {cfg.tracking.pixel_stride})+fuse(color, "
         f"pixel_share={cfg.fusion.pixel_share}) "
         f"{best_dt*1e3:.1f} ms/frame, {int(it)} GN iters/{K} frames, "
         f"final |t err| {err*1e3:.1f} mm (baseline {BASELINE_FPS:.1f} fps)",

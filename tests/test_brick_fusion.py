@@ -264,3 +264,59 @@ def test_bricked_nan_frame_is_noop():
     assert float(gb.W.sum()) == 0.0
     assert int(stats.n_free) == 0
     assert bool(jnp.isfinite(gb.D).all())
+
+
+def test_brickmajor_matches_dense():
+    """Brick-MAJOR storage fusion == dense fusion (geometry everywhere,
+    color in fused-color voxels), and the emitted Dm is exactly the masked
+    view of the merged grid."""
+    from tracking_sdf_tpu.fusion.brickmajor import (
+        brick_grid_from_dense,
+        dense_from_brick_grid,
+        fuse_frame_brickmajor,
+    )
+    from tracking_sdf_tpu.grid.interp import masked_view
+
+    cfg = FusionConfig(fuse_color=True)
+    gd = empty_grid(PARAMS)
+    bg = brick_grid_from_dense(empty_grid(PARAMS), BS)
+    Dm = None
+    for pose in POSES:
+        pts, normals, rgb = _frame(pose)
+        gd = fuse_frame(gd, pose, pts, normals, rgb,
+                        params=PARAMS, cam=CAM, cfg=cfg)
+        bg, Dm, stats = fuse_frame_brickmajor(
+            bg, pose, pts, normals, rgb, params=PARAMS, cam=CAM, cfg=cfg,
+            bs=BS, cap=220)
+        assert int(stats.overflow) == 0
+        assert int(stats.n_full) > 0
+    gb = dense_from_brick_grid(bg, PARAMS, BS)
+    np.testing.assert_allclose(np.asarray(gb.W), np.asarray(gd.W), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb.D), np.asarray(gd.D), atol=1e-5)
+    fused_c = np.asarray(gb.Wc) > 0
+    assert fused_c.sum() > 100
+    np.testing.assert_allclose(np.asarray(gb.R)[fused_c],
+                               np.asarray(gd.R)[fused_c], atol=1e-5)
+    # the emitted Dm equals masked_view of the merged dense grid
+    Dm_ref = np.asarray(masked_view(gb.D, gb.W))
+    np.testing.assert_array_equal(np.isnan(np.asarray(Dm)), np.isnan(Dm_ref))
+    ok = ~np.isnan(Dm_ref)
+    np.testing.assert_allclose(np.asarray(Dm)[ok], Dm_ref[ok], atol=1e-6)
+
+
+def test_brick_grid_roundtrip():
+    from tracking_sdf_tpu.fusion.brickmajor import (
+        brick_grid_from_dense,
+        dense_from_brick_grid,
+        empty_brick_grid,
+    )
+
+    g = empty_grid(PARAMS)
+    g = g._replace(D=jnp.arange(PARAMS.m ** 3, dtype=jnp.float32)
+                   .reshape(PARAMS.m, PARAMS.m, PARAMS.m))
+    bg = brick_grid_from_dense(g, BS)
+    g2 = dense_from_brick_grid(bg, PARAMS, BS)
+    np.testing.assert_array_equal(np.asarray(g2.D), np.asarray(g.D))
+    be = empty_brick_grid(PARAMS, BS)
+    ge = dense_from_brick_grid(be, PARAMS, BS)
+    np.testing.assert_array_equal(np.asarray(ge.D), np.asarray(empty_grid(PARAMS).D))

@@ -1,0 +1,239 @@
+"""Brick-MAJOR TSDF fusion: compact-brick classification with a cheap merge.
+
+The flat-layout bricked path (fusion.brick) faces a shape trade-off measured
+in BENCHMARKS.md: COMPACT bricks like (8, 8, 8) classify far better (the
+FREE proof fires, ~2.9M FULL voxels vs 4.95M for (1, 8, 128) at 256^3 —
+1.7x fewer pixel-row gathers, the dominant fusion cost) but LOSE end-to-end
+because the merge tail writes k-runs of bk elements into the flat (m, m, m)
+grid: at bk = 8 that is ~365k 32-byte scatter rows at ~0.2 us/row (~70 ms),
+where (1, 8, 128)'s fat rows cost ~6 ms.
+
+This module removes the trade-off by changing the STORAGE layout: grid
+leaves live as (NB, BV) brick-row tables (BV = bi*bj*bk voxels, one brick =
+one contiguous row). The merge is then gather/merge/scatter of ~n_full fat
+2-KB rows — measured 1.14 ms/leaf for 7k bricks — independent of brick
+shape, so the classification-optimal compact brick wins outright.
+
+Consumers that need the flat (m, m, m) layout (tracking interpolation,
+raycasting, meshing — contiguous k rows) get it from ONE relayout pass per
+fused frame (measured 5.3 ms at 256^3) which doubles as tracking's
+masked_view build (W <= 0 -> NaN), replacing that separate per-frame pass.
+Color leaves stay brick-major and are only relayouted on demand (mesh
+export / color rendering, ~1 Hz in the reference, sdf.cpp:317-391).
+
+Semantics are identical to fusion.brick (same classifier, same per-voxel
+update math — see that module's OUT/FREE proofs); parity is pinned by
+tests/test_brick_fusion.py::test_brickmajor_matches_dense.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tracking_sdf_tpu.config import FusionConfig, GridParams
+from tracking_sdf_tpu.core.camera import PinholeCamera
+from tracking_sdf_tpu.core.lie import Pose
+from tracking_sdf_tpu.fusion.brick import (
+    FuseStats,
+    _full_brick_updates,
+    _pixel_table,
+    classify_bricks,
+)
+from tracking_sdf_tpu.grid.grid import TSDFGrid
+
+
+class BrickGrid(NamedTuple):
+    """TSDF grid in brick-major layout: each leaf (NB, BV) float.
+
+    Brick b = (ib, jb, kb) row-major over (nbi, nbj, nbk); within a row,
+    voxels are (di, dj, dk) row-major over the brick shape. Equivalent to
+    the dense (m, m, m) grid via a pure reshape/transpose (to_dense)."""
+
+    D: jnp.ndarray
+    W: jnp.ndarray
+    R: jnp.ndarray
+    G: jnp.ndarray
+    B: jnp.ndarray
+    Wc: jnp.ndarray
+
+
+def _to_rows(leaf: jnp.ndarray, bs: Tuple[int, int, int]) -> jnp.ndarray:
+    mi, mj, mk = leaf.shape
+    bi, bj, bk = bs
+    return (
+        leaf.reshape(mi // bi, bi, mj // bj, bj, mk // bk, bk)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(-1, bi * bj * bk)
+    )
+
+
+def _from_rows(rows: jnp.ndarray, shape, bs: Tuple[int, int, int]) -> jnp.ndarray:
+    mi, mj, mk = shape
+    bi, bj, bk = bs
+    return (
+        rows.reshape(mi // bi, mj // bj, mk // bk, bi, bj, bk)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(mi, mj, mk)
+    )
+
+
+def brick_grid_from_dense(grid: TSDFGrid, bs: Tuple[int, int, int]) -> BrickGrid:
+    return BrickGrid(*(_to_rows(l, bs) for l in grid))
+
+
+def dense_from_brick_grid(
+    bgrid: BrickGrid, params: GridParams, bs: Tuple[int, int, int]
+) -> TSDFGrid:
+    m = params.m
+    return TSDFGrid(*(_from_rows(l, (m, m, m), bs) for l in bgrid))
+
+
+def empty_brick_grid(
+    params: GridParams, bs: Tuple[int, int, int], dtype=jnp.float32
+) -> BrickGrid:
+    """Fresh grid (SDF::SDF init, sdf.cpp:28-34) already in brick layout."""
+    bi, bj, bk = bs
+    m = params.m
+    NB = (m // bi) * (m // bj) * (m // bk)
+    BV = bi * bj * bk
+    far = params.width + params.height + params.depth
+    return BrickGrid(
+        D=jnp.full((NB, BV), far, dtype=dtype),
+        W=jnp.zeros((NB, BV), dtype=dtype),
+        R=jnp.full((NB, BV), 0.4, dtype=dtype),
+        G=jnp.full((NB, BV), 0.4, dtype=dtype),
+        B=jnp.full((NB, BV), 0.4, dtype=dtype),
+        Wc=jnp.zeros((NB, BV), dtype=dtype),
+    )
+
+
+def masked_dense_D(
+    bgrid: BrickGrid, params: GridParams, bs: Tuple[int, int, int]
+) -> jnp.ndarray:
+    """Flat (m, m, m) masked SDF view (W <= 0 -> NaN) for interpolation."""
+    m = params.m
+    Dm = jnp.where(bgrid.W > 0, bgrid.D, jnp.nan)
+    return _from_rows(Dm, (m, m, m), bs)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("params", "cam", "cfg", "bs", "cap", "cap_free",
+                     "emit_dm"),
+    donate_argnames=("bgrid",),
+)
+def fuse_frame_brickmajor(
+    bgrid: BrickGrid,
+    pose: Pose,
+    points_cam: jnp.ndarray,  # (H, W, 3)
+    normals_cam: jnp.ndarray,  # (H, W, 3)
+    rgb: Optional[jnp.ndarray],  # (H, W, 3) in [0, 1] or None
+    *,
+    params: GridParams,
+    cam: PinholeCamera,
+    cfg: FusionConfig = FusionConfig(),
+    bs: Tuple[int, int, int] = (8, 8, 8),
+    cap: int = 6144,
+    cap_free: Optional[int] = None,
+    emit_dm: bool = True,
+    i_offset=0,
+) -> Tuple[BrickGrid, Optional[jnp.ndarray], FuseStats]:
+    """Fuse one frame into a brick-major grid.
+
+    Returns (bgrid, Dm, stats) where Dm is the flat masked SDF for the NEXT
+    frame's tracking/raycasting (None when emit_dm=False). Donates bgrid:
+    the merge scatter-sets rows in place in HBM.
+
+    Geometry is exactly the dense path's math (same classifier + per-voxel
+    updates as fuse_frame_bricked); color is fused in FULL (surface-band)
+    bricks only — see fusion.brick docstring for why that loses nothing."""
+    dtype = bgrid.D.dtype
+    h, w_img = points_cam.shape[:2]
+    m = params.m
+    bi, bj, bk = bs
+    if m % bi or m % bj or m % bk:
+        raise ValueError(f"grid m={m} not divisible by brick {bs}")
+    nbi, nbj, nbk = m // bi, m // bj, m // bk
+    NB = nbi * nbj * nbk
+    BV = bi * bj * bk
+    if cap_free is None:
+        cap_free = cap
+    fuse_color = cfg.fuse_color and rgb is not None
+
+    pix = _pixel_table(points_cam, normals_cam, rgb, fuse_color, dtype)
+    brick_class = classify_bricks(
+        params, pose, points_cam, normals_cam, cam, bs, dtype, nbi, i_offset)
+    U, full_ids, valid_brick, n_full, _ = _full_brick_updates(
+        brick_class, pix, pose, params, cam, cfg, bs, cap, dtype,
+        (nbi, nbj, nbk), i_offset, (h, w_img), fuse_color)
+    Ur = U.reshape(cap, BV, -1)
+
+    # ---- FULL merge: n_full fat-row gather/merge/scatter-set ---------------
+    # Padded slots gather row 0 (harmless) and scatter to DISTINCT
+    # out-of-bounds rows (unique_indices stays true; mode="drop" discards).
+    rows_g = jnp.where(valid_brick, full_ids, 0)
+    oob = NB + jnp.arange(cap, dtype=jnp.int32)
+    rows_s = jnp.where(valid_brick, full_ids, oob).astype(jnp.int32)
+
+    def sset(tab, new):
+        return tab.at[rows_s].set(new, mode="drop", unique_indices=True)
+
+    Dold = jnp.take(bgrid.D, rows_g, axis=0)  # (cap, BV)
+    Wold = jnp.take(bgrid.W, rows_g, axis=0)
+    w_add = Ur[..., 0]
+    W_new = Wold + w_add
+    if cfg.max_weight is not None:
+        W_new = jnp.minimum(W_new, cfg.max_weight)
+    has = w_add > 0
+    D_new = jnp.where(
+        has, (Wold * Dold + Ur[..., 1]) / jnp.where(has, W_new, 1.0), Dold)
+    Db = sset(bgrid.D, D_new)
+    Wb = sset(bgrid.W, W_new)
+
+    if fuse_color:
+        Rold = jnp.take(bgrid.R, rows_g, axis=0)
+        Gold = jnp.take(bgrid.G, rows_g, axis=0)
+        Bold = jnp.take(bgrid.B, rows_g, axis=0)
+        Wcold = jnp.take(bgrid.Wc, rows_g, axis=0)
+        wc_add = Ur[..., 2]
+        Wc_new = Wcold + wc_add
+        if cfg.max_weight is not None:
+            Wc_new = jnp.minimum(Wc_new, cfg.max_weight)
+        has_c = wc_add > 0
+        safe = jnp.where(has_c, Wc_new, 1.0)
+        Rb = sset(bgrid.R, jnp.where(has_c, (Wcold * Rold + Ur[..., 3]) / safe, Rold))
+        Gb = sset(bgrid.G, jnp.where(has_c, (Wcold * Gold + Ur[..., 4]) / safe, Gold))
+        Bb = sset(bgrid.B, jnp.where(has_c, (Wcold * Bold + Ur[..., 5]) / safe, Bold))
+        Wcb = sset(bgrid.Wc, Wc_new)
+    else:
+        Rb, Gb, Bb, Wcb = bgrid.R, bgrid.G, bgrid.B, bgrid.Wc
+
+    # ---- FREE merge: w = 1, d = +delta, no pixel data ----------------------
+    is_free = brick_class.reshape(-1) == 1
+    n_free = jnp.sum(is_free.astype(jnp.int32))
+    fr_ids = jnp.nonzero(is_free, size=cap_free, fill_value=NB)[0]
+    valid_f = fr_ids < NB
+    rows_fg = jnp.where(valid_f, fr_ids, 0)
+    oob_f = NB + jnp.arange(cap_free, dtype=jnp.int32)
+    rows_fs = jnp.where(valid_f, fr_ids, oob_f).astype(jnp.int32)
+    Dof = jnp.take(Db, rows_fg, axis=0)
+    Wof = jnp.take(Wb, rows_fg, axis=0)
+    W_nf = Wof + 1.0
+    if cfg.max_weight is not None:
+        W_nf = jnp.minimum(W_nf, cfg.max_weight)
+    D_nf = (Wof * Dof + jnp.asarray(params.delta, dtype)) / W_nf
+    Db = Db.at[rows_fs].set(D_nf, mode="drop", unique_indices=True)
+    Wb = Wb.at[rows_fs].set(W_nf, mode="drop", unique_indices=True)
+
+    out = BrickGrid(D=Db, W=Wb, R=Rb, G=Gb, B=Bb, Wc=Wcb)
+    stats = FuseStats(
+        n_full=n_full,
+        overflow=jnp.maximum(n_full - cap, 0),
+        n_free=n_free,
+        overflow_active=jnp.maximum(n_free - cap_free, 0),
+    )
+    Dm = masked_dense_D(out, params, bs) if emit_dm else None
+    return out, Dm, stats

@@ -184,17 +184,24 @@ def _apply_update(pose: Pose, twist: jnp.ndarray, mode: str) -> Pose:
 
 @partial(jax.jit, static_argnames=("params", "cfg"))
 def track_frame(
-    grid: TSDFGrid,
+    grid: Optional[TSDFGrid],
     pose0: Pose,
     points_cam: jnp.ndarray,  # (N, 3) strided camera-frame points (NaN holes ok)
     *,
     params: GridParams,
     cfg: TrackingConfig = TrackingConfig(),
+    Dm: Optional[jnp.ndarray] = None,  # precomputed masked_view (brick-major
+    # fusion emits it as part of its merge relayout — skip the per-frame pass)
 ) -> TrackResult:
-    """Estimate the camera pose for one frame by GN descent on sum phi^2."""
+    """Estimate the camera pose for one frame by GN descent on sum phi^2.
 
-    # one gather per query instead of two in every GN iteration
-    Dm = masked_view(grid.D, grid.W) if cfg.jacobian == "analytic" else None
+    ``grid`` may be None when ``Dm`` is given and jacobian == "analytic"
+    (the brick-major pipeline never materializes the dense grid)."""
+
+    if Dm is None and cfg.jacobian == "analytic":
+        # one gather per query instead of two in every GN iteration
+        Dm = masked_view(grid.D, grid.W)
+    dtype = Dm.dtype if Dm is not None else grid.D.dtype
 
     def residuals(pose):
         if cfg.jacobian == "analytic":
@@ -241,10 +248,10 @@ def track_frame(
         jnp.int32(0),
         pose0,
         jnp.bool_(False),
-        jnp.zeros((6,), dtype=grid.D.dtype),
+        jnp.zeros((6,), dtype=dtype),
         jnp.int32(0),
-        jnp.zeros((), dtype=grid.D.dtype),
-        jnp.asarray(cfg.damping, dtype=grid.D.dtype),
+        jnp.zeros((), dtype=dtype),
+        jnp.asarray(cfg.damping, dtype=dtype),
     )
     i, pose, _, twist, nvalid, mean_res, _ = jax.lax.while_loop(cond, body, state0)
     return TrackResult(pose=pose, iterations=i, final_twist=twist,
