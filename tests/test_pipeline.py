@@ -282,3 +282,46 @@ def test_cli_synthetic_end_to_end(tmp_path, capsys):
     summary = json.loads(out)
     assert summary["frames"] == 5.0
     assert os.path.exists(traj) and os.path.exists(mesh)
+
+
+def test_runner_brickmajor_mode_matches_dense(tmp_path):
+    """mode='brickmajor' through the full runner: tracks the same orbit as
+    dense mode (same poses to f32 tolerance at pixel_share=1), exports a
+    mesh off the materialized dense view, and checkpoint-roundtrips."""
+    poses = _orbit(5)
+    cfg_d = _pipeline_cfg(tmp_path)
+    import dataclasses
+    cfg_b = dataclasses.replace(
+        cfg_d,
+        fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 16),
+                            brick_cap=256),
+    )
+    rd = Reconstruction(CAM, cfg_d, initial_pose=poses[0])
+    rb = Reconstruction(CAM, cfg_b, initial_pose=poses[0])
+    for i, p in enumerate(poses):
+        depth = render_scene_depth(SCENE, CAM, p)
+        rd.process_frame(depth, timestamp=float(i))
+        rb.process_frame(depth, timestamp=float(i))
+    rd.close()
+    rb.close()
+    assert int(rb.last_fuse_stats.overflow) == 0
+    np.testing.assert_allclose(np.asarray(rb.pose.t), np.asarray(rd.pose.t),
+                               atol=1e-4)
+    gd, gb = rd.grid, rb.grid  # rb.grid materializes from brick rows
+    np.testing.assert_allclose(np.asarray(gb.W), np.asarray(gd.W), atol=1e-3)
+    ok = np.asarray(gd.W) > 0
+    np.testing.assert_allclose(np.asarray(gb.D)[ok], np.asarray(gd.D)[ok],
+                               atol=1e-3)
+
+    mesh_path = str(tmp_path / "bm.ply")
+    assert rb.export_mesh(mesh_path) > 100
+
+    # checkpoint through the dense view; restore converts back to bricks
+    ckpt = str(tmp_path / "bm.ckpt")
+    rb2 = Reconstruction(CAM, cfg_b, initial_pose=poses[0])
+    rb.save_checkpoint(ckpt)
+    rb2.restore_checkpoint(ckpt)
+    assert rb2.frame_num == rb.frame_num
+    np.testing.assert_allclose(np.asarray(rb2._bgrid.D), np.asarray(rb._bgrid.D))
+    np.testing.assert_array_equal(np.isnan(np.asarray(rb2._dm)),
+                                  np.isnan(np.asarray(rb._dm)))

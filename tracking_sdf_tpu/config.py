@@ -98,9 +98,14 @@ class FusionConfig(NamedTuple):
 
     ``mode``:
       * "dense": the reference-exact per-voxel gather pass (fuse.fuse_frame).
-      * "bricked": brick-compacted fast path (fusion.brick) — identical
-        geometry, color fused in surface-band bricks only; ~an order of
-        magnitude fewer gathered rows. ``brick_shape``/``brick_cap`` size it.
+      * "bricked": brick-compacted fast path over the FLAT grid layout
+        (fusion.brick) — identical geometry, color fused in surface-band
+        bricks only; ~an order of magnitude fewer gathered rows.
+      * "brickmajor": the fastest path (fusion.brickmajor) — same math, but
+        the grid is STORED as (NB, BV) brick rows, which makes compact
+        (classification-optimal) brick shapes merge at fat-row cost and
+        lets fusion emit tracking's masked Dm view from its own relayout.
+    ``brick_shape``/``brick_cap`` size the bricked paths.
     """
 
     weighting: str = "exponential"
@@ -108,12 +113,13 @@ class FusionConfig(NamedTuple):
     fuse_color: bool = True
     max_weight: Optional[float] = None  # optional running-weight clamp (ref: none)
     mode: str = "dense"
-    # (1, 8, 128): best measured shape at 256^3 — bk=128 satisfies the TPU
-    # (8,128) tile rule (enabling the pallas merge) and makes scatter rows
-    # fat; bi=1 keeps classification granularity fine. Requires m >= 128;
-    # use e.g. (8, 8, 16) for small test grids.
+    # Flat-layout "bricked": (1, 8, 128) measures best at 256^3 (fat scatter
+    # rows dominate the trade). Brick-MAJOR storage frees the choice: the
+    # presets use (8, 8, 8), the classification-optimal shape (fewest FULL
+    # voxels -> fewest pixel-row gathers; BENCHMARKS.md brick-shape study).
     brick_shape: Tuple[int, int, int] = (1, 8, 128)
     brick_cap: int = 6144
+    brick_cap_free: int = 0  # FREE-brick row cap for brickmajor (0 = brick_cap)
     # merge tail for mode="bricked": "xla" (scatter + dense merge; fastest
     # measured) or "pallas" (in-place active-brick kernel — correct on TPU
     # but currently per-step-overhead-bound at small bricks)
@@ -204,14 +210,16 @@ def preset(name: str) -> PipelineConfig:
         # semantics: pixel_share=1 (pinned by the bricked==dense tests).
         "tum256": PipelineConfig(
             grid=GridParams(m=256),
-            fusion=FusionConfig(mode="bricked", pixel_share=2),
+            fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
+                                pixel_share=2, brick_cap_free=2048),
         ),
         # 512^3 bricked grid + pyramid + device-side marching cubes.
         "tum512": PipelineConfig(
             grid=GridParams(m=512),
-            # measured n_full ~28k bricks at 512^3 on a full-FOV scene
-            fusion=FusionConfig(mode="bricked", brick_cap=32768,
-                                pixel_share=2),
+            # surface band ~8x the 256^3 voxel count at half the voxel size
+            fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
+                                brick_cap=49152, pixel_share=2,
+                                brick_cap_free=16384),
             pyramid_levels=(4, 2, 1),
         ),
     }

@@ -224,10 +224,19 @@ def classify_bricks(params, pose, points_cam, normals_cam, cam, bs, dtype,
 
 
 def _pixel_table(points_cam, normals_cam, rgb, fuse_color, dtype):
-    """(H*W, C) gather table: [nx, ny, nz, s=y·n, finite(, cos, r, g, b)].
+    """(H*W, C) gather table: [nx, ny, nz, s=y·n (, cos, cos*r, cos*g, cos*b)].
 
-    Invalid pixels (NaN point/normal, reference sdf.cpp:260) get zeroed
-    channels and finite=0 — the per-voxel `observe` mask carries the skip."""
+    C is 4 (geometry) or 8 (color) — PADDED-POWER-OF-TWO ROWS ARE LOAD-
+    BEARING: the per-voxel random gather runs at ~4.3 ns/row for 8-float
+    rows but 7.7-21.7 ns/row for 9-float rows (measured; the lowering's
+    row copies straddle 32-byte units). Hence:
+      * no `finite` flag channel — an invalid pixel (NaN point/normal,
+        reference sdf.cpp:260) is encoded as s = +inf, which drives the
+        canonical distance d = -(s - p·n) to -inf and the d >= -delta
+        fuse mask to False (exactly the flag's effect);
+      * cos is premultiplied into rgb (w_c·r = w·(cos·r)), saving a
+        channel at one extra f32 rounding vs the dense path (<=1 ulp).
+    """
     h, w_img = points_cam.shape[:2]
     n_img, y_img = normals_cam, points_cam
     finite = (
@@ -235,20 +244,24 @@ def _pixel_table(points_cam, normals_cam, rgb, fuse_color, dtype):
         & jnp.isfinite(n_img[..., 0]) & jnp.isfinite(n_img[..., 1])
         & jnp.isfinite(n_img[..., 2])
     )
-    s_img = jnp.sum(jnp.where(finite[..., None], y_img * n_img, 0.0), axis=-1)
+    s_img = jnp.where(
+        finite,
+        jnp.sum(jnp.where(finite[..., None], y_img * n_img, 0.0), axis=-1),
+        jnp.inf,
+    )
     channels = [
         jnp.where(finite, n_img[..., 0], 0.0),
         jnp.where(finite, n_img[..., 1], 0.0),
         jnp.where(finite, n_img[..., 2], 0.0),
         s_img,
-        finite.astype(dtype),
     ]
     if fuse_color:
         norm_n = jnp.sqrt(jnp.sum(jnp.where(finite[..., None], n_img * n_img, 0.0), -1))
         cos_img = jnp.where(norm_n > 0,
                             jnp.abs(jnp.where(finite, n_img[..., 2], 0.0))
                             / jnp.where(norm_n > 0, norm_n, 1.0), 0.0)
-        channels += [cos_img, rgb[..., 0], rgb[..., 1], rgb[..., 2]]
+        channels += [cos_img, cos_img * rgb[..., 0], cos_img * rgb[..., 1],
+                     cos_img * rgb[..., 2]]
     return jnp.stack(channels, axis=-1).reshape(h * w_img, -1).astype(dtype)
 
 
@@ -333,7 +346,7 @@ def _full_brick_updates(brick_class, pix, pose, params, cam, cfg, bs, cap,
         g = jnp.take(
             pix, flat_pix.reshape(nvox // lane, lane), axis=0
         ).reshape(cap, bi, bj, bk, -1)
-    nx, ny, nz, s, fin = g[..., 0], g[..., 1], g[..., 2], g[..., 3], g[..., 4]
+    nx, ny, nz, s = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
 
     if cfg.distance != "point_to_plane":
         raise NotImplementedError(
@@ -341,20 +354,20 @@ def _full_brick_updates(brick_class, pix, pose, params, cam, cfg, bs, cap,
             "reference mode, sdf.cpp:272); use mode='dense' otherwise"
         )
     d_ref = s - (px * nx + py * ny + pz * nz)
-    d = -d_ref  # canonical +free-space
+    d = -d_ref  # canonical +free-space; invalid pixels (s = +inf) -> -inf
 
-    observe = in_front & ins & (fin > 0) & valid_brick[:, None, None, None]
+    observe = in_front & ins & valid_brick[:, None, None, None]
     fuse_mask = observe & (d >= -params.delta)
-    d = jnp.minimum(d, params.delta)
+    # sanitize BEFORE multiplying: 0 * (-inf) from an invalid pixel is NaN
+    d = jnp.where(fuse_mask, jnp.minimum(d, params.delta), 0.0)
     w_new = jnp.where(
         fuse_mask, weighting(cfg.weighting, d, params.epsilon, params.delta), 0.0
     )
 
     upd = [w_new, w_new * d]
     if fuse_color:
-        cosv, cr, cg, cb = g[..., 5], g[..., 6], g[..., 7], g[..., 8]
-        wc = w_new * cosv
-        upd += [wc, wc * cr, wc * cg, wc * cb]
+        cosv, cosr, cosg, cosb = g[..., 4], g[..., 5], g[..., 6], g[..., 7]
+        upd += [w_new * cosv, w_new * cosr, w_new * cosg, w_new * cosb]
     U = jnp.stack(upd, axis=-1)  # (cap, bi, bj, bk, C)
     return U, full_ids, valid_brick, n_full, (vi, vj, fbk)
 

@@ -80,6 +80,18 @@ class Reconstruction:
             else None
         )
         self._mesh = mesh
+        # brick-major state (mode="brickmajor", single-device): the grid
+        # lives as (NB, BV) brick rows + the flat masked Dm view that the
+        # fusion merge emits for the next frame's tracking.
+        self._bgrid = None
+        self._dm = None
+        if mesh is None and config.fusion.mode == "brickmajor":
+            from tracking_sdf_tpu.fusion.brickmajor import empty_brick_grid
+
+            self._bs = config.fusion.brick_shape
+            self._bgrid = empty_brick_grid(config.grid, self._bs)
+            m = config.grid.m
+            self._dm = jnp.full((m, m, m), jnp.nan, jnp.float32)
         if mesh is not None:
             from tracking_sdf_tpu.parallel import (
                 shard_grid,
@@ -89,9 +101,14 @@ class Reconstruction:
             )
 
             self.grid: TSDFGrid = shard_grid(empty_grid(config.grid), mesh)
-            if config.fusion.mode == "bricked":
+            fcfg = config.fusion
+            if fcfg.mode == "brickmajor":
+                # the sharded path slab-shards the FLAT layout; map to the
+                # flat-layout bricked equivalent with its best brick shape
+                fcfg = fcfg._replace(mode="bricked", brick_shape=(1, 8, 128))
+            if fcfg.mode == "bricked":
                 fuse_b = sharded_fuse_frame_bricked(
-                    mesh, params=config.grid, cam=cam, cfg=config.fusion
+                    mesh, params=config.grid, cam=cam, cfg=fcfg
                 )
 
                 def fuse(grid, pose, pts, normals, rgb):
@@ -107,6 +124,31 @@ class Reconstruction:
             self._track = sharded_track_frame(
                 mesh, params=config.grid, cfg=config.tracking
             )
+        elif self._bgrid is not None:
+            from tracking_sdf_tpu.fusion.brickmajor import fuse_frame_brickmajor
+
+            cap_max = config.fusion.brick_cap
+            self._cap_levels = sorted({max(256, cap_max // 4),
+                                       max(256, cap_max // 2), cap_max})
+            self._cap_idx = len(self._cap_levels) - 1
+
+            def fuse_bm(pose, pts, normals, rgb):
+                cap = self._cap_levels[self._cap_idx]
+                self._bgrid, self._dm, stats = fuse_frame_brickmajor(
+                    self._bgrid, pose, pts, normals, rgb,
+                    params=config.grid, cam=cam, cfg=config.fusion,
+                    bs=self._bs, cap=cap,
+                    cap_free=config.fusion.brick_cap_free or None,
+                )
+                self.last_fuse_stats = stats
+                need = int(stats.n_full) * 1.3
+                self._cap_idx = next(
+                    (i for i, c in enumerate(self._cap_levels) if c >= need),
+                    len(self._cap_levels) - 1,
+                )
+
+            self._fuse_bm = fuse_bm
+            self._track = None
         else:
             self.grid = empty_grid(config.grid)
             if config.fusion.mode == "bricked":
@@ -148,6 +190,28 @@ class Reconstruction:
 
     # ------------------------------------------------------------------ #
 
+    @property
+    def grid(self) -> TSDFGrid:
+        """Dense (m, m, m) grid view. In brick-major mode this MATERIALIZES
+        the dense layout from the brick rows (one transpose pass) — cheap at
+        mesh/checkpoint/render rates, not meant for per-frame hot paths."""
+        if self._bgrid is not None:
+            from tracking_sdf_tpu.fusion.brickmajor import dense_from_brick_grid
+
+            return dense_from_brick_grid(self._bgrid, self.config.grid, self._bs)
+        return self._grid
+
+    @grid.setter
+    def grid(self, g: TSDFGrid) -> None:
+        if getattr(self, "_bgrid", None) is not None:
+            from tracking_sdf_tpu.fusion.brickmajor import brick_grid_from_dense
+            from tracking_sdf_tpu.grid.interp import masked_view
+
+            self._bgrid = brick_grid_from_dense(g, self._bs)
+            self._dm = masked_view(g.D, g.W)
+        else:
+            self._grid = g
+
     def _predict_pose(self) -> Pose:
         """Initial pose guess for the next frame's GN descent.
 
@@ -184,6 +248,11 @@ class Reconstruction:
             self.pose = gt_pose
         elif self.frame_num > 1:
             pose0 = self._predict_pose()
+            # brick-major mode: track against the Dm view emitted by the
+            # last fusion (no dense grid materialization in the hot loop)
+            bm = self._bgrid is not None and cfg.tracking.jacobian == "analytic"
+            g_track = None if bm else self.grid
+            dm = self._dm if bm else None
             if self._track is not None:
                 pts = points[:: cfg.tracking.pixel_stride, :: cfg.tracking.pixel_stride]
                 res = self._track(self.grid, pose0, pts.reshape(-1, 3))
@@ -191,14 +260,14 @@ class Reconstruction:
                 from tracking_sdf_tpu.tracking.pyramid import track_frame_pyramid
 
                 res, _ = track_frame_pyramid(
-                    self.grid, pose0, points, params=cfg.grid,
-                    cfg=cfg.tracking, levels=cfg.pyramid_levels,
+                    g_track, pose0, points, params=cfg.grid,
+                    cfg=cfg.tracking, levels=cfg.pyramid_levels, Dm=dm,
                 )
             else:
                 pts = points[:: cfg.tracking.pixel_stride, :: cfg.tracking.pixel_stride]
                 res = track_frame(
-                    self.grid, pose0, pts.reshape(-1, 3),
-                    params=cfg.grid, cfg=cfg.tracking,
+                    g_track, pose0, pts.reshape(-1, 3),
+                    params=cfg.grid, cfg=cfg.tracking, Dm=dm,
                 )
             jax.block_until_ready(res.pose.t)
             gn_iters = int(res.iterations)
@@ -224,8 +293,12 @@ class Reconstruction:
         t0 = time.perf_counter()
         if not rejected:
             rgb_j = jnp.asarray(rgb) if rgb is not None else None
-            self.grid = self._fuse(self.grid, self.pose, points, normals, rgb_j)
-            jax.block_until_ready(self.grid.D)
+            if self._bgrid is not None:
+                self._fuse_bm(self.pose, points, normals, rgb_j)
+                jax.block_until_ready(self._bgrid.D)
+            else:
+                self.grid = self._fuse(self.grid, self.pose, points, normals, rgb_j)
+                jax.block_until_ready(self.grid.D)
         fuse_ms = (time.perf_counter() - t0) * 1e3
 
         if self._publisher is not None and not rejected:

@@ -34,6 +34,9 @@ def track_frame_pyramid(
     cfg: TrackingConfig = TrackingConfig(),
     levels: Sequence[int] = (4, 2, 1),
     coarse_iterations: int = 10,
+    Dm: jnp.ndarray = None,  # precomputed masked_view; built ONCE here
+    # otherwise (the per-level track_frame would rebuild this full-grid
+    # pass at every pyramid level)
 ) -> Tuple[TrackResult, Tuple[TrackResult, ...]]:
     """Track one frame coarse-to-fine.
 
@@ -43,6 +46,10 @@ def track_frame_pyramid(
     """
     if levels[-1] != 1:
         raise ValueError("levels must end at 1 (finest = cfg.pixel_stride)")
+    if Dm is None and cfg.jacobian == "analytic":
+        from tracking_sdf_tpu.grid.interp import masked_view
+
+        Dm = masked_view(grid.D, grid.W)
     pose = pose0
     results = []
     for li, mult in enumerate(levels):
@@ -51,7 +58,7 @@ def track_frame_pyramid(
         level_cfg = cfg if mult == 1 else cfg._replace(
             max_iterations=coarse_iterations
         )
-        res = track_frame(grid, pose, pts, params=params, cfg=level_cfg)
+        res = track_frame(grid, pose, pts, params=params, cfg=level_cfg, Dm=Dm)
         pose = res.pose
         results.append(res)
     return results[-1], tuple(results)
