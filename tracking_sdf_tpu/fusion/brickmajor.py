@@ -166,10 +166,12 @@ def fuse_frame_brickmajor(
     pix = _pixel_table(points_cam, normals_cam, rgb, fuse_color, dtype)
     brick_class = classify_bricks(
         params, pose, points_cam, normals_cam, cam, bs, dtype, nbi, i_offset)
-    U, full_ids, valid_brick, n_full, _ = _full_brick_updates(
+    upd, full_ids, valid_brick, n_full, _ = _full_brick_updates(
         brick_class, pix, pose, params, cam, cfg, bs, cap, dtype,
         (nbi, nbj, nbk), i_offset, (h, w_img), fuse_color)
-    Ur = U.reshape(cap, BV, -1)
+    # channels stay unstacked: XLA fuses the per-voxel update math directly
+    # into the merge elementwise ops below (no (cap, BV, C) U round-trip)
+    ch = [u.reshape(cap, BV) for u in upd]
 
     # ---- FULL merge: n_full fat-row gather/merge/scatter-set ---------------
     # Padded slots gather row 0 (harmless) and scatter to DISTINCT
@@ -183,13 +185,13 @@ def fuse_frame_brickmajor(
 
     Dold = jnp.take(bgrid.D, rows_g, axis=0)  # (cap, BV)
     Wold = jnp.take(bgrid.W, rows_g, axis=0)
-    w_add = Ur[..., 0]
+    w_add = ch[0]
     W_new = Wold + w_add
     if cfg.max_weight is not None:
         W_new = jnp.minimum(W_new, cfg.max_weight)
     has = w_add > 0
     D_new = jnp.where(
-        has, (Wold * Dold + Ur[..., 1]) / jnp.where(has, W_new, 1.0), Dold)
+        has, (Wold * Dold + ch[1]) / jnp.where(has, W_new, 1.0), Dold)
     Db = sset(bgrid.D, D_new)
     Wb = sset(bgrid.W, W_new)
 
@@ -198,15 +200,15 @@ def fuse_frame_brickmajor(
         Gold = jnp.take(bgrid.G, rows_g, axis=0)
         Bold = jnp.take(bgrid.B, rows_g, axis=0)
         Wcold = jnp.take(bgrid.Wc, rows_g, axis=0)
-        wc_add = Ur[..., 2]
+        wc_add = ch[2]
         Wc_new = Wcold + wc_add
         if cfg.max_weight is not None:
             Wc_new = jnp.minimum(Wc_new, cfg.max_weight)
         has_c = wc_add > 0
         safe = jnp.where(has_c, Wc_new, 1.0)
-        Rb = sset(bgrid.R, jnp.where(has_c, (Wcold * Rold + Ur[..., 3]) / safe, Rold))
-        Gb = sset(bgrid.G, jnp.where(has_c, (Wcold * Gold + Ur[..., 4]) / safe, Gold))
-        Bb = sset(bgrid.B, jnp.where(has_c, (Wcold * Bold + Ur[..., 5]) / safe, Bold))
+        Rb = sset(bgrid.R, jnp.where(has_c, (Wcold * Rold + ch[3]) / safe, Rold))
+        Gb = sset(bgrid.G, jnp.where(has_c, (Wcold * Gold + ch[4]) / safe, Gold))
+        Bb = sset(bgrid.B, jnp.where(has_c, (Wcold * Bold + ch[5]) / safe, Bold))
         Wcb = sset(bgrid.Wc, Wc_new)
     else:
         Rb, Gb, Bb, Wcb = bgrid.R, bgrid.G, bgrid.B, bgrid.Wc
