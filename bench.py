@@ -158,9 +158,13 @@ def _frame_fn(cfg, cam):
 
 def _frame_fn_brickmajor(cfg, cam):
     """Brick-major state variant: carries (bgrid, Dm) instead of the dense
-    grid; fusion's merge relayout doubles as tracking's masked view."""
+    grid; fusion's merge relayout doubles as tracking's masked view.
+    Tracking runs the preset's coarse-to-fine pyramid when configured —
+    the coarse stride-6 pass absorbs nearly all GN iterations at ~equal
+    per-iteration cost but leaves only ~1.6 full-res iterations/frame."""
     from tracking_sdf_tpu.fusion.brickmajor import fuse_frame_brickmajor
     from tracking_sdf_tpu.tracking.gauss_newton import track_frame
+    from tracking_sdf_tpu.tracking.pyramid import track_frame_pyramid
 
     params, tcfg = cfg.grid, cfg.tracking
     fcfg = cfg.fusion._replace(mode="bricked")
@@ -168,8 +172,13 @@ def _frame_fn_brickmajor(cfg, cam):
 
     def frame(state, pose_prev2, pose_prev, pts_s, pts, nrm, rgb):
         bgrid, Dm = state
-        res = track_frame(None, pose_prev, pts_s, params=params, cfg=tcfg,
-                          Dm=Dm)
+        if cfg.pyramid_levels:
+            res, _ = track_frame_pyramid(
+                None, pose_prev, pts, params=params, cfg=tcfg,
+                levels=cfg.pyramid_levels, Dm=Dm)
+        else:
+            res = track_frame(None, pose_prev, pts_s, params=params,
+                              cfg=tcfg, Dm=Dm)
         bgrid, Dm, _ = fuse_frame_brickmajor(
             bgrid, res.pose, pts, nrm, rgb, params=params, cam=cam,
             cfg=fcfg, bs=bs, cap=fcfg.brick_cap, cap_free=2048)

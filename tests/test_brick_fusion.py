@@ -312,11 +312,19 @@ def test_brick_grid_roundtrip():
     )
 
     g = empty_grid(PARAMS)
-    g = g._replace(D=jnp.arange(PARAMS.m ** 3, dtype=jnp.float32)
-                   .reshape(PARAMS.m, PARAMS.m, PARAMS.m))
+    # observed half (W > 0): D must roundtrip exactly; unobserved half
+    # (W = 0): the brick-major storage invariant (D = NaN there) makes D
+    # canonicalize back to the dense far value, whatever was stored.
+    D = jnp.arange(PARAMS.m ** 3, dtype=jnp.float32).reshape(
+        PARAMS.m, PARAMS.m, PARAMS.m)
+    W = (D % 2 == 0).astype(jnp.float32)
+    g = g._replace(D=D, W=W)
     bg = brick_grid_from_dense(g, BS)
     g2 = dense_from_brick_grid(bg, PARAMS, BS)
-    np.testing.assert_array_equal(np.asarray(g2.D), np.asarray(g.D))
+    far = PARAMS.width + PARAMS.height + PARAMS.depth
+    expect = np.where(np.asarray(W) > 0, np.asarray(D), np.float32(far))
+    np.testing.assert_array_equal(np.asarray(g2.D), expect)
+    np.testing.assert_array_equal(np.asarray(g2.W), np.asarray(W))
     be = empty_brick_grid(PARAMS, BS)
     ge = dense_from_brick_grid(be, PARAMS, BS)
     np.testing.assert_array_equal(np.asarray(ge.D), np.asarray(empty_grid(PARAMS).D))

@@ -208,10 +208,14 @@ def preset(name: str) -> PipelineConfig:
         # ZERO accuracy cost (30-frame 256^3 orbit ATE: 12.2 mm vs 14.5 mm
         # exact — noise-level equal; BENCHMARKS.md). Exact per-voxel
         # semantics: pixel_share=1 (pinned by the bricked==dense tests).
+        # pyramid (2, 1): one coarse stride-6 pass absorbs nearly all GN
+        # iterations (59 -> 16 fine iters/10 frames, identical trajectory;
+        # BENCHMARKS.md pyramid A/B), -6.7 ms/frame.
         "tum256": PipelineConfig(
             grid=GridParams(m=256),
             fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
                                 pixel_share=2, brick_cap_free=2048),
+            pyramid_levels=(2, 1),
         ),
         # 512^3 bricked grid + pyramid + device-side marching cubes.
         "tum512": PipelineConfig(

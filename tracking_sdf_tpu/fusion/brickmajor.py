@@ -50,7 +50,15 @@ class BrickGrid(NamedTuple):
 
     Brick b = (ib, jb, kb) row-major over (nbi, nbj, nbk); within a row,
     voxels are (di, dj, dk) row-major over the brick shape. Equivalent to
-    the dense (m, m, m) grid via a pure reshape/transpose (to_dense)."""
+    the dense (m, m, m) grid via a pure reshape/transpose (to_dense).
+
+    STORAGE INVARIANT: D holds NaN wherever W <= 0 (the masked-view
+    encoding, grid/interp.masked_view) instead of the dense layout's "far"
+    init value (sdf.cpp:28-34). Tracking's per-frame Dm relayout is then a
+    pure transpose of D — no W read, no elementwise mask (~1.6 ms/frame at
+    256^3). dense_from_brick_grid restores the reference's far value, so
+    every dense-visible behavior (parity tests, checkpoints, meshing) is
+    unchanged."""
 
     D: jnp.ndarray
     W: jnp.ndarray
@@ -81,14 +89,19 @@ def _from_rows(rows: jnp.ndarray, shape, bs: Tuple[int, int, int]) -> jnp.ndarra
 
 
 def brick_grid_from_dense(grid: TSDFGrid, bs: Tuple[int, int, int]) -> BrickGrid:
-    return BrickGrid(*(_to_rows(l, bs) for l in grid))
+    D = jnp.where(grid.W > 0, grid.D, jnp.nan)  # storage invariant
+    return BrickGrid(_to_rows(D, bs),
+                     *(_to_rows(l, bs) for l in grid[1:]))
 
 
 def dense_from_brick_grid(
     bgrid: BrickGrid, params: GridParams, bs: Tuple[int, int, int]
 ) -> TSDFGrid:
     m = params.m
-    return TSDFGrid(*(_from_rows(l, (m, m, m), bs) for l in bgrid))
+    far = params.width + params.height + params.depth
+    D = jnp.where(bgrid.W > 0, bgrid.D, jnp.asarray(far, bgrid.D.dtype))
+    return TSDFGrid(_from_rows(D, (m, m, m), bs),
+                    *(_from_rows(l, (m, m, m), bs) for l in bgrid[1:]))
 
 
 def empty_brick_grid(
@@ -99,9 +112,8 @@ def empty_brick_grid(
     m = params.m
     NB = (m // bi) * (m // bj) * (m // bk)
     BV = bi * bj * bk
-    far = params.width + params.height + params.depth
     return BrickGrid(
-        D=jnp.full((NB, BV), far, dtype=dtype),
+        D=jnp.full((NB, BV), jnp.nan, dtype=dtype),  # storage invariant (W=0)
         W=jnp.zeros((NB, BV), dtype=dtype),
         R=jnp.full((NB, BV), 0.4, dtype=dtype),
         G=jnp.full((NB, BV), 0.4, dtype=dtype),
@@ -113,10 +125,12 @@ def empty_brick_grid(
 def masked_dense_D(
     bgrid: BrickGrid, params: GridParams, bs: Tuple[int, int, int]
 ) -> jnp.ndarray:
-    """Flat (m, m, m) masked SDF view (W <= 0 -> NaN) for interpolation."""
+    """Flat (m, m, m) masked SDF view (W <= 0 -> NaN) for interpolation.
+
+    Thanks to the storage invariant (D already NaN at W <= 0) this is a
+    pure layout transpose — no W read, no mask pass."""
     m = params.m
-    Dm = jnp.where(bgrid.W > 0, bgrid.D, jnp.nan)
-    return _from_rows(Dm, (m, m, m), bs)
+    return _from_rows(bgrid.D, (m, m, m), bs)
 
 
 @partial(
@@ -185,13 +199,16 @@ def fuse_frame_brickmajor(
 
     Dold = jnp.take(bgrid.D, rows_g, axis=0)  # (cap, BV)
     Wold = jnp.take(bgrid.W, rows_g, axis=0)
+    # storage invariant: Dold is NaN where Wold <= 0 — sanitize before the
+    # Wold * Dold product (0 * NaN = NaN), keep NaN where nothing fused
+    Dold_s = jnp.where(Wold > 0, Dold, 0.0)
     w_add = ch[0]
     W_new = Wold + w_add
     if cfg.max_weight is not None:
         W_new = jnp.minimum(W_new, cfg.max_weight)
     has = w_add > 0
     D_new = jnp.where(
-        has, (Wold * Dold + ch[1]) / jnp.where(has, W_new, 1.0), Dold)
+        has, (Wold * Dold_s + ch[1]) / jnp.where(has, W_new, 1.0), Dold)
     Db = sset(bgrid.D, D_new)
     Wb = sset(bgrid.W, W_new)
 
@@ -223,10 +240,11 @@ def fuse_frame_brickmajor(
     rows_fs = jnp.where(valid_f, fr_ids, oob_f).astype(jnp.int32)
     Dof = jnp.take(Db, rows_fg, axis=0)
     Wof = jnp.take(Wb, rows_fg, axis=0)
+    Dof_s = jnp.where(Wof > 0, Dof, 0.0)  # storage invariant (see FULL merge)
     W_nf = Wof + 1.0
     if cfg.max_weight is not None:
         W_nf = jnp.minimum(W_nf, cfg.max_weight)
-    D_nf = (Wof * Dof + jnp.asarray(params.delta, dtype)) / W_nf
+    D_nf = (Wof * Dof_s + jnp.asarray(params.delta, dtype)) / W_nf
     Db = Db.at[rows_fs].set(D_nf, mode="drop", unique_indices=True)
     Wb = Wb.at[rows_fs].set(W_nf, mode="drop", unique_indices=True)
 

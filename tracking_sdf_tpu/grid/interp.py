@@ -137,18 +137,27 @@ def trilinear_with_grad(
 
 _OFF4 = np.array([[0, 0], [0, 1], [1, 0], [1, 1]], dtype=np.int32)
 
-_ROW_W = 128  # TPU lane width; the fast-gather row unit
+_ROW_W = 128  # corner-fetch gather row width (see _corner_fetch_rows)
 
 
-def _corner_fetch_rows(vol: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
+def _corner_fetch_rows(
+    vol: jnp.ndarray, base: jnp.ndarray, row_w: int = _ROW_W
+) -> jnp.ndarray:
     """All 8 corner values vol[clip(base+off)] via width-128 row gathers.
 
-    TPU gather cost is ~8 ns per ROW independent of row width, and the fast
-    path needs a flat 2D (rows, width) table (3D-operand advanced indexing
-    measures 2x slower per row; see BENCHMARKS.md). The 8 cube corners are 4
-    (i, j) pairs x 2 k-adjacent elements, so fetching 2 consecutive width-128
-    rows per pair (8 rows total) always covers both k lanes; lane extraction
-    is an iota-mask reduction (pure VPU, fused by XLA).
+    TPU gather cost is per ROW, nearly independent of row width, and the
+    fast path needs a flat 2D (rows, width) table (3D-operand advanced
+    indexing measures 2x slower per row; see BENCHMARKS.md). The 8 cube
+    corners are 4 (i, j) pairs x 2 k-adjacent elements, so fetching 2
+    consecutive rows per pair (8 rows total) always covers both k lanes;
+    lane extraction is an iota-mask reduction (pure VPU, fused by XLA).
+
+    Row width: 128 measures FASTEST on hardware (3.28 ms/34k queries) —
+    counter to the narrow-row hypothesis: width-8 rows (8x32B) and a
+    4-row overlapped width-16 layout both measure ~3.8 ms, and width-32
+    overlapped 5.5 ms (scripts/probe_corner_fetch.py). The gather is
+    neither row-count- nor traffic-bound in this regime, so fewer/narrower
+    rows buy nothing; keep the lane-width rows.
 
     Exactly equivalent to the clip-indexed per-corner gather for ALL inputs:
     both corner flat indices are computed with per-corner clipping, so
@@ -159,8 +168,8 @@ def _corner_fetch_rows(vol: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
     base: (..., 3) int32. Returns (..., 8) in _OFFSETS order.
     """
     m0, m1, m2 = vol.shape
-    n_rows = (m0 * m1 * m2) // _ROW_W
-    t = vol.reshape(n_rows, _ROW_W)
+    n_rows = (m0 * m1 * m2) // row_w
+    t = vol.reshape(n_rows, row_w)
     off = jnp.asarray(_OFF4)
     ci = jnp.clip(base[..., 0, None] + off[:, 0], 0, m0 - 1)  # (..., 4)
     cj = jnp.clip(base[..., 1, None] + off[:, 1], 0, m1 - 1)
@@ -168,13 +177,13 @@ def _corner_fetch_rows(vol: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
     k1 = jnp.clip(base[..., 2] + 1, 0, m2 - 1)
     colbase = (ci * m1 + cj) * m2  # (..., 4)
     f0 = colbase + k0[..., None]
-    r0 = f0 // _ROW_W
+    r0 = f0 // row_w
     rows = jnp.stack([r0, r0 + 1], axis=-1)  # (..., 4, 2)
     got = jnp.take(t, rows.reshape(*base.shape[:-1], 8), axis=0, mode="clip")
-    got = got.reshape(*base.shape[:-1], 4, 2 * _ROW_W)
-    lane0 = f0 - r0 * _ROW_W
+    got = got.reshape(*base.shape[:-1], 4, 2 * row_w)
+    lane0 = f0 - r0 * row_w
     lane1 = lane0 + (k1 - k0)[..., None]  # k-clip collapses both to one lane
-    io = jnp.arange(2 * _ROW_W, dtype=jnp.int32)
+    io = jnp.arange(2 * row_w, dtype=jnp.int32)
     # where-select, NOT multiply-by-mask: the table may hold NaN sentinels
     # (masked_view) and NaN * 0 = NaN would poison every window.
     v0 = jnp.sum(jnp.where(io == lane0[..., None], got, 0.0), axis=-1)
@@ -184,8 +193,8 @@ def _corner_fetch_rows(vol: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
 
 def _corner_fetch(vol: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
     """8 corner values at base..base+1, fast-path when the flat size allows
-    the width-128 row view (always for m in {128, 256, 512}; tiny test grids
-    fall back to plain advanced indexing)."""
+    the narrow row view (always for m in {64, 128, 256, 512}; tiny test
+    grids fall back to plain advanced indexing)."""
     if (vol.shape[0] * vol.shape[1] * vol.shape[2]) % _ROW_W == 0:
         return _corner_fetch_rows(vol, base)
     ci, cj, ck = _corner_indices(base)
