@@ -158,7 +158,8 @@ def _frame_fn(cfg, cam):
 
 def _frame_fn_brickmajor(cfg, cam):
     """Brick-major state variant: carries (bgrid, Dm) instead of the dense
-    grid; fusion's merge relayout doubles as tracking's masked view.
+    grid; Dm is the zero-copy BrickMaskedView — tracking gathers corners
+    straight from the brick rows, so no relayout pass exists anywhere.
     Tracking runs the preset's coarse-to-fine pyramid when configured —
     the coarse stride-6 pass absorbs nearly all GN iterations at ~equal
     per-iteration cost but leaves only ~1.6 full-res iterations/frame."""
@@ -181,7 +182,8 @@ def _frame_fn_brickmajor(cfg, cam):
                               cfg=tcfg, Dm=Dm)
         bgrid, Dm, _ = fuse_frame_brickmajor(
             bgrid, res.pose, pts, nrm, rgb, params=params, cam=cam,
-            cfg=fcfg, bs=bs, cap=fcfg.brick_cap, cap_free=2048)
+            cfg=fcfg, bs=bs, cap=fcfg.brick_cap, cap_free=2048,
+            emit_dm="view")
         return (bgrid, Dm), res
     return frame
 
@@ -210,13 +212,13 @@ def main():
     cfg, cam, poses, PTS, NRM, PTS_S, rgb = build_inputs()
     mode = os.environ.get("BENCH_MODE", "brickmajor")
     if mode == "brickmajor":
-        from tracking_sdf_tpu.fusion.brickmajor import brick_grid_from_dense
-        from tracking_sdf_tpu.grid.interp import masked_view
+        from tracking_sdf_tpu.fusion.brickmajor import (
+            brick_grid_from_dense, brick_masked_view)
 
         frame = _frame_fn_brickmajor(cfg, cam)
         dense0 = _bootstrap(cfg, cam, poses, rgb)
-        state0 = (brick_grid_from_dense(dense0, (8, 8, 8)),
-                  masked_view(dense0.D, dense0.W))
+        bg0 = brick_grid_from_dense(dense0, (8, 8, 8))
+        state0 = (bg0, brick_masked_view(bg0, cfg.grid, (8, 8, 8)))
     else:
         frame = _frame_fn(cfg, cam)
         state0 = _bootstrap(cfg, cam, poses, rgb)

@@ -149,3 +149,39 @@ def test_empty_grid_init_matches_reference():
     assert float(g.D[0, 0, 0]) == PARAMS.width + PARAMS.height + PARAMS.depth
     assert float(g.W.sum()) == 0.0
     np.testing.assert_allclose(np.asarray(g.R), 0.4)
+
+
+def test_brick_masked_view_matches_flat_dm():
+    """trilinear_with_grad_nan against a BrickMaskedView must be bit-equal
+    to the flat masked_view path for all queries, including cell edges,
+    grid borders, and out-of-bounds lanes."""
+    from tracking_sdf_tpu.fusion.brickmajor import (
+        brick_grid_from_dense, brick_masked_view)
+    from tracking_sdf_tpu.grid.grid import TSDFGrid
+    from tracking_sdf_tpu.grid.interp import masked_view, trilinear_with_grad_nan
+
+    rng = np.random.default_rng(11)
+    m = 32
+    params = GridParams(m=m, width=2.0, height=2.0, depth=2.0,
+                        origin=(-1.0, -1.0, -1.0))
+    D = rng.normal(size=(m, m, m)).astype(np.float32)
+    W = (rng.uniform(size=(m, m, m)) > 0.3).astype(np.float32)
+    z = np.zeros_like(D)
+    grid = TSDFGrid(jnp.asarray(D), jnp.asarray(W), jnp.asarray(z),
+                    jnp.asarray(z), jnp.asarray(z), jnp.asarray(z))
+    bg = brick_grid_from_dense(grid, (8, 8, 8))
+    view = brick_masked_view(bg, params, (8, 8, 8))
+    Dm = masked_view(grid.D, grid.W)
+
+    q = np.concatenate([
+        rng.uniform(-2.0, m + 1.0, size=(500, 3)),        # incl. OOB
+        rng.integers(0, m, size=(100, 3)).astype(float),  # exact corners
+        np.stack([np.full(50, 0.25), rng.uniform(0, m - 1, 50),
+                  np.full(50, m - 1.25)], axis=-1),        # borders
+    ]).astype(np.float32)
+
+    v0, g0, ok0 = trilinear_with_grad_nan(Dm, jnp.asarray(q))
+    v1, g1, ok1 = trilinear_with_grad_nan(view, jnp.asarray(q))
+    np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=0, atol=0)

@@ -323,5 +323,6 @@ def test_runner_brickmajor_mode_matches_dense(tmp_path):
     rb2.restore_checkpoint(ckpt)
     assert rb2.frame_num == rb.frame_num
     np.testing.assert_allclose(np.asarray(rb2._bgrid.D), np.asarray(rb._bgrid.D))
-    np.testing.assert_array_equal(np.isnan(np.asarray(rb2._dm)),
-                                  np.isnan(np.asarray(rb._dm)))
+    # _dm is the zero-copy BrickMaskedView over the brick rows
+    np.testing.assert_array_equal(np.isnan(np.asarray(rb2._dm.rows)),
+                                  np.isnan(np.asarray(rb._dm.rows)))

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -201,6 +202,76 @@ def _corner_fetch(vol: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
     return _gather_corners(vol, ci, cj, ck, None)
 
 
+@jax.tree_util.register_pytree_node_class
+class BrickMaskedView:
+    """Masked SDF view (W <= 0 -> NaN) in BRICK-MAJOR storage order.
+
+    ``rows`` is the brick-major flat array (fusion.brickmajor.BrickGrid.D,
+    which already holds the NaN sentinel as its storage invariant) viewed as
+    (total // 128, 128) gather rows. Addressing is by GLOBAL brick-major
+    flat index F = brick_row * BV + intra-brick offset, so rows may straddle
+    brick boundaries — only total % 128 == 0 is required.
+
+    Purpose: tracking's corner fetch can gather straight from the fused
+    brick grid — 8 row-gathers per query exactly like the flat-layout path
+    (gather cost is per row; see BENCHMARKS.md) — which removes the
+    per-frame Dm relayout transpose (~3 ms at 256^3) from the frame budget
+    entirely. The flat (m, m, m) view remains available on demand for
+    raycasting/meshing via fusion.brickmajor.masked_dense_D.
+    """
+
+    __slots__ = ("rows", "m", "bs")
+
+    def __init__(self, rows: jnp.ndarray, m: int, bs: Tuple[int, int, int]):
+        self.rows = rows
+        self.m = m
+        self.bs = tuple(bs)
+
+    @property
+    def dtype(self):
+        return self.rows.dtype
+
+    @property
+    def shape(self):
+        return (self.m, self.m, self.m)
+
+    def tree_flatten(self):
+        return (self.rows,), (self.m, self.bs)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+
+def _corner_fetch_brick(view: BrickMaskedView, base: jnp.ndarray) -> jnp.ndarray:
+    """All 8 corner values from a BrickMaskedView via per-corner row gathers.
+
+    Same cost profile as _corner_fetch_rows (8 width-128 row gathers per
+    query + one iota-mask lane extraction each); only the address math
+    changes: clipped corner (i, j, k) -> brick-major flat index -> (row,
+    lane). Boundary behavior matches the flat path: per-corner clip to the
+    grid, out-of-bounds corners masked by the caller via _in_bounds.
+    """
+    bi, bj, bk = view.bs
+    m = view.m
+    nbj, nbk = m // bj, m // bk
+    BV = bi * bj * bk
+    ci, cj, ck = _corner_indices(base)  # (..., 8) each
+    ci = jnp.clip(ci, 0, m - 1)
+    cj = jnp.clip(cj, 0, m - 1)
+    ck = jnp.clip(ck, 0, m - 1)
+    ib, di = ci // bi, ci % bi
+    jb, dj = cj // bj, cj % bj
+    kb, dk = ck // bk, ck % bk
+    F = ((ib * nbj + jb) * nbk + kb) * BV + (di * bj + dj) * bk + dk
+    row = F // _ROW_W
+    lane = F % _ROW_W
+    got = jnp.take(view.rows, row, axis=0, mode="clip")  # (..., 8, 128)
+    io = jnp.arange(_ROW_W, dtype=jnp.int32)
+    # where-select, NOT multiply-by-mask (NaN sentinels; see _corner_fetch_rows)
+    return jnp.sum(jnp.where(io == lane[..., None], got, 0.0), axis=-1)
+
+
 def masked_view(D: jnp.ndarray, W: jnp.ndarray) -> jnp.ndarray:
     """D with unobserved voxels (W <= 0) replaced by NaN.
 
@@ -228,7 +299,10 @@ def trilinear_with_grad_nan(
 
     ci, cj, ck = _corner_indices(base)
     inb = _in_bounds(ci, cj, ck, Dm.shape)
-    d_raw = _corner_fetch(Dm, base)
+    if isinstance(Dm, BrickMaskedView):
+        d_raw = _corner_fetch_brick(Dm, base)
+    else:
+        d_raw = _corner_fetch(Dm, base)
     mask = (inb & jnp.isfinite(d_raw)).astype(dtype)
     d = jnp.where(mask > 0, d_raw, 0.0)
 

@@ -81,17 +81,19 @@ class Reconstruction:
         )
         self._mesh = mesh
         # brick-major state (mode="brickmajor", single-device): the grid
-        # lives as (NB, BV) brick rows + the flat masked Dm view that the
-        # fusion merge emits for the next frame's tracking.
+        # lives as (NB, BV) brick rows + a zero-copy BrickMaskedView that
+        # tracking interpolates from directly (no per-frame relayout).
         self._bgrid = None
         self._dm = None
         if mesh is None and config.fusion.mode == "brickmajor":
-            from tracking_sdf_tpu.fusion.brickmajor import empty_brick_grid
+            from tracking_sdf_tpu.fusion.brickmajor import (
+                brick_masked_view,
+                empty_brick_grid,
+            )
 
             self._bs = config.fusion.brick_shape
             self._bgrid = empty_brick_grid(config.grid, self._bs)
-            m = config.grid.m
-            self._dm = jnp.full((m, m, m), jnp.nan, jnp.float32)
+            self._dm = brick_masked_view(self._bgrid, config.grid, self._bs)
         if mesh is not None:
             from tracking_sdf_tpu.parallel import (
                 shard_grid,
@@ -139,6 +141,7 @@ class Reconstruction:
                     params=config.grid, cam=cam, cfg=config.fusion,
                     bs=self._bs, cap=cap,
                     cap_free=config.fusion.brick_cap_free or None,
+                    emit_dm="view",
                 )
                 self.last_fuse_stats = stats
                 need = int(stats.n_full) * 1.3
@@ -204,11 +207,13 @@ class Reconstruction:
     @grid.setter
     def grid(self, g: TSDFGrid) -> None:
         if getattr(self, "_bgrid", None) is not None:
-            from tracking_sdf_tpu.fusion.brickmajor import brick_grid_from_dense
-            from tracking_sdf_tpu.grid.interp import masked_view
+            from tracking_sdf_tpu.fusion.brickmajor import (
+                brick_grid_from_dense,
+                brick_masked_view,
+            )
 
             self._bgrid = brick_grid_from_dense(g, self._bs)
-            self._dm = masked_view(g.D, g.W)
+            self._dm = brick_masked_view(self._bgrid, self.config.grid, self._bs)
         else:
             self._grid = g
 
