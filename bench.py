@@ -235,23 +235,27 @@ def main():
     jax.block_until_ready(jax.tree_util.tree_leaves(state0)[0])
     state, _, pose_out, iters = run_k(state0, poses[0], poses[0])  # compile+warm
     jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+    # accuracy from the CLEAN warmup run: the timing reps below re-track the
+    # same frames against an already-multiply-fused grid from poses[0], so
+    # their trajectory error is a harness artifact, not pipeline drift
+    err = float(jnp.linalg.norm(pose_out.t - poses[K].t))
+    it = int(iters)
 
     best_dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        s, _, p_out, it = run_k(state, poses[0], poses[0])
+        s, _, p_out, _ = run_k(state, poses[0], poses[0])
         _ = float(jax.tree_util.tree_leaves(s)[0].ravel()[0])  # force materialization
         best_dt = min(best_dt, (time.perf_counter() - t0) / K)
         state = s
 
     fps = 1.0 / best_dt
     _emit(fps)
-    err = float(jnp.linalg.norm(p_out.t - poses[K].t))
     d = jax.devices()[0]
     print(
         f"# {d.platform}:{d.device_kind} m={cfg.grid.m} K={K} on-device loop, "
         f"mode={mode} track(stride {cfg.tracking.pixel_stride})+fuse(color, "
-        f"pixel_share={cfg.fusion.pixel_share}) "
+        f"pixel_share={cfg.fusion.pixel_share}x{cfg.fusion.pixel_share_j}) "
         f"{best_dt*1e3:.1f} ms/frame, {int(it)} GN iters/{K} frames, "
         f"final |t err| {err*1e3:.1f} mm (baseline {BASELINE_FPS:.1f} fps)",
         file=sys.stderr,

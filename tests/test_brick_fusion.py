@@ -328,3 +328,47 @@ def test_brick_grid_roundtrip():
     be = empty_brick_grid(PARAMS, BS)
     ge = dense_from_brick_grid(be, PARAMS, BS)
     np.testing.assert_array_equal(np.asarray(ge.D), np.asarray(empty_grid(PARAMS).D))
+
+
+def test_pixel_share_j_close_and_plane_exact():
+    """pixel_share_j (2x2 sharing): same closeness bound as pixel_share,
+    plus an EXACTNESS oracle — on a single plane filling the FOV, every
+    pixel carries the same plane, so which pixel a voxel reads cannot
+    matter: shared == exact bit-for-bit (masks aside, support identical)."""
+    cfg1 = FusionConfig(fuse_color=False)
+    cfg22 = FusionConfig(fuse_color=False, pixel_share=2, pixel_share_j=2)
+
+    # closeness on the full scene
+    pts, normals, _ = _frame(POSES[0])
+    g1, _ = fuse_frame_bricked(empty_grid(PARAMS), POSES[0], pts, normals,
+                               None, params=PARAMS, cam=CAM, cfg=cfg1,
+                               bs=BS, cap=128)
+    g2, _ = fuse_frame_bricked(empty_grid(PARAMS), POSES[0], pts, normals,
+                               None, params=PARAMS, cam=CAM, cfg=cfg22,
+                               bs=BS, cap=128)
+    D1, D2 = np.asarray(g1.D), np.asarray(g2.D)
+    W1, W2 = np.asarray(g1.W), np.asarray(g2.W)
+    both = (W1 > 0) & (W2 > 0)
+    assert both.sum() > 1000
+    diff = np.abs(D1[both] - D2[both])
+    assert np.quantile(diff, 0.98) < 2 * PARAMS.width / PARAMS.m
+    assert ((W1 > 0) != (W2 > 0)).mean() < 0.02
+
+    # plane-exactness oracle: wall-only scene -> one plane everywhere
+    pose = POSES[0]
+    depth = render_scene_depth(WALL, CAM, pose)
+    ppts = backproject(CAM, depth)
+    pnrm = estimate_normals(ppts)
+    ga, _ = fuse_frame_bricked(empty_grid(PARAMS), pose, ppts, pnrm, None,
+                               params=PARAMS, cam=CAM, cfg=cfg1, bs=BS,
+                               cap=256)
+    gb, _ = fuse_frame_bricked(empty_grid(PARAMS), pose, ppts, pnrm, None,
+                               params=PARAMS, cam=CAM, cfg=cfg22, bs=BS,
+                               cap=256)
+    Wa, Wb = np.asarray(ga.W), np.asarray(gb.W)
+    ok = (Wa > 0) & (Wb > 0)
+    assert ok.sum() > 500
+    # identical plane => identical point-to-plane distances; small residual
+    # tolerance covers the estimated normals' pixel-to-pixel jitter
+    np.testing.assert_allclose(np.asarray(gb.D)[ok], np.asarray(ga.D)[ok],
+                               atol=5e-3)

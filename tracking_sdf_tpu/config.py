@@ -136,6 +136,12 @@ class FusionConfig(NamedTuple):
     # 1-2 voxel band can take the neighbor surface's update. NOT
     # reference-exact — bricked==dense tests require pixel_share=1.
     pixel_share: int = 1
+    # Same idea along the j (grid-y) axis, multiplicative with pixel_share:
+    # a (pixel_share_j x pixel_share) voxel group shares one gathered row.
+    # 2x2 halves the gather again vs k-only share=2 at a smaller worst-case
+    # image offset than share=4 along k (group radius ~0.7 voxel diagonal
+    # vs 1.5 voxels). Validate closed-loop before defaulting (BENCHMARKS.md).
+    pixel_share_j: int = 1
 
 
 class RaycastConfig(NamedTuple):
@@ -204,17 +210,21 @@ def preset(name: str) -> PipelineConfig:
         # 10-frame TUM clip, 128^3.
         "tum128": PipelineConfig(grid=GridParams(m=128)),
         # Full fr1/plant, 256^3 (reference's own configuration).
-        # pixel_share=2 halves the gather-bound fusion cost with measured
-        # ZERO accuracy cost (30-frame 256^3 orbit ATE: 12.2 mm vs 14.5 mm
-        # exact — noise-level equal; BENCHMARKS.md). Exact per-voxel
-        # semantics: pixel_share=1 (pinned by the bricked==dense tests).
+        # pixel_share 2x2 (k- and j-axis) quarters the gather-bound fusion
+        # cost with measured ZERO accuracy cost: 10-frame on-device closed
+        # loop |t err| 13.3 mm (2x2) vs 22.9 mm (k-only share=2) vs 22.7 mm
+        # (exact); the group radius (~0.7 voxel diagonal) stays below the
+        # share=4-along-k radius (1.5 voxels) that DID destabilize tracking
+        # (42.8 mm, rejected) — BENCHMARKS.md. Exact per-voxel semantics:
+        # pixel_share=1 (pinned by the bricked==dense tests).
         # pyramid (2, 1): one coarse stride-6 pass absorbs nearly all GN
         # iterations (59 -> 16 fine iters/10 frames, identical trajectory;
         # BENCHMARKS.md pyramid A/B), -6.7 ms/frame.
         "tum256": PipelineConfig(
             grid=GridParams(m=256),
             fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
-                                pixel_share=2, brick_cap_free=2048),
+                                pixel_share=2, pixel_share_j=2,
+                                brick_cap_free=2048),
             pyramid_levels=(2, 1),
         ),
         # 512^3 bricked grid + pyramid + device-side marching cubes.
@@ -223,7 +233,7 @@ def preset(name: str) -> PipelineConfig:
             # surface band ~8x the 256^3 voxel count at half the voxel size
             fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
                                 brick_cap=49152, pixel_share=2,
-                                brick_cap_free=16384),
+                                pixel_share_j=2, brick_cap_free=16384),
             pyramid_levels=(4, 2, 1),
         ),
     }

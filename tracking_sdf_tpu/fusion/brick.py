@@ -349,19 +349,26 @@ def _full_brick_updates(brick_class, pix, pose, params, cam, cfg, bs, cap,
     # take's lowering vectorizes over the index minor dim, so bk < 128 wastes
     # lanes (measured: (8,8,8) bricks ran 3x slower end-to-end with bk=8-wide
     # indices; reshaping the same elements to 128-wide restores the fast path).
-    share = getattr(cfg, "pixel_share", 1)
-    if share > 1 and bk % share == 0:
+    sk = getattr(cfg, "pixel_share", 1)
+    sj = getattr(cfg, "pixel_share_j", 1)
+    if bk % sk:
+        sk = 1
+    if bj % sj:
+        sj = 1
+    if sk > 1 or sj > 1:
         # approximate fast mode (see FusionConfig.pixel_share): groups of
-        # `share` adjacent k-voxels read the group-CENTER voxel's pixel row;
-        # the per-row-bound gather shrinks by the same factor. Per-voxel
-        # projection, masks, and distance math below stay per-voxel.
-        fp = flat_pix.reshape(cap, bi, bj, bk // share, share)[..., share // 2]
-        nrow = cap * bi * bj * (bk // share)
-        lane = 128 if nrow % 128 == 0 else bk // share
+        # `sk` adjacent k-voxels (x `sj` adjacent j-voxels) read the
+        # group-CENTER voxel's pixel row; the per-row-bound gather shrinks
+        # by the same factor. Per-voxel projection, masks, and distance
+        # math below stay per-voxel.
+        fp = flat_pix.reshape(cap, bi, bj // sj, sj, bk // sk, sk)
+        fp = fp[:, :, :, sj // 2, :, sk // 2]  # (cap, bi, bj/sj, bk/sk)
+        nrow = cap * bi * (bj // sj) * (bk // sk)
+        lane = 128 if nrow % 128 == 0 else bk // sk
         g = jnp.take(pix, fp.reshape(nrow // lane, lane), axis=0)
-        g = g.reshape(cap, bi, bj, bk // share, 1, -1)
+        g = g.reshape(cap, bi, bj // sj, 1, bk // sk, 1, -1)
         g = jnp.broadcast_to(
-            g, (cap, bi, bj, bk // share, share, g.shape[-1])
+            g, (cap, bi, bj // sj, sj, bk // sk, sk, g.shape[-1])
         ).reshape(cap, bi, bj, bk, -1)
     else:
         nvox = cap * bi * bj * bk
