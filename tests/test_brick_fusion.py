@@ -372,3 +372,99 @@ def test_pixel_share_j_close_and_plane_exact():
     # tolerance covers the estimated normals' pixel-to-pixel jitter
     np.testing.assert_allclose(np.asarray(gb.D)[ok], np.asarray(ga.D)[ok],
                                atol=5e-3)
+
+
+def test_packed_matches_dense():
+    """PACKED one-array fusion == dense fusion (geometry everywhere, color
+    in fused-color voxels), and its zero-copy pitch view interpolates
+    identically to the dense masked view (value, gradient, and validity)."""
+    from tracking_sdf_tpu.fusion.packed import (
+        dense_from_packed,
+        empty_packed_grid,
+        fuse_frame_packed,
+    )
+    from tracking_sdf_tpu.grid.interp import masked_view, trilinear_with_grad_nan
+
+    cfg = FusionConfig(fuse_color=True)
+    gd = empty_grid(PARAMS)
+    pg = empty_packed_grid(PARAMS, BS)
+    view = None
+    for pose in POSES:
+        pts, normals, rgb = _frame(pose)
+        gd = fuse_frame(gd, pose, pts, normals, rgb,
+                        params=PARAMS, cam=CAM, cfg=cfg)
+        pg, view, stats = fuse_frame_packed(
+            pg, pose, pts, normals, rgb, params=PARAMS, cam=CAM, cfg=cfg,
+            bs=BS, cap=220)
+        assert int(stats.overflow) == 0
+        assert int(stats.n_full) > 0
+    gp = dense_from_packed(pg, PARAMS, BS)
+    np.testing.assert_allclose(np.asarray(gp.W), np.asarray(gd.W), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp.D), np.asarray(gd.D), atol=1e-5)
+    fused_c = np.asarray(gp.Wc) > 0
+    assert fused_c.sum() > 100
+    for ch in ("R", "G", "B", "Wc"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(gp, ch))[fused_c],
+            np.asarray(getattr(gd, ch))[fused_c], atol=1e-5, err_msg=ch)
+
+    # zero-copy view parity: the packed pitch view (D rows interleaved with
+    # the other channels at stride C*BV) must interpolate exactly like the
+    # flat masked view — value, analytic gradient, and validity mask.
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.uniform(-1.0, PARAMS.m, size=(512, 3)), jnp.float32)
+    Dm_ref = masked_view(gp.D, gp.W)
+    v_ref, g_ref, ok_ref = trilinear_with_grad_nan(Dm_ref, q)
+    v, g, ok = trilinear_with_grad_nan(view, q)
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_ref))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-6)
+
+
+def test_packed_geometry_only_matches_dense():
+    """rgb=None fuses only the (D, W) channel rows (nch=2): geometry matches
+    dense and the color channels stay at their init values."""
+    from tracking_sdf_tpu.fusion.packed import (
+        dense_from_packed,
+        empty_packed_grid,
+        fuse_frame_packed,
+    )
+
+    cfg = FusionConfig(fuse_color=False)
+    gd = empty_grid(PARAMS)
+    pg = empty_packed_grid(PARAMS, BS)
+    for pose in POSES:
+        pts, normals, _ = _frame(pose)
+        gd = fuse_frame(gd, pose, pts, normals, None,
+                        params=PARAMS, cam=CAM, cfg=cfg)
+        pg, _, stats = fuse_frame_packed(
+            pg, pose, pts, normals, None, params=PARAMS, cam=CAM, cfg=cfg,
+            bs=BS, cap=220, emit_dm=False)
+        assert int(stats.overflow) == 0
+    gp = dense_from_packed(pg, PARAMS, BS)
+    np.testing.assert_allclose(np.asarray(gp.W), np.asarray(gd.W), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp.D), np.asarray(gd.D), atol=1e-5)
+    assert float(np.asarray(gp.Wc).max()) == 0.0
+    np.testing.assert_array_equal(np.asarray(gp.R), np.float32(0.4))
+
+
+def test_packed_grid_roundtrip():
+    from tracking_sdf_tpu.fusion.packed import (
+        dense_from_packed,
+        empty_packed_grid,
+        packed_from_dense,
+    )
+
+    g = empty_grid(PARAMS)
+    D = jnp.arange(PARAMS.m ** 3, dtype=jnp.float32).reshape(
+        PARAMS.m, PARAMS.m, PARAMS.m)
+    W = (D % 2 == 0).astype(jnp.float32)
+    g = g._replace(D=D, W=W)
+    g2 = dense_from_packed(packed_from_dense(g, BS), PARAMS, BS)
+    far = PARAMS.width + PARAMS.height + PARAMS.depth
+    expect = np.where(np.asarray(W) > 0, np.asarray(D), np.float32(far))
+    np.testing.assert_array_equal(np.asarray(g2.D), expect)
+    np.testing.assert_array_equal(np.asarray(g2.W), np.asarray(W))
+    ge = dense_from_packed(empty_packed_grid(PARAMS, BS), PARAMS, BS)
+    np.testing.assert_array_equal(np.asarray(ge.D),
+                                  np.asarray(empty_grid(PARAMS).D))

@@ -284,16 +284,21 @@ def test_cli_synthetic_end_to_end(tmp_path, capsys):
     assert os.path.exists(traj) and os.path.exists(mesh)
 
 
-def test_runner_brickmajor_mode_matches_dense(tmp_path):
-    """mode='brickmajor' through the full runner: tracks the same orbit as
-    dense mode (same poses to f32 tolerance at pixel_share=1), exports a
-    mesh off the materialized dense view, and checkpoint-roundtrips."""
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["brickmajor", "packed"])
+def test_runner_brickmajor_mode_matches_dense(tmp_path, mode):
+    """mode='brickmajor'/'packed' through the full runner: tracks the same
+    orbit as dense mode (same poses to f32 tolerance at pixel_share=1),
+    exports a mesh off the materialized dense view, and
+    checkpoint-roundtrips."""
     poses = _orbit(5)
     cfg_d = _pipeline_cfg(tmp_path)
     import dataclasses
     cfg_b = dataclasses.replace(
         cfg_d,
-        fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 16),
+        fusion=FusionConfig(mode=mode, brick_shape=(8, 8, 16),
                             brick_cap=256),
     )
     rd = Reconstruction(CAM, cfg_d, initial_pose=poses[0])
@@ -322,7 +327,10 @@ def test_runner_brickmajor_mode_matches_dense(tmp_path):
     rb.save_checkpoint(ckpt)
     rb2.restore_checkpoint(ckpt)
     assert rb2.frame_num == rb.frame_num
-    np.testing.assert_allclose(np.asarray(rb2._bgrid.D), np.asarray(rb._bgrid.D))
-    # _dm is the zero-copy BrickMaskedView over the brick rows
-    np.testing.assert_array_equal(np.isnan(np.asarray(rb2._dm.rows)),
-                                  np.isnan(np.asarray(rb._dm.rows)))
+    D2, D1 = ((r._bgrid.data[:, 0] if mode == "packed" else r._bgrid.D)
+              for r in (rb2, rb))
+    np.testing.assert_allclose(np.asarray(D2), np.asarray(D1))
+    # _dm is the zero-copy BrickMaskedView over the brick rows; compare the
+    # D lanes only (the packed view's rows interleave all six channels)
+    np.testing.assert_array_equal(np.isnan(np.asarray(D2)),
+                                  np.isnan(np.asarray(D1)))

@@ -218,14 +218,23 @@ class BrickMaskedView:
     per-frame Dm relayout transpose (~3 ms at 256^3) from the frame budget
     entirely. The flat (m, m, m) view remains available on demand for
     raycasting/meshing via fusion.brickmajor.masked_dense_D.
+
+    ``pitch`` is the flat-element stride between consecutive bricks' D rows
+    (default BV = one brick per row). The PACKED layout (fusion.packed,
+    one (NB, C, BV) array with D at channel 0) sets pitch = C * BV: the
+    same ``rows`` view then addresses D rows through the interleaved
+    channels with no copy.
     """
 
-    __slots__ = ("rows", "m", "bs")
+    __slots__ = ("rows", "m", "bs", "pitch")
 
-    def __init__(self, rows: jnp.ndarray, m: int, bs: Tuple[int, int, int]):
+    def __init__(self, rows: jnp.ndarray, m: int, bs: Tuple[int, int, int],
+                 pitch: int = 0):
         self.rows = rows
         self.m = m
         self.bs = tuple(bs)
+        bi, bj, bk = self.bs
+        self.pitch = pitch if pitch else bi * bj * bk
 
     @property
     def dtype(self):
@@ -236,11 +245,11 @@ class BrickMaskedView:
         return (self.m, self.m, self.m)
 
     def tree_flatten(self):
-        return (self.rows,), (self.m, self.bs)
+        return (self.rows,), (self.m, self.bs, self.pitch)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux[0], aux[1])
+        return cls(children[0], aux[0], aux[1], aux[2])
 
 
 def _corner_fetch_brick(view: BrickMaskedView, base: jnp.ndarray) -> jnp.ndarray:
@@ -255,7 +264,6 @@ def _corner_fetch_brick(view: BrickMaskedView, base: jnp.ndarray) -> jnp.ndarray
     bi, bj, bk = view.bs
     m = view.m
     nbj, nbk = m // bj, m // bk
-    BV = bi * bj * bk
     ci, cj, ck = _corner_indices(base)  # (..., 8) each
     ci = jnp.clip(ci, 0, m - 1)
     cj = jnp.clip(cj, 0, m - 1)
@@ -263,7 +271,7 @@ def _corner_fetch_brick(view: BrickMaskedView, base: jnp.ndarray) -> jnp.ndarray
     ib, di = ci // bi, ci % bi
     jb, dj = cj // bj, cj % bj
     kb, dk = ck // bk, ck % bk
-    F = ((ib * nbj + jb) * nbk + kb) * BV + (di * bj + dj) * bk + dk
+    F = ((ib * nbj + jb) * nbk + kb) * view.pitch + (di * bj + dj) * bk + dk
     row = F // _ROW_W
     lane = F % _ROW_W
     got = jnp.take(view.rows, row, axis=0, mode="clip")  # (..., 8, 128)

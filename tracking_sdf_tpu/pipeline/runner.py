@@ -85,15 +85,38 @@ class Reconstruction:
         # tracking interpolates from directly (no per-frame relayout).
         self._bgrid = None
         self._dm = None
-        if mesh is None and config.fusion.mode == "brickmajor":
-            from tracking_sdf_tpu.fusion.brickmajor import (
-                brick_masked_view,
-                empty_brick_grid,
-            )
-
+        if mesh is None and config.fusion.mode in ("brickmajor", "packed"):
             self._bs = config.fusion.brick_shape
-            self._bgrid = empty_brick_grid(config.grid, self._bs)
-            self._dm = brick_masked_view(self._bgrid, config.grid, self._bs)
+            if config.fusion.mode == "packed":
+                from tracking_sdf_tpu.fusion.packed import (
+                    dense_from_packed,
+                    empty_packed_grid,
+                    packed_from_dense,
+                    packed_masked_view,
+                )
+
+                self._bgrid = empty_packed_grid(config.grid, self._bs)
+                self._bm_view = lambda bg: packed_masked_view(
+                    bg, config.grid, self._bs)
+                self._bm_to_dense = lambda bg: dense_from_packed(
+                    bg, config.grid, self._bs)
+                self._bm_from_dense = lambda g: packed_from_dense(g, self._bs)
+            else:
+                from tracking_sdf_tpu.fusion.brickmajor import (
+                    brick_grid_from_dense,
+                    brick_masked_view,
+                    dense_from_brick_grid,
+                    empty_brick_grid,
+                )
+
+                self._bgrid = empty_brick_grid(config.grid, self._bs)
+                self._bm_view = lambda bg: brick_masked_view(
+                    bg, config.grid, self._bs)
+                self._bm_to_dense = lambda bg: dense_from_brick_grid(
+                    bg, config.grid, self._bs)
+                self._bm_from_dense = lambda g: brick_grid_from_dense(
+                    g, self._bs)
+            self._dm = self._bm_view(self._bgrid)
         if mesh is not None:
             from tracking_sdf_tpu.parallel import (
                 shard_grid,
@@ -104,7 +127,7 @@ class Reconstruction:
 
             self.grid: TSDFGrid = shard_grid(empty_grid(config.grid), mesh)
             fcfg = config.fusion
-            if fcfg.mode == "brickmajor":
+            if fcfg.mode in ("brickmajor", "packed"):
                 # the sharded path slab-shards the FLAT layout; map to the
                 # flat-layout bricked equivalent with its best brick shape
                 fcfg = fcfg._replace(mode="bricked", brick_shape=(1, 8, 128))
@@ -127,7 +150,14 @@ class Reconstruction:
                 mesh, params=config.grid, cfg=config.tracking
             )
         elif self._bgrid is not None:
-            from tracking_sdf_tpu.fusion.brickmajor import fuse_frame_brickmajor
+            if config.fusion.mode == "packed":
+                from tracking_sdf_tpu.fusion.packed import (
+                    fuse_frame_packed as _fuse_kernel,
+                )
+            else:
+                from tracking_sdf_tpu.fusion.brickmajor import (
+                    fuse_frame_brickmajor as _fuse_kernel,
+                )
 
             cap_max = config.fusion.brick_cap
             self._cap_levels = sorted({max(256, cap_max // 4),
@@ -136,7 +166,7 @@ class Reconstruction:
 
             def fuse_bm(pose, pts, normals, rgb):
                 cap = self._cap_levels[self._cap_idx]
-                self._bgrid, self._dm, stats = fuse_frame_brickmajor(
+                self._bgrid, self._dm, stats = _fuse_kernel(
                     self._bgrid, pose, pts, normals, rgb,
                     params=config.grid, cam=cam, cfg=config.fusion,
                     bs=self._bs, cap=cap,
@@ -199,21 +229,14 @@ class Reconstruction:
         the dense layout from the brick rows (one transpose pass) — cheap at
         mesh/checkpoint/render rates, not meant for per-frame hot paths."""
         if self._bgrid is not None:
-            from tracking_sdf_tpu.fusion.brickmajor import dense_from_brick_grid
-
-            return dense_from_brick_grid(self._bgrid, self.config.grid, self._bs)
+            return self._bm_to_dense(self._bgrid)
         return self._grid
 
     @grid.setter
     def grid(self, g: TSDFGrid) -> None:
         if getattr(self, "_bgrid", None) is not None:
-            from tracking_sdf_tpu.fusion.brickmajor import (
-                brick_grid_from_dense,
-                brick_masked_view,
-            )
-
-            self._bgrid = brick_grid_from_dense(g, self._bs)
-            self._dm = brick_masked_view(self._bgrid, self.config.grid, self._bs)
+            self._bgrid = self._bm_from_dense(g)
+            self._dm = self._bm_view(self._bgrid)
         else:
             self._grid = g
 
@@ -300,7 +323,7 @@ class Reconstruction:
             rgb_j = jnp.asarray(rgb) if rgb is not None else None
             if self._bgrid is not None:
                 self._fuse_bm(self.pose, points, normals, rgb_j)
-                jax.block_until_ready(self._bgrid.D)
+                jax.block_until_ready(self._bgrid)
             else:
                 self.grid = self._fuse(self.grid, self.pose, points, normals, rgb_j)
                 jax.block_until_ready(self.grid.D)
