@@ -188,6 +188,35 @@ def _frame_fn_brickmajor(cfg, cam):
     return frame
 
 
+def _frame_fn_packed(cfg, cam):
+    """Packed single-array variant: the grid is ONE (NB, 6, BV) array, the
+    merge is one gather + one scatter over all channels (fusion.packed), and
+    Dm is the zero-copy pitch view over the same storage."""
+    from tracking_sdf_tpu.fusion.packed import fuse_frame_packed
+    from tracking_sdf_tpu.tracking.gauss_newton import track_frame
+    from tracking_sdf_tpu.tracking.pyramid import track_frame_pyramid
+
+    params, tcfg = cfg.grid, cfg.tracking
+    fcfg = cfg.fusion._replace(mode="bricked")
+    bs = (8, 8, 8)
+
+    def frame(state, pose_prev2, pose_prev, pts_s, pts, nrm, rgb):
+        pgrid, Dm = state
+        if cfg.pyramid_levels:
+            res, _ = track_frame_pyramid(
+                None, pose_prev, pts, params=params, cfg=tcfg,
+                levels=cfg.pyramid_levels, Dm=Dm)
+        else:
+            res = track_frame(None, pose_prev, pts_s, params=params,
+                              cfg=tcfg, Dm=Dm)
+        pgrid, Dm, _ = fuse_frame_packed(
+            pgrid, res.pose, pts, nrm, rgb, params=params, cam=cam,
+            cfg=fcfg, bs=bs, cap=fcfg.brick_cap, cap_free=2048,
+            emit_dm="view")
+        return (pgrid, Dm), res
+    return frame
+
+
 def _fallback_sequential():
     """Per-call dispatch measurement — latency-inflated but always completes
     (the on-device loop's large graph can hit multi-minute remote compiles
@@ -219,6 +248,13 @@ def main():
         dense0 = _bootstrap(cfg, cam, poses, rgb)
         bg0 = brick_grid_from_dense(dense0, (8, 8, 8))
         state0 = (bg0, brick_masked_view(bg0, cfg.grid, (8, 8, 8)))
+    elif mode == "packed":
+        from tracking_sdf_tpu.fusion.packed import (
+            packed_from_dense, packed_masked_view)
+
+        frame = _frame_fn_packed(cfg, cam)
+        pg0 = packed_from_dense(_bootstrap(cfg, cam, poses, rgb), (8, 8, 8))
+        state0 = (pg0, packed_masked_view(pg0, cfg.grid, (8, 8, 8)))
     else:
         frame = _frame_fn(cfg, cam)
         state0 = _bootstrap(cfg, cam, poses, rgb)
