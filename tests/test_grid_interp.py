@@ -185,3 +185,8 @@ def test_brick_masked_view_matches_flat_dm():
     np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
     np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=0, atol=0)
+
+    # zero-copy invariant: with BV = 512 (a multiple of 128) the storage
+    # rows ARE the tracking view's width-128 rows — the view must wrap
+    # bgrid.D itself, not a reshaped copy (fusion/brickmajor.py _row_w).
+    assert view.rows is bg.D

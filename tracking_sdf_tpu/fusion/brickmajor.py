@@ -9,10 +9,11 @@ grid: at bk = 8 that is ~365k 32-byte scatter rows at ~0.2 us/row (~70 ms),
 where (1, 8, 128)'s fat rows cost ~6 ms.
 
 This module removes the trade-off by changing the STORAGE layout: grid
-leaves live as (NB, BV) brick-row tables (BV = bi*bj*bk voxels, one brick =
-one contiguous row). The merge is then gather/merge/scatter of ~n_full fat
-2-KB rows — measured 1.14 ms/leaf for 7k bricks — independent of brick
-shape, so the classification-optimal compact brick wins outright.
+leaves live as brick-row tables (one brick = BV = bi*bj*bk contiguous
+voxels, stored as R = BV/128 width-128 rows — see BrickGrid). The merge is
+then gather/merge/scatter of ~n_full*R fat rows — measured 1.14 ms/leaf for
+7k bricks — independent of brick shape, so the classification-optimal
+compact brick wins outright.
 
 Consumers that need the flat (m, m, m) layout (tracking interpolation,
 raycasting, meshing — contiguous k rows) get it from ONE relayout pass per
@@ -47,11 +48,20 @@ from tracking_sdf_tpu.grid.interp import BrickMaskedView
 
 
 class BrickGrid(NamedTuple):
-    """TSDF grid in brick-major layout: each leaf (NB, BV) float.
+    """TSDF grid in brick-major layout.
 
-    Brick b = (ib, jb, kb) row-major over (nbi, nbj, nbk); within a row,
+    Brick b = (ib, jb, kb) row-major over (nbi, nbj, nbk); within a brick,
     voxels are (di, dj, dk) row-major over the brick shape. Equivalent to
     the dense (m, m, m) grid via a pure reshape/transpose (to_dense).
+
+    STORAGE SHAPE: each leaf is (NB * BV // row_w, row_w) with
+    row_w = _row_w(BV) — width-128 gather rows whenever BV is a multiple
+    of 128, else one brick per row. Width 128 matches the tracking view's
+    row width (grid/interp._ROW_W), so BrickMaskedView wraps D with NO
+    reshape: the (NB, BV) -> (-1, 128) reshape is a TPU tile relayout
+    (T(8,128) tilings differ), which as a jit output materialized a 67 MB
+    copy per frame at 256^3 (seen in the optimized fuse HLO). The merge
+    addresses bricks as R = BV // row_w consecutive rows.
 
     STORAGE INVARIANT: D holds NaN wherever W <= 0 (the masked-view
     encoding, grid/interp.masked_view) instead of the dense layout's "far"
@@ -69,13 +79,18 @@ class BrickGrid(NamedTuple):
     Wc: jnp.ndarray
 
 
+def _row_w(bv: int) -> int:
+    """Storage row width: 128 (the tracking view's row width) when possible."""
+    return 128 if bv % 128 == 0 else bv
+
+
 def _to_rows(leaf: jnp.ndarray, bs: Tuple[int, int, int]) -> jnp.ndarray:
     mi, mj, mk = leaf.shape
     bi, bj, bk = bs
     return (
         leaf.reshape(mi // bi, bi, mj // bj, bj, mk // bk, bk)
         .transpose(0, 2, 4, 1, 3, 5)
-        .reshape(-1, bi * bj * bk)
+        .reshape(-1, _row_w(bi * bj * bk))
     )
 
 
@@ -113,13 +128,14 @@ def empty_brick_grid(
     m = params.m
     NB = (m // bi) * (m // bj) * (m // bk)
     BV = bi * bj * bk
+    shp = (NB * BV // _row_w(BV), _row_w(BV))
     return BrickGrid(
-        D=jnp.full((NB, BV), jnp.nan, dtype=dtype),  # storage invariant (W=0)
-        W=jnp.zeros((NB, BV), dtype=dtype),
-        R=jnp.full((NB, BV), 0.4, dtype=dtype),
-        G=jnp.full((NB, BV), 0.4, dtype=dtype),
-        B=jnp.full((NB, BV), 0.4, dtype=dtype),
-        Wc=jnp.zeros((NB, BV), dtype=dtype),
+        D=jnp.full(shp, jnp.nan, dtype=dtype),  # storage invariant (W=0)
+        W=jnp.zeros(shp, dtype=dtype),
+        R=jnp.full(shp, 0.4, dtype=dtype),
+        G=jnp.full(shp, 0.4, dtype=dtype),
+        B=jnp.full(shp, 0.4, dtype=dtype),
+        Wc=jnp.zeros(shp, dtype=dtype),
     )
 
 
@@ -141,7 +157,11 @@ def brick_masked_view(
 
     Tracking interpolates directly from this (interp._corner_fetch_brick),
     which removes the per-frame masked_dense_D relayout (~3 ms at 256^3)
-    from the hot loop."""
+    from the hot loop. With width-128 storage rows this wraps bgrid.D
+    as-is — zero device ops; the reshape fallback (BV not a multiple of
+    128, small test grids) is a TPU tile relayout."""
+    if bgrid.D.shape[1] == 128:
+        return BrickMaskedView(bgrid.D, params.m, bs)
     return BrickMaskedView(bgrid.D.reshape(-1, 128), params.m, bs)
 
 
@@ -200,14 +220,24 @@ def fuse_frame_brickmajor(
         (nbi, nbj, nbk), i_offset, (h, w_img), fuse_color)
     # channels stay unstacked: XLA fuses the per-voxel update math directly
     # into the merge elementwise ops below (no (cap, BV, C) U round-trip)
-    ch = [u.reshape(cap, BV) for u in upd]
+    row_w = _row_w(BV)
+    R = BV // row_w  # storage rows per brick
+    ch = [u.reshape(cap * R, row_w) for u in upd]
 
-    # ---- FULL merge: n_full fat-row gather/merge/scatter-set ---------------
-    # Padded slots gather row 0 (harmless) and scatter to DISTINCT
-    # out-of-bounds rows (unique_indices stays true; mode="drop" discards).
-    rows_g = jnp.where(valid_brick, full_ids, 0)
-    oob = NB + jnp.arange(cap, dtype=jnp.int32)
-    rows_s = jnp.where(valid_brick, full_ids, oob).astype(jnp.int32)
+    # ---- FULL merge: n_full*R row gather/merge/scatter-set -----------------
+    # Brick b occupies storage rows [b*R, (b+1)*R). Padded slots gather row 0
+    # (harmless) and scatter to DISTINCT out-of-bounds rows (unique_indices
+    # stays true; mode="drop" discards).
+    def expand(rows_b):  # brick ids (n,) -> storage rows (n*R,)
+        if R == 1:
+            return rows_b
+        return (rows_b[:, None] * R
+                + jnp.arange(R, dtype=jnp.int32)[None, :]).reshape(-1)
+
+    rows_g = expand(jnp.where(valid_brick, full_ids, 0))
+    oob = NB * R + jnp.arange(cap * R, dtype=jnp.int32)
+    rows_s = jnp.where(jnp.repeat(valid_brick, R), expand(full_ids), oob
+                       ).astype(jnp.int32)
 
     def sset(tab, new):
         return tab.at[rows_s].set(new, mode="drop", unique_indices=True)
@@ -250,9 +280,10 @@ def fuse_frame_brickmajor(
     n_free = jnp.sum(is_free.astype(jnp.int32))
     fr_ids = jnp.nonzero(is_free, size=cap_free, fill_value=NB)[0]
     valid_f = fr_ids < NB
-    rows_fg = jnp.where(valid_f, fr_ids, 0)
-    oob_f = NB + jnp.arange(cap_free, dtype=jnp.int32)
-    rows_fs = jnp.where(valid_f, fr_ids, oob_f).astype(jnp.int32)
+    rows_fg = expand(jnp.where(valid_f, fr_ids, 0))
+    oob_f = NB * R + jnp.arange(cap_free * R, dtype=jnp.int32)
+    rows_fs = jnp.where(jnp.repeat(valid_f, R), expand(fr_ids), oob_f
+                        ).astype(jnp.int32)
     Dof = jnp.take(Db, rows_fg, axis=0)
     Wof = jnp.take(Wb, rows_fg, axis=0)
     Dof_s = jnp.where(Wof > 0, Dof, 0.0)  # storage invariant (see FULL merge)

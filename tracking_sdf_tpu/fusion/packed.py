@@ -65,9 +65,11 @@ class PackedGrid(NamedTuple):
 
 
 def packed_from_dense(grid: TSDFGrid, bs: Tuple[int, int, int]) -> PackedGrid:
+    bv = bs[0] * bs[1] * bs[2]
     D = jnp.where(grid.W > 0, grid.D, jnp.nan)  # storage invariant
-    rows = [_to_rows(leaf, bs) for leaf in (D, grid.W, grid.R, grid.G,
-                                            grid.B, grid.Wc)]
+    # _to_rows yields width-128 storage rows; packed wants (NB, BV) bricks
+    rows = [_to_rows(leaf, bs).reshape(-1, bv)
+            for leaf in (D, grid.W, grid.R, grid.G, grid.B, grid.Wc)]
     return PackedGrid(jnp.stack(rows, axis=1))
 
 
