@@ -244,9 +244,12 @@ def main():
         from tracking_sdf_tpu.fusion.brickmajor import (
             brick_grid_from_dense, brick_masked_view)
 
+        # BENCH_DTYPE=bfloat16: bf16 value-leaf storage A/B
+        vdt = (jnp.bfloat16
+               if os.environ.get("BENCH_DTYPE") == "bfloat16" else None)
         frame = _frame_fn_brickmajor(cfg, cam)
         dense0 = _bootstrap(cfg, cam, poses, rgb)
-        bg0 = brick_grid_from_dense(dense0, (8, 8, 8))
+        bg0 = brick_grid_from_dense(dense0, (8, 8, 8), value_dtype=vdt)
         state0 = (bg0, brick_masked_view(bg0, cfg.grid, (8, 8, 8)))
     elif mode == "packed":
         from tracking_sdf_tpu.fusion.packed import (

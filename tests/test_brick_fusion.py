@@ -304,6 +304,53 @@ def test_brickmajor_matches_dense():
     np.testing.assert_allclose(np.asarray(Dm)[ok], Dm_ref[ok], atol=1e-6)
 
 
+def test_brickmajor_bfloat16_storage_close_to_dense():
+    """bfloat16 VALUE-leaf storage (FusionConfig.storage_dtype): weights
+    stay float32 and must match the dense path exactly; D/color carry only
+    per-store rounding (quantum delta/256 resp. 1/256), so multi-frame
+    fusion stays within a few quanta of the f32 dense result. Tracking
+    interpolation against the bf16 view must run in float32."""
+    from tracking_sdf_tpu.fusion.brickmajor import (
+        brick_grid_from_dense,
+        brick_masked_view,
+        dense_from_brick_grid,
+        fuse_frame_brickmajor,
+    )
+    from tracking_sdf_tpu.grid.interp import trilinear_with_grad_nan
+
+    cfg = FusionConfig(fuse_color=True)
+    gd = empty_grid(PARAMS)
+    bg = brick_grid_from_dense(empty_grid(PARAMS), BS,
+                               value_dtype=jnp.bfloat16)
+    assert bg.D.dtype == jnp.bfloat16 and bg.W.dtype == jnp.float32
+    for pose in POSES:
+        pts, normals, rgb = _frame(pose)
+        gd = fuse_frame(gd, pose, pts, normals, rgb,
+                        params=PARAMS, cam=CAM, cfg=cfg)
+        bg, Dm, stats = fuse_frame_brickmajor(
+            bg, pose, pts, normals, rgb, params=PARAMS, cam=CAM, cfg=cfg,
+            bs=BS, cap=220)
+        assert int(stats.overflow) == 0
+        assert bg.D.dtype == jnp.bfloat16 and bg.W.dtype == jnp.float32
+    gb = dense_from_brick_grid(bg, PARAMS, BS)
+    assert gb.D.dtype == jnp.float32  # export surface upcasts
+    # weights are f32 accumulators: exact vs dense
+    np.testing.assert_allclose(np.asarray(gb.W), np.asarray(gd.W), atol=1e-5)
+    # values: within a few bf16 quanta (|D| <= delta -> quantum ~delta/256)
+    np.testing.assert_allclose(np.asarray(gb.D), np.asarray(gd.D),
+                               atol=4 * PARAMS.delta / 256)
+    fused_c = np.asarray(gb.Wc) > 0
+    assert fused_c.sum() > 100
+    np.testing.assert_allclose(np.asarray(gb.R)[fused_c],
+                               np.asarray(gd.R)[fused_c], atol=4 / 256)
+
+    # interpolation math promotes to f32 (value AND gradient)
+    view = brick_masked_view(bg, PARAMS, BS)
+    q = jnp.asarray([[20.2, 21.7, 22.4], [5.5, 30.1, 11.9]], jnp.float32)
+    v, g, ok = trilinear_with_grad_nan(view, q)
+    assert v.dtype == jnp.float32 and g.dtype == jnp.float32
+
+
 def test_brick_grid_roundtrip():
     from tracking_sdf_tpu.fusion.brickmajor import (
         brick_grid_from_dense,

@@ -51,6 +51,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pixel-share", type=int, default=None,
                    help="approximate fast fusion: k-voxel groups of this "
                         "size share one gathered pixel (1 = exact)")
+    p.add_argument("--fusion-mode",
+                   choices=("dense", "bricked", "brickmajor", "packed"),
+                   default=None,
+                   help="override the preset's fusion path (config.py "
+                        "FusionConfig.mode)")
+    p.add_argument("--storage-dtype", choices=("float32", "bfloat16"),
+                   default=None,
+                   help="grid value-leaf storage dtype (brickmajor mode): "
+                        "bfloat16 halves D/RGB HBM traffic, weights and all "
+                        "arithmetic stay float32")
     p.add_argument("--distributed", action="store_true",
                    help="shard grid+tracking over all visible devices")
     p.add_argument("--progress", action="store_true")
@@ -101,6 +111,16 @@ def main(argv=None) -> int:
         fusion = fusion._replace(fuse_color=False)
     if args.pixel_share:
         fusion = fusion._replace(pixel_share=args.pixel_share)
+    if args.fusion_mode:
+        fusion = fusion._replace(mode=args.fusion_mode)
+        if args.fusion_mode in ("brickmajor", "packed") and any(
+                cfg.grid.m % b for b in fusion.brick_shape):
+            # presets that default to flat-layout bricks carry the
+            # (1, 8, 128) shape; brick-major wants the compact classifier
+            # optimum (BENCHMARKS.md brick-shape study)
+            fusion = fusion._replace(brick_shape=(8, 8, 8))
+    if args.storage_dtype:
+        fusion = fusion._replace(storage_dtype=args.storage_dtype)
     if fusion is not cfg.fusion:
         changes["fusion"] = fusion
     if args.no_bilateral:

@@ -136,6 +136,13 @@ class FusionConfig(NamedTuple):
     # 1-2 voxel band can take the neighbor surface's update. NOT
     # reference-exact — bricked==dense tests require pixel_share=1.
     pixel_share: int = 1
+    # Grid VALUE-leaf storage dtype for mode="brickmajor": "float32" or
+    # "bfloat16". bf16 halves the HBM bytes of D/R/G/B in the
+    # bandwidth-bound merge (weights stay f32 — they are accumulators);
+    # all arithmetic stays float32 (upcast at gather, round at scatter).
+    # Quantization is ~delta/256 per store (~0.4 mm at delta=0.1) —
+    # validate ATE closed-loop before defaulting (BENCHMARKS.md).
+    storage_dtype: str = "float32"
     # Same idea along the j (grid-y) axis, multiplicative with pixel_share:
     # a (pixel_share_j x pixel_share) voxel group shares one gathered row.
     # 2x2 halves the gather again vs k-only share=2 at a smaller worst-case

@@ -104,37 +104,50 @@ def _from_rows(rows: jnp.ndarray, shape, bs: Tuple[int, int, int]) -> jnp.ndarra
     )
 
 
-def brick_grid_from_dense(grid: TSDFGrid, bs: Tuple[int, int, int]) -> BrickGrid:
+def brick_grid_from_dense(grid: TSDFGrid, bs: Tuple[int, int, int],
+                          value_dtype=None) -> BrickGrid:
+    """value_dtype (e.g. bfloat16) applies to D/R/G/B; weights stay as-is."""
     D = jnp.where(grid.W > 0, grid.D, jnp.nan)  # storage invariant
-    return BrickGrid(_to_rows(D, bs),
-                     *(_to_rows(l, bs) for l in grid[1:]))
+    vdt = value_dtype or grid.D.dtype
+    leaves = [_to_rows(D, bs)] + [_to_rows(l, bs) for l in grid[1:]]
+    cast = [vdt, None, vdt, vdt, vdt, None]  # D W R G B Wc
+    return BrickGrid(*(l.astype(c) if c else l for l, c in zip(leaves, cast)))
 
 
 def dense_from_brick_grid(
     bgrid: BrickGrid, params: GridParams, bs: Tuple[int, int, int]
 ) -> TSDFGrid:
+    """Upcasts bf16 value leaves: the dense grid is the export/meshing/
+    checkpoint surface and downstream consumers expect the weight dtype."""
     m = params.m
     far = params.width + params.height + params.depth
-    D = jnp.where(bgrid.W > 0, bgrid.D, jnp.asarray(far, bgrid.D.dtype))
+    wdt = bgrid.W.dtype
+    D = jnp.where(bgrid.W > 0, bgrid.D.astype(wdt), jnp.asarray(far, wdt))
     return TSDFGrid(_from_rows(D, (m, m, m), bs),
-                    *(_from_rows(l, (m, m, m), bs) for l in bgrid[1:]))
+                    *(_from_rows(l.astype(wdt), (m, m, m), bs)
+                      for l in bgrid[1:]))
 
 
 def empty_brick_grid(
-    params: GridParams, bs: Tuple[int, int, int], dtype=jnp.float32
+    params: GridParams, bs: Tuple[int, int, int], dtype=jnp.float32,
+    value_dtype=None,
 ) -> BrickGrid:
-    """Fresh grid (SDF::SDF init, sdf.cpp:28-34) already in brick layout."""
+    """Fresh grid (SDF::SDF init, sdf.cpp:28-34) already in brick layout.
+
+    value_dtype (e.g. bfloat16, FusionConfig.storage_dtype) applies to the
+    VALUE leaves D/R/G/B only; the weight accumulators W/Wc keep dtype."""
     bi, bj, bk = bs
     m = params.m
     NB = (m // bi) * (m // bj) * (m // bk)
     BV = bi * bj * bk
     shp = (NB * BV // _row_w(BV), _row_w(BV))
+    vdt = value_dtype or dtype
     return BrickGrid(
-        D=jnp.full(shp, jnp.nan, dtype=dtype),  # storage invariant (W=0)
+        D=jnp.full(shp, jnp.nan, dtype=vdt),  # storage invariant (W=0)
         W=jnp.zeros(shp, dtype=dtype),
-        R=jnp.full(shp, 0.4, dtype=dtype),
-        G=jnp.full(shp, 0.4, dtype=dtype),
-        B=jnp.full(shp, 0.4, dtype=dtype),
+        R=jnp.full(shp, 0.4, dtype=vdt),
+        G=jnp.full(shp, 0.4, dtype=vdt),
+        B=jnp.full(shp, 0.4, dtype=vdt),
         Wc=jnp.zeros(shp, dtype=dtype),
     )
 
@@ -198,8 +211,19 @@ def fuse_frame_brickmajor(
 
     Geometry is exactly the dense path's math (same classifier + per-voxel
     updates as fuse_frame_bricked); color is fused in FULL (surface-band)
-    bricks only — see fusion.brick docstring for why that loses nothing."""
-    dtype = bgrid.D.dtype
+    bricks only — see fusion.brick docstring for why that loses nothing.
+
+    bfloat16 STORAGE (FusionConfig.storage_dtype): when the VALUE leaves
+    (D/R/G/B) are bf16 — weights stay float32: they are running
+    accumulators, and bf16's 2^-8 relative quantum would freeze W once it
+    grows past ~256x the per-frame increment — all math (pixel table,
+    classification, per-voxel updates, merge) still runs in float32: old
+    values upcast at the merge gather, new values round to bf16 only at
+    the scatter-set. Storage quantization is ~0.4% of delta per
+    running-average step (bf16 has 8 mantissa bits and |D| <= delta),
+    while the merge — the HBM-bandwidth-bound stage — moves 2/3 the
+    bytes."""
+    dtype = jnp.promote_types(bgrid.D.dtype, jnp.float32)  # compute dtype
     h, w_img = points_cam.shape[:2]
     m = params.m
     bi, bj, bk = bs
@@ -240,10 +264,11 @@ def fuse_frame_brickmajor(
                        ).astype(jnp.int32)
 
     def sset(tab, new):
-        return tab.at[rows_s].set(new, mode="drop", unique_indices=True)
+        return tab.at[rows_s].set(new.astype(tab.dtype), mode="drop",
+                                  unique_indices=True)
 
-    Dold = jnp.take(bgrid.D, rows_g, axis=0)  # (cap, BV)
-    Wold = jnp.take(bgrid.W, rows_g, axis=0)
+    Dold = jnp.take(bgrid.D, rows_g, axis=0).astype(dtype)  # (cap, BV)
+    Wold = jnp.take(bgrid.W, rows_g, axis=0).astype(dtype)
     # storage invariant: Dold is NaN where Wold <= 0 — sanitize before the
     # Wold * Dold product (0 * NaN = NaN), keep NaN where nothing fused
     Dold_s = jnp.where(Wold > 0, Dold, 0.0)
@@ -258,10 +283,10 @@ def fuse_frame_brickmajor(
     Wb = sset(bgrid.W, W_new)
 
     if fuse_color:
-        Rold = jnp.take(bgrid.R, rows_g, axis=0)
-        Gold = jnp.take(bgrid.G, rows_g, axis=0)
-        Bold = jnp.take(bgrid.B, rows_g, axis=0)
-        Wcold = jnp.take(bgrid.Wc, rows_g, axis=0)
+        Rold = jnp.take(bgrid.R, rows_g, axis=0).astype(dtype)
+        Gold = jnp.take(bgrid.G, rows_g, axis=0).astype(dtype)
+        Bold = jnp.take(bgrid.B, rows_g, axis=0).astype(dtype)
+        Wcold = jnp.take(bgrid.Wc, rows_g, axis=0).astype(dtype)
         wc_add = ch[2]
         Wc_new = Wcold + wc_add
         if cfg.max_weight is not None:
@@ -284,15 +309,17 @@ def fuse_frame_brickmajor(
     oob_f = NB * R + jnp.arange(cap_free * R, dtype=jnp.int32)
     rows_fs = jnp.where(jnp.repeat(valid_f, R), expand(fr_ids), oob_f
                         ).astype(jnp.int32)
-    Dof = jnp.take(Db, rows_fg, axis=0)
-    Wof = jnp.take(Wb, rows_fg, axis=0)
+    Dof = jnp.take(Db, rows_fg, axis=0).astype(dtype)
+    Wof = jnp.take(Wb, rows_fg, axis=0).astype(dtype)
     Dof_s = jnp.where(Wof > 0, Dof, 0.0)  # storage invariant (see FULL merge)
     W_nf = Wof + 1.0
     if cfg.max_weight is not None:
         W_nf = jnp.minimum(W_nf, cfg.max_weight)
     D_nf = (Wof * Dof_s + jnp.asarray(params.delta, dtype)) / W_nf
-    Db = Db.at[rows_fs].set(D_nf, mode="drop", unique_indices=True)
-    Wb = Wb.at[rows_fs].set(W_nf, mode="drop", unique_indices=True)
+    Db = Db.at[rows_fs].set(D_nf.astype(Db.dtype), mode="drop",
+                            unique_indices=True)
+    Wb = Wb.at[rows_fs].set(W_nf.astype(Wb.dtype), mode="drop",
+                            unique_indices=True)
 
     out = BrickGrid(D=Db, W=Wb, R=Rb, G=Gb, B=Bb, Wc=Wcb)
     stats = FuseStats(

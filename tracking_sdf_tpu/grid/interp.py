@@ -299,8 +299,12 @@ def trilinear_with_grad_nan(
 
     Bit-equivalent to trilinear_with_grad(D, W, coords): the NaN corners are
     exactly the (W <= 0) corners, and out-of-bounds lanes are masked the
-    same way. Returns (value, grad, valid)."""
-    dtype = Dm.dtype
+    same way. Returns (value, grad, valid).
+
+    bfloat16 storage (FusionConfig.storage_dtype): corners are upcast right
+    after the gather and ALL interpolation math runs in >= float32 — only
+    the gathered bytes shrink; weights/gradients lose no precision."""
+    dtype = jnp.promote_types(Dm.dtype, jnp.float32)
     base_f = jnp.floor(coords)
     base = base_f.astype(jnp.int32)
     f = (coords - base_f).astype(dtype)
@@ -312,7 +316,7 @@ def trilinear_with_grad_nan(
     else:
         d_raw = _corner_fetch(Dm, base)
     mask = (inb & jnp.isfinite(d_raw)).astype(dtype)
-    d = jnp.where(mask > 0, d_raw, 0.0)
+    d = jnp.where(mask > 0, d_raw.astype(dtype), 0.0)
 
     off = jnp.asarray(_OFFSETS, dtype=dtype)
     fax = off * f[..., None, :] + (1.0 - off) * (1.0 - f[..., None, :])

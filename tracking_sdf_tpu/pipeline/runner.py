@@ -109,13 +109,16 @@ class Reconstruction:
                     empty_brick_grid,
                 )
 
-                self._bgrid = empty_brick_grid(config.grid, self._bs)
+                vdt = (jnp.bfloat16
+                       if config.fusion.storage_dtype == "bfloat16" else None)
+                self._bgrid = empty_brick_grid(config.grid, self._bs,
+                                               value_dtype=vdt)
                 self._bm_view = lambda bg: brick_masked_view(
                     bg, config.grid, self._bs)
                 self._bm_to_dense = lambda bg: dense_from_brick_grid(
                     bg, config.grid, self._bs)
                 self._bm_from_dense = lambda g: brick_grid_from_dense(
-                    g, self._bs)
+                    g, self._bs, value_dtype=vdt)
             self._dm = self._bm_view(self._bgrid)
         if mesh is not None:
             from tracking_sdf_tpu.parallel import (

@@ -201,7 +201,9 @@ def track_frame(
     if Dm is None and cfg.jacobian == "analytic":
         # one gather per query instead of two in every GN iteration
         Dm = masked_view(grid.D, grid.W)
-    dtype = Dm.dtype if Dm is not None else grid.D.dtype
+    # compute dtype: >= f32 even over bf16 grid storage (interp promotes)
+    dtype = jnp.promote_types(
+        Dm.dtype if Dm is not None else grid.D.dtype, jnp.float32)
 
     def residuals(pose):
         if cfg.jacobian == "analytic":
