@@ -148,3 +148,114 @@ def test_sharded_full_step(mesh, frame):
     delta = pose_compose(pose_inverse(pose1), TRUE_POSE)
     err = np.asarray(se3_log(delta))
     assert np.linalg.norm(err[:3]) < 0.01
+
+
+def test_sharded_brickmajor_fusion_and_masked_tracking(mesh, frame):
+    """Sharded BRICK-MAJOR fusion (contiguous brick-row slabs, zero
+    collectives) == single-device brickmajor == dense fusion; the emitted
+    per-slab masked Dm drives sharded_track_frame_masked to the same pose
+    as dense tracking."""
+    from tracking_sdf_tpu.fusion.brickmajor import (
+        brick_grid_from_dense,
+        dense_from_brick_grid,
+        fuse_frame_brickmajor,
+    )
+    from tracking_sdf_tpu.grid.interp import masked_view
+    from tracking_sdf_tpu.parallel import (
+        shard_brick_grid,
+        sharded_fuse_frame_brickmajor,
+        sharded_track_frame_masked,
+    )
+
+    pts, normals, rgb = frame
+    bs = (2, 8, 16)  # slab = 48/8 = 6 voxels -> 3 bricks of i-extent 2
+    cfg = FusionConfig(fuse_color=True, brick_shape=bs)
+    g_dense = fuse_frame(empty_grid(PARAMS), TRUE_POSE, pts, normals, rgb,
+                         params=PARAMS, cam=CAM, cfg=cfg)
+
+    fuse_sh = sharded_fuse_frame_brickmajor(
+        mesh, params=PARAMS, cam=CAM, cfg=cfg, cap=96)
+    bg0 = shard_brick_grid(brick_grid_from_dense(empty_grid(PARAMS), bs), mesh)
+    bg, Dm_sh, stats = fuse_sh(bg0, TRUE_POSE, pts, normals, rgb)
+    assert int(stats.overflow) == 0
+    assert int(stats.n_full) > 0
+
+    # fused grid == dense fusion (geometry everywhere, color where fused)
+    g_sh = dense_from_brick_grid(bg, PARAMS, bs)
+    np.testing.assert_allclose(np.asarray(g_sh.W), np.asarray(g_dense.W),
+                               atol=1e-5)
+    ok = np.asarray(g_dense.W) > 0
+    np.testing.assert_allclose(np.asarray(g_sh.D)[ok],
+                               np.asarray(g_dense.D)[ok], atol=1e-5)
+    fused_c = np.asarray(g_sh.Wc) > 0
+    assert fused_c.sum() > 100
+    np.testing.assert_allclose(np.asarray(g_sh.R)[fused_c],
+                               np.asarray(g_dense.R)[fused_c], atol=1e-5)
+
+    # the emitted slab-sharded Dm is exactly the masked view of the result
+    Dm_ref = np.asarray(masked_view(g_sh.D, g_sh.W))
+    np.testing.assert_array_equal(np.isnan(np.asarray(Dm_sh)),
+                                  np.isnan(Dm_ref))
+    okm = ~np.isnan(Dm_ref)
+    np.testing.assert_allclose(np.asarray(Dm_sh)[okm], Dm_ref[okm], atol=0)
+
+    # masked tracking from the sharded Dm == dense tracking
+    depth = render_scene_depth(SCENE, CAM, TRUE_POSE)
+    points = strided_points(backproject(CAM, depth), 2)
+    xi = jnp.asarray([0.02, -0.015, 0.02, 0.01, -0.015, 0.01],
+                     dtype=jnp.float32)
+    pose0 = pose_compose(se3_exp(xi), TRUE_POSE)
+    tcfg = TrackingConfig(jacobian="analytic", max_iterations=30)
+    r_dense = track_frame(g_dense, pose0, points, params=PARAMS, cfg=tcfg)
+    track_sh = sharded_track_frame_masked(mesh, params=PARAMS, cfg=tcfg)
+    r_sh = track_sh(Dm_sh, pose0, points)
+    assert int(r_sh.num_valid) == int(r_dense.num_valid)
+    np.testing.assert_allclose(np.asarray(r_sh.pose.t),
+                               np.asarray(r_dense.pose.t), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(r_sh.pose.R),
+                               np.asarray(r_dense.pose.R), atol=5e-5)
+
+
+def test_runner_distributed_brickmajor(mesh, tmp_path_factory):
+    """Full Reconstruction with mesh + mode='brickmajor': tracks an orbit
+    like the single-device brickmajor runner and reports stats."""
+    import dataclasses
+
+    from tracking_sdf_tpu.config import PipelineConfig
+    from tracking_sdf_tpu.pipeline import Reconstruction
+
+    tmp = tmp_path_factory.mktemp("dist_bm")
+    fcfg = FusionConfig(mode="brickmajor", brick_shape=(2, 8, 16),
+                        brick_cap=512)
+    cfg = PipelineConfig(
+        grid=PARAMS, tracking=TrackingConfig(max_iterations=20),
+        fusion=fcfg, trajectory_path=str(tmp / "traj.txt"),
+        bilateral_filter=False,
+    )
+    r_sh = Reconstruction(CAM, cfg, initial_pose=TRUE_POSE, mesh=mesh)
+    r_1d = Reconstruction(CAM, cfg, initial_pose=TRUE_POSE)
+    n = 4
+    for i in range(n):
+        ang = 0.06 * i
+        eye = (1.5 * np.sin(ang), -1.5 * np.cos(ang), 0.25)
+        pose = look_at(eye, (0.0, 0.0, 0.0))
+        depth = render_scene_depth(SCENE, CAM, pose)
+        r_sh.process_frame(depth, timestamp=float(i))
+        r_1d.process_frame(depth, timestamp=float(i))
+        # any overflow would silently desync the two capacity layouts
+        assert int(r_sh.last_fuse_stats.overflow) == 0
+        assert int(r_sh.last_fuse_stats.overflow_active) == 0
+        assert int(r_1d.last_fuse_stats.overflow) == 0
+        assert int(r_1d.last_fuse_stats.overflow_active) == 0
+    r_sh.close()
+    r_1d.close()
+    assert int(r_sh.last_fuse_stats.n_full) > 0
+    # same trajectory as the single-device brickmajor runner (f32 order tol)
+    np.testing.assert_allclose(np.asarray(r_sh.pose.t),
+                               np.asarray(r_1d.pose.t), atol=1e-4)
+    # dense materialization agrees
+    gs, g1 = r_sh.grid, r_1d.grid
+    np.testing.assert_allclose(np.asarray(gs.W), np.asarray(g1.W), atol=1e-3)
+    ok = np.asarray(g1.W) > 0
+    np.testing.assert_allclose(np.asarray(gs.D)[ok], np.asarray(g1.D)[ok],
+                               atol=1e-3)

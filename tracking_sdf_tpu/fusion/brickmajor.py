@@ -181,7 +181,7 @@ def brick_masked_view(
 @partial(
     jax.jit,
     static_argnames=("params", "cam", "cfg", "bs", "cap", "cap_free",
-                     "emit_dm"),
+                     "emit_dm", "nbi_local"),
     donate_argnames=("bgrid",),
 )
 def fuse_frame_brickmajor(
@@ -199,6 +199,7 @@ def fuse_frame_brickmajor(
     cap_free: Optional[int] = None,
     emit_dm=True,  # True: flat (m,m,m) | "view": zero-copy BrickMaskedView | False
     i_offset=0,
+    nbi_local: Optional[int] = None,  # SPMD slab: local brick count along i
 ) -> Tuple[BrickGrid, Optional[jnp.ndarray], FuseStats]:
     """Fuse one frame into a brick-major grid.
 
@@ -227,9 +228,13 @@ def fuse_frame_brickmajor(
     h, w_img = points_cam.shape[:2]
     m = params.m
     bi, bj, bk = bs
-    if m % bi or m % bj or m % bk:
+    if m % bj or m % bk or (nbi_local is None and m % bi):
         raise ValueError(f"grid m={m} not divisible by brick {bs}")
-    nbi, nbj, nbk = m // bi, m // bj, m // bk
+    # nbi_local (SPMD): this shard's bgrid holds only the slab of bricks
+    # starting at global voxel i = i_offset (parallel.sharded); emit_dm
+    # then refers to the slab extent, not the full grid
+    nbi, nbj, nbk = (m // bi if nbi_local is None else nbi_local,
+                     m // bj, m // bk)
     NB = nbi * nbj * nbk
     BV = bi * bj * bk
     if cap_free is None:
@@ -329,9 +334,16 @@ def fuse_frame_brickmajor(
         overflow_active=jnp.maximum(n_free - cap_free, 0),
     )
     if emit_dm == "view":
+        if nbi_local is not None:
+            raise ValueError("emit_dm='view' addresses the full grid; SPMD "
+                             "slabs use emit_dm=True (local dense slab)")
         Dm = brick_masked_view(out, params, bs)  # zero-copy, no relayout
     elif emit_dm:
-        Dm = masked_dense_D(out, params, bs)
+        if nbi_local is not None:
+            # slab-extent relayout (the SPMD caller stitches/halos it)
+            Dm = _from_rows(out.D, (nbi * bi, m, m), bs)
+        else:
+            Dm = masked_dense_D(out, params, bs)
     else:
         Dm = None
     return out, Dm, stats

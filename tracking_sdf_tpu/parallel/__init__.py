@@ -16,9 +16,12 @@ from tracking_sdf_tpu.parallel.mesh import (
     MeshAxes,
 )
 from tracking_sdf_tpu.parallel.sharded import (
+    shard_brick_grid,
     sharded_fuse_frame,
     sharded_fuse_frame_bricked,
+    sharded_fuse_frame_brickmajor,
     sharded_track_frame,
+    sharded_track_frame_masked,
     make_sharded_step,
 )
 
@@ -28,8 +31,11 @@ __all__ = [
     "replicated_sharding",
     "shard_grid",
     "MeshAxes",
+    "shard_brick_grid",
     "sharded_fuse_frame",
     "sharded_fuse_frame_bricked",
+    "sharded_fuse_frame_brickmajor",
     "sharded_track_frame",
+    "sharded_track_frame_masked",
     "make_sharded_step",
 ]

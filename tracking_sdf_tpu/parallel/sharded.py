@@ -55,15 +55,17 @@ def _grid_specs():
     )
 
 
-def _halo_plane(slab: jnp.ndarray, axis_name: str, zero_last: bool):
-    """Fetch the NEXT slab's first i-plane (cyclic); optionally zero it on the
-    last shard (the global corner i == m is out of bounds → contributes 0)."""
+def _halo_plane(slab: jnp.ndarray, axis_name: str, zero_last: bool,
+                fill_last: float = 0.0):
+    """Fetch the NEXT slab's first i-plane (cyclic); optionally overwrite it
+    on the last shard with ``fill_last`` (the global corner i == m is out of
+    bounds — 0 for weight planes, NaN for masked-view planes)."""
     n = lax.axis_size(axis_name)
     perm = [((p + 1) % n, p) for p in range(n)]
     halo = lax.ppermute(slab[0:1], axis_name, perm)
     if zero_last:
         is_last = lax.axis_index(axis_name) == n - 1
-        halo = jnp.where(is_last, jnp.zeros_like(halo), halo)
+        halo = jnp.where(is_last, jnp.full_like(halo, fill_last), halo)
     return halo
 
 
@@ -120,47 +122,10 @@ def sharded_track_frame(
     slab = params.m // n_dev
 
     def local_step(D_slab, W_slab, pose, points_cam):
-        i0 = lax.axis_index("d") * slab
         D_ext = jnp.concatenate([D_slab, _halo_plane(D_slab, "d", False)], axis=0)
         W_ext = jnp.concatenate([W_slab, _halo_plane(W_slab, "d", True)], axis=0)
         Dm_ext = masked_view(D_ext, W_ext)  # one gather per query in the loop
-
-        def converged(twist):
-            if cfg.convergence == "norm":
-                return jnp.max(jnp.abs(twist)) < cfg.max_twist_diff
-            return jnp.all(twist < cfg.max_twist_diff)  # reference quirk
-
-        def cond(state):
-            i, _, done, *_ = state
-            return (i < cfg.max_iterations) & jnp.logical_not(done)
-
-        def body(state):
-            i, pose_c, _, _, _, _, lam = state
-            phi, J, mask = _owned_residuals(
-                Dm_ext, pose_c, points_cam, i0, slab, params
-            )
-            A, b = normal_equations(phi, J, mask)
-            nvalid = jnp.sum(mask.astype(jnp.int32))
-            sum_res = jnp.sum(jnp.where(mask, jnp.abs(phi), 0.0))
-            A, b, nvalid, sum_res = lax.psum((A, b, nvalid, sum_res), "d")
-            A = A + lam * jnp.diag(jnp.diag(A)) + 1e-12 * jnp.eye(6, dtype=A.dtype)
-            twist = jnp.linalg.solve(A, b)
-            twist = jnp.where(jnp.all(jnp.isfinite(twist)), twist, jnp.zeros_like(twist))
-            done = converged(twist)
-            pose_new = _apply_update(pose_c, twist, cfg.pose_update)
-            mean_res = sum_res / jnp.maximum(nvalid, 1)
-            return (i + 1, pose_new, done, twist, nvalid, mean_res,
-                    lam * cfg.damping_decay)
-
-        state0 = (
-            jnp.int32(0), pose, jnp.bool_(False),
-            jnp.zeros((6,), dtype=D_slab.dtype), jnp.int32(0),
-            jnp.zeros((), dtype=D_slab.dtype),
-            jnp.asarray(cfg.damping, dtype=D_slab.dtype),
-        )
-        i, pose_f, _, twist, nvalid, mean_res, _ = lax.while_loop(cond, body, state0)
-        return TrackResult(pose=pose_f, iterations=i, final_twist=twist,
-                           num_valid=nvalid, mean_abs_residual=mean_res)
+        return _local_gn(Dm_ext, pose, points_cam, slab, params, cfg)
 
     shmapped = jax.shard_map(
         local_step,
@@ -173,6 +138,91 @@ def sharded_track_frame(
     @jax.jit
     def fn(grid: TSDFGrid, pose: Pose, points_cam: jnp.ndarray) -> TrackResult:
         return shmapped(grid.D, grid.W, pose, points_cam)
+
+    return fn
+
+
+def _local_gn(Dm_ext, pose, points_cam, slab: int, params: GridParams,
+              cfg: TrackingConfig) -> TrackResult:
+    """Per-shard GN while_loop over an already-haloed masked slab.
+
+    Dm_ext: (slab+1, m, m) NaN-masked SDF (local slab + next-slab halo
+    plane). The psum inside the body keeps pose/convergence replicated."""
+    i0 = lax.axis_index("d") * slab
+    dtype = jnp.promote_types(Dm_ext.dtype, jnp.float32)
+
+    def converged(twist):
+        if cfg.convergence == "norm":
+            return jnp.max(jnp.abs(twist)) < cfg.max_twist_diff
+        return jnp.all(twist < cfg.max_twist_diff)  # reference quirk
+
+    def cond(state):
+        i, _, done, *_ = state
+        return (i < cfg.max_iterations) & jnp.logical_not(done)
+
+    def body(state):
+        i, pose_c, _, _, _, _, lam = state
+        phi, J, mask = _owned_residuals(
+            Dm_ext, pose_c, points_cam, i0, slab, params
+        )
+        A, b = normal_equations(phi, J, mask)
+        nvalid = jnp.sum(mask.astype(jnp.int32))
+        sum_res = jnp.sum(jnp.where(mask, jnp.abs(phi), 0.0))
+        A, b, nvalid, sum_res = lax.psum((A, b, nvalid, sum_res), "d")
+        A = A + lam * jnp.diag(jnp.diag(A)) + 1e-12 * jnp.eye(6, dtype=A.dtype)
+        twist = jnp.linalg.solve(A, b)
+        twist = jnp.where(jnp.all(jnp.isfinite(twist)), twist, jnp.zeros_like(twist))
+        done = converged(twist)
+        pose_new = _apply_update(pose_c, twist, cfg.pose_update)
+        mean_res = sum_res / jnp.maximum(nvalid, 1)
+        return (i + 1, pose_new, done, twist, nvalid, mean_res,
+                lam * cfg.damping_decay)
+
+    state0 = (
+        jnp.int32(0), pose, jnp.bool_(False),
+        jnp.zeros((6,), dtype=dtype), jnp.int32(0),
+        jnp.zeros((), dtype=dtype),
+        jnp.asarray(cfg.damping, dtype=dtype),
+    )
+    i, pose_f, _, twist, nvalid, mean_res, _ = lax.while_loop(cond, body, state0)
+    return TrackResult(pose=pose_f, iterations=i, final_twist=twist,
+                       num_valid=nvalid, mean_abs_residual=mean_res)
+
+
+def sharded_track_frame_masked(
+    mesh: Mesh,
+    *,
+    params: GridParams,
+    cfg: TrackingConfig = TrackingConfig(),
+):
+    """SPMD tracking over PRE-MASKED dense slabs (NaN where unobserved) —
+    the Dm slabs that sharded brickmajor fusion emits. Same ownership
+    partition + one-plane halo + psum'd normal equations as
+    sharded_track_frame; the halo fill for the last shard is NaN (masked
+    convention) instead of a zero weight plane."""
+    if cfg.jacobian != "analytic":
+        raise ValueError("sharded tracking supports jacobian='analytic' only")
+    n_dev = mesh.devices.size
+    if params.m % n_dev != 0:
+        raise ValueError(f"grid m={params.m} not divisible by mesh size {n_dev}")
+    slab = params.m // n_dev
+
+    def local_step(Dm_slab, pose, points_cam):
+        halo = _halo_plane(Dm_slab, "d", True, fill_last=float("nan"))
+        Dm_ext = jnp.concatenate([Dm_slab, halo], axis=0)
+        return _local_gn(Dm_ext, pose, points_cam, slab, params, cfg)
+
+    shmapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("d", None, None), Pose(P(), P()), P()),
+        out_specs=TrackResult(Pose(P(), P()), P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def fn(Dm: jnp.ndarray, pose: Pose, points_cam: jnp.ndarray) -> TrackResult:
+        return shmapped(Dm, pose, points_cam)
 
     return fn
 
@@ -275,6 +325,86 @@ def sharded_fuse_frame_bricked(
         if rgb is None:  # unused placeholder (specs are positional arrays)
             rgb = jnp.zeros(points_cam.shape[:2] + (3,), grid.D.dtype)
         return shmapped(grid, pose, points_cam, normals_cam, rgb)
+
+    return fn
+
+
+def shard_brick_grid(bgrid, mesh: Mesh, axis_name: str = "d"):
+    """Slab-shard every BrickGrid leaf's rows over the mesh.
+
+    Brick ids are row-major over (nbi, nbj, nbk), so an equal split of rows
+    across n devices is exactly an i-slab of bricks per device (requires
+    nbi %% n == 0 — checked by sharded_fuse_frame_brickmajor)."""
+    from jax.sharding import NamedSharding
+    s = NamedSharding(mesh, P(axis_name, None))
+    return jax.tree.map(lambda x: jax.device_put(x, s), bgrid)
+
+
+def sharded_fuse_frame_brickmajor(
+    mesh: Mesh,
+    *,
+    params: GridParams,
+    cam: PinholeCamera,
+    cfg: FusionConfig = FusionConfig(),
+    bs=None,
+    cap: Optional[int] = None,
+    cap_free: Optional[int] = None,
+):
+    """SPMD fusion over BRICK-MAJOR storage — the fastest single-device
+    layout, sharded: each device owns a contiguous slab of brick rows
+    (brick ids are row-major over (nbi, nbj, nbk), so an i-slab of bricks
+    IS a contiguous row range of every leaf), classifies and merges only
+    its own bricks (fuse_frame_brickmajor with nbi_local + i_offset), with
+    zero collectives except the stats psum.
+
+    Returns fn(bgrid, pose, points, normals, rgb) ->
+    (bgrid, Dm_slabbed, stats): Dm_slabbed is the (m, m, m) NaN-masked SDF
+    sharded P('d', None, None) — each device relayouts only its slab
+    (1/n_dev of the single-device relayout cost) — ready for
+    sharded_track_frame_masked. ``cap``/``cap_free`` are PER SHARD
+    (default: brick_cap / n_devices, min 256)."""
+    from tracking_sdf_tpu.fusion.brick import FuseStats
+    from tracking_sdf_tpu.fusion.brickmajor import BrickGrid, fuse_frame_brickmajor
+
+    n_dev = mesh.devices.size
+    if params.m % n_dev != 0:
+        raise ValueError(f"grid m={params.m} not divisible by mesh size {n_dev}")
+    slab = params.m // n_dev
+    bs = bs if bs is not None else cfg.brick_shape
+    if slab % bs[0]:
+        raise ValueError(f"slab {slab} not divisible by brick i-extent {bs[0]}")
+    nbi_l = slab // bs[0]
+    cap = cap if cap is not None else max(256, cfg.brick_cap // n_dev)
+    cap_free = cap_free if cap_free is not None else cap
+    use_color = cfg.fuse_color
+
+    def local_fuse(bgrid_slab: BrickGrid, pose, points, normals, rgb):
+        i0 = lax.axis_index("d") * slab
+        bg, Dm_slab, stats = fuse_frame_brickmajor(
+            bgrid_slab, pose, points, normals, rgb if use_color else None,
+            params=params, cam=cam, cfg=cfg, bs=bs, cap=cap,
+            cap_free=cap_free, emit_dm=True, i_offset=i0, nbi_local=nbi_l,
+        )
+        stats = FuseStats(*(lax.psum(s, "d") for s in stats))
+        return bg, Dm_slab, stats
+
+    bspec = BrickGrid(*([P("d", None)] * 6))
+    sspec = FuseStats(P(), P(), P(), P())
+    shmapped = jax.shard_map(
+        local_fuse,
+        mesh=mesh,
+        in_specs=(bspec, Pose(P(), P()), P(), P(), P()),
+        out_specs=(bspec, P("d", None, None), sspec),
+        check_vma=False,
+    )
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def fn(bgrid: BrickGrid, pose, points_cam, normals_cam, rgb=None):
+        if use_color and rgb is None:
+            raise ValueError("cfg.fuse_color=True but rgb is None")
+        if rgb is None:  # unused placeholder (specs are positional arrays)
+            rgb = jnp.zeros(points_cam.shape[:2] + (3,), jnp.float32)
+        return shmapped(bgrid, pose, points_cam, normals_cam, rgb)
 
     return fn
 

@@ -85,6 +85,7 @@ class Reconstruction:
         # tracking interpolates from directly (no per-frame relayout).
         self._bgrid = None
         self._dm = None
+        self._track_input = "grid"  # what self._track consumes: grid | dm
         if mesh is None and config.fusion.mode in ("brickmajor", "packed"):
             self._bs = config.fusion.brick_shape
             if config.fusion.mode == "packed":
@@ -128,11 +129,18 @@ class Reconstruction:
                 sharded_track_frame,
             )
 
-            self.grid: TSDFGrid = shard_grid(empty_grid(config.grid), mesh)
             fcfg = config.fusion
-            if fcfg.mode in ("brickmajor", "packed"):
-                # the sharded path slab-shards the FLAT layout; map to the
-                # flat-layout bricked equivalent with its best brick shape
+            if fcfg.mode == "brickmajor":
+                # sharded BRICK-MAJOR: contiguous brick-row slabs per device,
+                # per-slab classify+merge (zero collectives), per-slab Dm
+                # relayout feeding the masked-slab tracking (see
+                # parallel.sharded.sharded_fuse_frame_brickmajor)
+                self._init_sharded_brickmajor(mesh, cam, fcfg)
+                return
+            self.grid: TSDFGrid = shard_grid(empty_grid(config.grid), mesh)
+            if fcfg.mode == "packed":
+                # packed stays single-device; map to the flat-layout bricked
+                # equivalent with its best brick shape
                 fcfg = fcfg._replace(mode="bricked", brick_shape=(1, 8, 128))
             if fcfg.mode == "bricked":
                 fuse_b = sharded_fuse_frame_bricked(
@@ -233,6 +241,63 @@ class Reconstruction:
 
     # ------------------------------------------------------------------ #
 
+    def _init_sharded_brickmajor(self, mesh, cam, fcfg) -> None:
+        """Distributed brick-major state: brick-row slabs + masked-slab Dm.
+
+        Fusion emits the slab-sharded masked Dm (each device relayouts only
+        its own bricks); tracking consumes it via
+        sharded_track_frame_masked (self._track_input = 'dm')."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from tracking_sdf_tpu.fusion.brickmajor import (
+            brick_grid_from_dense,
+            dense_from_brick_grid,
+            empty_brick_grid,
+            masked_dense_D,
+        )
+        from tracking_sdf_tpu.parallel import (
+            shard_brick_grid,
+            sharded_fuse_frame_brickmajor,
+            sharded_track_frame_masked,
+        )
+
+        config = self.config
+        bs = self._bs = fcfg.brick_shape
+        vdt = jnp.bfloat16 if fcfg.storage_dtype == "bfloat16" else None
+        dm_shard = NamedSharding(mesh, P("d", None, None))
+        self._bgrid = shard_brick_grid(
+            empty_brick_grid(config.grid, bs, value_dtype=vdt), mesh)
+        self._bm_to_dense = lambda bg: dense_from_brick_grid(
+            bg, config.grid, bs)
+        self._bm_from_dense = lambda g: shard_brick_grid(
+            brick_grid_from_dense(g, bs, value_dtype=vdt), mesh)
+        self._bm_view = lambda bg: jax.device_put(
+            masked_dense_D(bg, config.grid, bs).astype(jnp.float32), dm_shard)
+        self._dm = self._bm_view(self._bgrid)
+
+        # built lazily keyed on color presence: fuse_color is baked into the
+        # shard_map (the single-device path adapts per call the same way)
+        fuse_cache = {}
+
+        def fuse_bm(pose, pts, normals, rgb):
+            has_color = fcfg.fuse_color and rgb is not None
+            fuse_sh = fuse_cache.get(has_color)
+            if fuse_sh is None:
+                cfg_k = fcfg if has_color else fcfg._replace(fuse_color=False)
+                fuse_sh = fuse_cache[has_color] = sharded_fuse_frame_brickmajor(
+                    mesh, params=config.grid, cam=cam, cfg=cfg_k,
+                    cap_free=fcfg.brick_cap_free or None,
+                )
+            self._bgrid, self._dm, stats = fuse_sh(
+                self._bgrid, pose, pts, normals, rgb)
+            self.last_fuse_stats = stats
+
+        self._fuse_bm = fuse_bm
+        self._track = sharded_track_frame_masked(
+            mesh, params=config.grid, cfg=config.tracking)
+        self._track_input = "dm"
+        self.last_fuse_stats = None
+        self._publisher = None
+
     @property
     def grid(self) -> TSDFGrid:
         """Dense (m, m, m) grid view. In brick-major mode this MATERIALIZES
@@ -293,7 +358,8 @@ class Reconstruction:
             dm = self._dm if bm else None
             if self._track is not None:
                 pts = points[:: cfg.tracking.pixel_stride, :: cfg.tracking.pixel_stride]
-                res = self._track(self.grid, pose0, pts.reshape(-1, 3))
+                target = self._dm if self._track_input == "dm" else self.grid
+                res = self._track(target, pose0, pts.reshape(-1, 3))
             elif cfg.pyramid_levels:
                 from tracking_sdf_tpu.tracking.pyramid import track_frame_pyramid
 
