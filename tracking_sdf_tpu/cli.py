@@ -112,12 +112,13 @@ def main(argv=None) -> int:
     if args.pixel_share:
         fusion = fusion._replace(pixel_share=args.pixel_share)
     if args.fusion_mode:
+        switched = args.fusion_mode != cfg.fusion.mode
         fusion = fusion._replace(mode=args.fusion_mode)
-        if args.fusion_mode in ("brickmajor", "packed") and any(
-                cfg.grid.m % b for b in fusion.brick_shape):
-            # presets that default to flat-layout bricks carry the
-            # (1, 8, 128) shape; brick-major wants the compact classifier
-            # optimum (BENCHMARKS.md brick-shape study)
+        if args.fusion_mode in ("brickmajor", "packed") and switched \
+                and cfg.grid.m % 8 == 0:
+            # presets not already in a brick-major mode carry the
+            # flat-layout (1, 8, 128) shape; brick-major wants the compact
+            # classifier optimum (BENCHMARKS.md brick-shape study)
             fusion = fusion._replace(brick_shape=(8, 8, 8))
     if args.storage_dtype:
         fusion = fusion._replace(storage_dtype=args.storage_dtype)

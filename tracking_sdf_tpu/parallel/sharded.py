@@ -287,15 +287,7 @@ def sharded_fuse_frame_bricked(
     shards)."""
     from tracking_sdf_tpu.fusion.brick import FuseStats, fuse_frame_bricked
 
-    n_dev = mesh.devices.size
-    if params.m % n_dev != 0:
-        raise ValueError(f"grid m={params.m} not divisible by mesh size {n_dev}")
-    slab = params.m // n_dev
-    bs = bs if bs is not None else cfg.brick_shape
-    if slab % bs[0]:
-        raise ValueError(f"slab {slab} not divisible by brick i-extent {bs[0]}")
-    cap = cap if cap is not None else max(256, cfg.brick_cap // n_dev)
-
+    n_dev, slab, bs, cap = _slab_bricks(mesh, params, cfg, bs, cap)
     use_color = cfg.fuse_color
 
     def local_fuse(grid_slab: TSDFGrid, pose, points, normals, rgb):
@@ -327,6 +319,22 @@ def sharded_fuse_frame_bricked(
         return shmapped(grid, pose, points_cam, normals_cam, rgb)
 
     return fn
+
+
+def _slab_bricks(mesh: Mesh, params: GridParams, cfg: FusionConfig, bs, cap):
+    """Shared slab/brick validation for the brick-sharded fusion builders.
+
+    Returns (n_dev, slab, bs, cap) with ``cap`` scaled PER SHARD (default:
+    cfg.brick_cap / n_devices, min 256)."""
+    n_dev = mesh.devices.size
+    if params.m % n_dev != 0:
+        raise ValueError(f"grid m={params.m} not divisible by mesh size {n_dev}")
+    slab = params.m // n_dev
+    bs = bs if bs is not None else cfg.brick_shape
+    if slab % bs[0]:
+        raise ValueError(f"slab {slab} not divisible by brick i-extent {bs[0]}")
+    cap = cap if cap is not None else max(256, cfg.brick_cap // n_dev)
+    return n_dev, slab, bs, cap
 
 
 def shard_brick_grid(bgrid, mesh: Mesh, axis_name: str = "d"):
@@ -366,15 +374,8 @@ def sharded_fuse_frame_brickmajor(
     from tracking_sdf_tpu.fusion.brick import FuseStats
     from tracking_sdf_tpu.fusion.brickmajor import BrickGrid, fuse_frame_brickmajor
 
-    n_dev = mesh.devices.size
-    if params.m % n_dev != 0:
-        raise ValueError(f"grid m={params.m} not divisible by mesh size {n_dev}")
-    slab = params.m // n_dev
-    bs = bs if bs is not None else cfg.brick_shape
-    if slab % bs[0]:
-        raise ValueError(f"slab {slab} not divisible by brick i-extent {bs[0]}")
+    n_dev, slab, bs, cap = _slab_bricks(mesh, params, cfg, bs, cap)
     nbi_l = slab // bs[0]
-    cap = cap if cap is not None else max(256, cfg.brick_cap // n_dev)
     cap_free = cap_free if cap_free is not None else cap
     use_color = cfg.fuse_color
 

@@ -136,30 +136,34 @@ class Reconstruction:
                 # relayout feeding the masked-slab tracking (see
                 # parallel.sharded.sharded_fuse_frame_brickmajor)
                 self._init_sharded_brickmajor(mesh, cam, fcfg)
-                return
-            self.grid: TSDFGrid = shard_grid(empty_grid(config.grid), mesh)
-            if fcfg.mode == "packed":
-                # packed stays single-device; map to the flat-layout bricked
-                # equivalent with its best brick shape
-                fcfg = fcfg._replace(mode="bricked", brick_shape=(1, 8, 128))
-            if fcfg.mode == "bricked":
-                fuse_b = sharded_fuse_frame_bricked(
-                    mesh, params=config.grid, cam=cam, cfg=fcfg
-                )
-
-                def fuse(grid, pose, pts, normals, rgb):
-                    grid, stats = fuse_b(grid, pose, pts, normals, rgb)
-                    self.last_fuse_stats = stats
-                    return grid
-
-                self._fuse = fuse
             else:
-                self._fuse = sharded_fuse_frame(
-                    mesh, params=config.grid, cam=cam, cfg=config.fusion
+                self.grid: TSDFGrid = shard_grid(empty_grid(config.grid), mesh)
+                if fcfg.mode == "packed":
+                    # packed stays single-device; map to the flat-layout
+                    # bricked equivalent with its best measured brick shape
+                    # that still divides the grid (m < 128 presets)
+                    bs = (1, 8, 128)
+                    if any(config.grid.m % b for b in bs):
+                        bs = (1, 8, min(128, config.grid.m))
+                    fcfg = fcfg._replace(mode="bricked", brick_shape=bs)
+                if fcfg.mode == "bricked":
+                    fuse_b = sharded_fuse_frame_bricked(
+                        mesh, params=config.grid, cam=cam, cfg=fcfg
+                    )
+
+                    def fuse(grid, pose, pts, normals, rgb):
+                        grid, stats = fuse_b(grid, pose, pts, normals, rgb)
+                        self.last_fuse_stats = stats
+                        return grid
+
+                    self._fuse = fuse
+                else:
+                    self._fuse = sharded_fuse_frame(
+                        mesh, params=config.grid, cam=cam, cfg=config.fusion
+                    )
+                self._track = sharded_track_frame(
+                    mesh, params=config.grid, cfg=config.tracking
                 )
-            self._track = sharded_track_frame(
-                mesh, params=config.grid, cfg=config.tracking
-            )
         elif self._bgrid is not None:
             if config.fusion.mode == "packed":
                 from tracking_sdf_tpu.fusion.packed import (
@@ -263,7 +267,10 @@ class Reconstruction:
         config = self.config
         bs = self._bs = fcfg.brick_shape
         vdt = jnp.bfloat16 if fcfg.storage_dtype == "bfloat16" else None
+        dm_dtype = vdt or jnp.float32  # ONE Dm dtype (init == fuse output)
         dm_shard = NamedSharding(mesh, P("d", None, None))
+        n_dev = mesh.devices.size
+        m = config.grid.m
         self._bgrid = shard_brick_grid(
             empty_brick_grid(config.grid, bs, value_dtype=vdt), mesh)
         self._bm_to_dense = lambda bg: dense_from_brick_grid(
@@ -271,8 +278,10 @@ class Reconstruction:
         self._bm_from_dense = lambda g: shard_brick_grid(
             brick_grid_from_dense(g, bs, value_dtype=vdt), mesh)
         self._bm_view = lambda bg: jax.device_put(
-            masked_dense_D(bg, config.grid, bs).astype(jnp.float32), dm_shard)
-        self._dm = self._bm_view(self._bgrid)
+            masked_dense_D(bg, config.grid, bs).astype(dm_dtype), dm_shard)
+        # empty grid == all-NaN Dm: skip the (m, m, m) relayout at init
+        self._dm = jax.device_put(
+            jnp.full((m, m, m), jnp.nan, dtype=dm_dtype), dm_shard)
 
         # built lazily keyed on color presence: fuse_color is baked into the
         # shard_map (the single-device path adapts per call the same way)
@@ -285,7 +294,8 @@ class Reconstruction:
                 cfg_k = fcfg if has_color else fcfg._replace(fuse_color=False)
                 fuse_sh = fuse_cache[has_color] = sharded_fuse_frame_brickmajor(
                     mesh, params=config.grid, cam=cam, cfg=cfg_k,
-                    cap_free=fcfg.brick_cap_free or None,
+                    cap_free=(max(256, fcfg.brick_cap_free // n_dev)
+                              if fcfg.brick_cap_free else None),  # per shard
                 )
             self._bgrid, self._dm, stats = fuse_sh(
                 self._bgrid, pose, pts, normals, rgb)
@@ -295,8 +305,6 @@ class Reconstruction:
         self._track = sharded_track_frame_masked(
             mesh, params=config.grid, cfg=config.tracking)
         self._track_input = "dm"
-        self.last_fuse_stats = None
-        self._publisher = None
 
     @property
     def grid(self) -> TSDFGrid:
