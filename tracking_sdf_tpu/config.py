@@ -86,6 +86,13 @@ class TrackingConfig(NamedTuple):
     # the synthetic fixture: decay 0.5 converges in 9 iters to 2.2 mm vs 10
     # iters to 5.3 mm with fixed damping). 1.0 = constant damping (default).
     damping_decay: float = 1.0
+    # Convergence may not fire before this many iterations have run.
+    # Purpose: after a coarse pyramid level hands over an
+    # already-twist-converged pose, a floor forces the fine level to
+    # actually re-optimize on the full stride-3 pixel set instead of
+    # accepting the coarse level's decimation-biased optimum (closed-loop
+    # ATE A/B in BENCHMARKS.md). 0 = reference behavior.
+    min_iterations: int = 0
 
 
 class FusionConfig(NamedTuple):

@@ -172,7 +172,7 @@ def _local_gn(Dm_ext, pose, points_cam, slab: int, params: GridParams,
         A = A + lam * jnp.diag(jnp.diag(A)) + 1e-12 * jnp.eye(6, dtype=A.dtype)
         twist = jnp.linalg.solve(A, b)
         twist = jnp.where(jnp.all(jnp.isfinite(twist)), twist, jnp.zeros_like(twist))
-        done = converged(twist)
+        done = converged(twist) & (i + 1 >= cfg.min_iterations)
         pose_new = _apply_update(pose_c, twist, cfg.pose_update)
         mean_res = sum_res / jnp.maximum(nvalid, 1)
         return (i + 1, pose_new, done, twist, nvalid, mean_res,

@@ -238,7 +238,7 @@ def track_frame(
         twist = jnp.linalg.solve(A, b)
         # guard a singular system (e.g. zero valid pixels): no step
         twist = jnp.where(jnp.all(jnp.isfinite(twist)), twist, jnp.zeros_like(twist))
-        done = converged(twist)
+        done = converged(twist) & (i + 1 >= cfg.min_iterations)
         # the reference updates the pose even on the converging iteration
         pose_new = _apply_update(pose, twist, cfg.pose_update)
         nvalid = jnp.sum(mask.astype(jnp.int32))

@@ -55,8 +55,11 @@ def track_frame_pyramid(
     for li, mult in enumerate(levels):
         stride = cfg.pixel_stride * mult
         pts = points_img[::stride, ::stride].reshape(-1, 3)
+        # coarse levels: capped iterations, no min-iteration floor (the
+        # floor exists to make the FINE level re-optimize past the coarse
+        # level's decimation-biased optimum — see TrackingConfig)
         level_cfg = cfg if mult == 1 else cfg._replace(
-            max_iterations=coarse_iterations
+            max_iterations=coarse_iterations, min_iterations=0
         )
         res = track_frame(grid, pose, pts, params=params, cfg=level_cfg, Dm=Dm)
         pose = res.pose
