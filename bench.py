@@ -26,7 +26,9 @@ Prints ONE JSON line:
 """
 from __future__ import annotations
 
+import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -82,6 +84,13 @@ def build_inputs():
     from tracking_sdf_tpu.tracking.preprocess import estimate_normals
 
     cfg = preset("tum256")
+    # BENCH_STRIDE: tracking pixel-stride A/B knob (CPU closed loops
+    # measure stride 4 MORE accurate than the reference's 3 with ~44%
+    # fewer gathered rows/iteration — BENCHMARKS.md)
+    _stride = int(os.environ.get("BENCH_STRIDE", "0"))
+    if _stride:
+        cfg = dataclasses.replace(
+            cfg, tracking=cfg.tracking._replace(pixel_stride=_stride))
     cam = ros_default_camera()
     scene = make_scene()
 
@@ -236,8 +245,6 @@ def _fallback_sequential():
 
 
 def main():
-    import os
-
     cfg, cam, poses, PTS, NRM, PTS_S, rgb = build_inputs()
     mode = os.environ.get("BENCH_MODE", "brickmajor")
     if mode == "brickmajor":

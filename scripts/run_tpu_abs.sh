@@ -29,6 +29,11 @@ log "=== 1. bench (default: brickmajor f32) ==="
 BENCH_BUDGET_S=2000 timeout 2100 python bench.py >> "$LOG" 2>&1
 log "=== 2. bench (BENCH_DTYPE=bfloat16) ==="
 BENCH_DTYPE=bfloat16 BENCH_BUDGET_S=2000 timeout 2100 python bench.py >> "$LOG" 2>&1
-log "=== 3. frame breakdown ==="
+log "=== 3. bench (BENCH_STRIDE=4) ==="
+BENCH_STRIDE=4 BENCH_BUDGET_S=2000 timeout 2100 python bench.py >> "$LOG" 2>&1
+log "=== 4. bench (BENCH_STRIDE=4 + bf16) ==="
+BENCH_STRIDE=4 BENCH_DTYPE=bfloat16 BENCH_BUDGET_S=2000 timeout 2100 \
+    python bench.py >> "$LOG" 2>&1
+log "=== 5. frame breakdown ==="
 timeout 1800 python scripts/probe_frame_breakdown.py >> "$LOG" 2>&1
 log "done"
