@@ -259,3 +259,14 @@ def test_runner_distributed_brickmajor(mesh, tmp_path_factory):
     ok = np.asarray(g1.W) > 0
     np.testing.assert_allclose(np.asarray(gs.D)[ok], np.asarray(g1.D)[ok],
                                atol=1e-3)
+
+    # checkpoint roundtrip through the dense view restores the brick rows
+    # bitwise and keeps them sharded
+    ckpt = str(tmp / "dist.ckpt")
+    r_sh.save_checkpoint(ckpt)
+    r_2 = Reconstruction(CAM, cfg, initial_pose=TRUE_POSE, mesh=mesh)
+    r_2.restore_checkpoint(ckpt)
+    assert r_2.frame_num == r_sh.frame_num
+    np.testing.assert_array_equal(np.asarray(r_2._bgrid.D),
+                                  np.asarray(r_sh._bgrid.D))
+    assert len(r_2._bgrid.D.sharding.device_set) == mesh.devices.size
