@@ -128,3 +128,46 @@ def test_export_ply(tmp_path):
     export_ply(mesh, path2, binary=False)
     head2 = open(path2).read(400)
     assert "format ascii" in head2
+
+
+def test_raycast_empty_skip_equivalence():
+    """Brick-level empty-space skipping (RaycastConfig.empty_skip) must not
+    change WHAT rays hit or WHERE — only how many steps they take. Uses a
+    FUSED grid (observed band only, large unobserved regions) so leaps
+    actually fire."""
+    from tracking_sdf_tpu.config import FusionConfig
+    from tracking_sdf_tpu.core.camera import backproject
+    from tracking_sdf_tpu.fusion import fuse_frame
+    from tracking_sdf_tpu.grid import empty_grid
+    from tracking_sdf_tpu.tracking import estimate_normals
+
+    depth = render_scene_depth(SCENE, CAM, POSE)
+    pts = backproject(CAM, depth)
+    nrm = estimate_normals(pts)
+    grid = fuse_frame(empty_grid(PARAMS), POSE, pts, nrm, None,
+                      params=PARAMS, cam=CAM,
+                      cfg=FusionConfig(fuse_color=False))
+
+    # camera pulled back: rays cross plenty of unobserved space first
+    pose = look_at((0.0, -1.9, 0.6), (0.0, 0.0, 0.0))
+    r_skip = raycast(grid, pose, params=PARAMS, cam=CAM,
+                     cfg=RaycastConfig(empty_skip=True))
+    r_ref = raycast(grid, pose, params=PARAMS, cam=CAM,
+                    cfg=RaycastConfig(empty_skip=False))
+
+    hs, hr = np.asarray(r_skip.hit), np.asarray(r_ref.hit)
+    # leaps are provably safe: no hit the exhaustive march found may be
+    # lost. The skip run may find MORE (rays the plain march left
+    # unfinished at the step budget / compaction capacity).
+    assert not (hr & ~hs).any()
+    assert int(r_skip.dropped) <= int(r_ref.dropped)
+    hit = hr & hs
+    assert hit.sum() > 300
+    # identical surfaces on common hits: the refinement converges to the
+    # same zero crossing; march trajectories differ, so interp-scale slack
+    np.testing.assert_allclose(np.asarray(r_skip.depth)[hit],
+                               np.asarray(r_ref.depth)[hit], atol=2e-3)
+    # and the skip actually skipped: strictly fewer total steps
+    s_skip = int(np.asarray(r_skip.steps).sum())
+    s_ref = int(np.asarray(r_ref.steps).sum())
+    assert s_skip < 0.8 * s_ref, (s_skip, s_ref)

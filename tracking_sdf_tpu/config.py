@@ -173,6 +173,13 @@ class RaycastConfig(NamedTuple):
     # The old fixed 0.04 m default made rays outside the observed frustum
     # crawl for the full max_steps budget.
     miss_step: float = 0.0
+    # Brick-level empty-space skipping: a per-render L-inf chamfer distance
+    # mip over observed 8^3-voxel bricks lets rays LEAP
+    # (dist-1) * brick_extent through unobserved space — provably safe
+    # (the leap cannot reach an observed brick) and ~1 cheap extra gather
+    # per step. Same hits/depths as the plain march; only step counts
+    # differ. False = reference-free exhaustive march.
+    empty_skip: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -64,6 +64,57 @@ def _ray_box(origin, unit, lo, hi):
     return t_enter, t_exit
 
 
+_SKIP_B = 8  # empty-skip mip brick side (voxels); independent of fusion bricks
+_SKIP_K = 8  # chamfer iterations = max leap distance in bricks
+
+
+def _skip_mip(W: jnp.ndarray) -> jnp.ndarray:
+    """(nb, nb, nb) int32 L-inf chamfer distance to the nearest OBSERVED
+    8^3-voxel brick (0 = this brick has observed voxels; capped at _SKIP_K).
+
+    A ray at a point whose brick has distance s >= 2 cannot reach observed
+    space within (s-1) bricks in any direction, so a leap of
+    (s-1) * brick_extent is safe (cannot tunnel through a surface band)."""
+    m = W.shape[0]
+    nb = m // _SKIP_B
+    occ = (
+        W.reshape(nb, _SKIP_B, nb, _SKIP_B, nb, _SKIP_B).max(axis=(1, 3, 5))
+        > 0
+    )
+    big = jnp.int32(_SKIP_K)
+    dist = jnp.where(occ, 0, big)
+    for _ in range(_SKIP_K - 1):
+        a = dist
+        for ax in range(3):  # 3x3x3 min-pool, axis-separable
+            pad = [(1, 1) if i == ax else (0, 0) for i in range(3)]
+            p = jnp.pad(a, pad, constant_values=_SKIP_K)
+            lo_, mid, hi_ = (
+                jax.lax.slice_in_dim(p, 0, nb, axis=ax),
+                jax.lax.slice_in_dim(p, 1, nb + 1, axis=ax),
+                jax.lax.slice_in_dim(p, 2, nb + 2, axis=ax),
+            )
+            a = jnp.minimum(jnp.minimum(lo_, mid), hi_)
+        dist = jnp.minimum(dist, a + 1)
+    return dist.astype(jnp.int32)
+
+
+def _skip_lookup(rows: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
+    """Gather skip values by flat brick index from a (NB/128, 128) row
+    table — width-128 row gathers + iota lane select (the fast TPU gather
+    shape; 1-D-shaped takes measure ~100x slower, BENCHMARKS.md)."""
+    n = flat.shape[0]
+    lane_w = rows.shape[1]
+    npad = -(-n // lane_w) * lane_w
+    fl = jnp.pad(flat, (0, npad - n))
+    row, lane = fl // lane_w, fl % lane_w
+    got = jnp.take(rows, row.reshape(-1, lane_w), axis=0, mode="clip")
+    io = jnp.arange(lane_w, dtype=jnp.int32)
+    val = jnp.sum(
+        jnp.where(io == lane.reshape(-1, lane_w, 1), got, 0), axis=-1
+    )
+    return val.reshape(npad)[:n]
+
+
 @partial(jax.jit, static_argnames=("params", "cam", "cfg", "stride", "with_color"))
 def raycast(
     grid: TSDFGrid,
@@ -104,12 +155,26 @@ def raycast(
     t_start_f = t_start.reshape(N)
     t_stop_f = t_stop.reshape(N)
 
+    # ---- empty-space skip mip (cfg.empty_skip) ----------------------------
+    # L-inf chamfer over observed 8^3 bricks; leap (s-1)*brick_min_extent
+    # through unobserved space instead of crawling at miss_step. One extra
+    # width-128 row gather per step (~1/8 of the trilinear sample's cost).
+    skip_rows = None
+    if cfg.empty_skip and params.m % _SKIP_B == 0 \
+            and (params.m // _SKIP_B) ** 3 % 128 == 0:
+        nb_skip = params.m // _SKIP_B
+        skip_rows = _skip_mip(grid.W).reshape(-1, 128)
+        brick_min_ext = _SKIP_B * min(
+            params.width / params.m, params.height / params.m,
+            params.depth / params.m,
+        )
+
     def march(state0, unit_v, t_lo, t_hi, budget):
         def sample(t):
             pos = origin + t[..., None] * unit_v
             uvw = world_to_voxel(params, pos)
             phi, _, ok = trilinear_with_grad_nan(Dm, uvw)
-            return phi, ok
+            return phi, ok, uvw
 
         def cond(state):
             k, t, hit, alive, steps = state
@@ -117,12 +182,22 @@ def raycast(
 
         def body(state):
             k, t, hit, alive, steps = state
-            phi, ok = sample(t)
+            phi, ok, uvw = sample(t)
             hit_now = alive & ok & (jnp.abs(phi) < cfg.hit_epsilon)
             step = jnp.where(ok, phi * cfg.step_scale, miss_step)
             # never step backwards past the entry point; cap forward progress
             # at the truncation band
             step = jnp.clip(step, -params.delta, params.delta)
+            if skip_rows is not None:
+                b = jnp.clip(
+                    (uvw / _SKIP_B).astype(jnp.int32), 0, nb_skip - 1)
+                flat = (b[..., 0] * nb_skip + b[..., 1]) * nb_skip + b[..., 2]
+                s = _skip_lookup(skip_rows, flat)
+                leap = (s - 1).astype(step.dtype) * brick_min_ext
+                # provably-safe long stride through unobserved space (the
+                # leap cannot reach an observed brick) — bypasses the
+                # truncation-band clip, which only bounds phi-driven steps
+                step = jnp.where(~ok, jnp.maximum(step, leap), step)
             t_new = jnp.where(alive & ~hit_now, t + step, t)
             t_new = jnp.maximum(t_new, t_lo)
             out_of_volume = t_new > t_hi
