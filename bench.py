@@ -40,7 +40,10 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-BASELINE_FPS = 1000.0 / 23.0  # paper §V-E, m=256
+BASELINE_FPS = (  # paper §V-E: 23 ms/frame at m=256; 52.7 ms at m=512
+    1000.0 / 52.7 if os.environ.get("BENCH_PRESET") == "tum512"
+    else 1000.0 / 23.0
+)
 K = 10  # frames per on-device dispatch (compile time scales with K)
 
 
@@ -83,7 +86,9 @@ def build_inputs():
     from tracking_sdf_tpu.data.synthetic import look_at, render_scene_depth
     from tracking_sdf_tpu.tracking.preprocess import estimate_normals
 
-    cfg = preset("tum256")
+    # BENCH_PRESET: tum256 (default; the paper's headline config) or
+    # tum512 (its high-res config, 52.7 ms/frame = 19.0 fps baseline)
+    cfg = preset(os.environ.get("BENCH_PRESET", "tum256"))
     # BENCH_STRIDE: tracking pixel-stride A/B knob (CPU closed loops
     # measure stride 4 MORE accurate than the reference's 3 with ~44%
     # fewer gathered rows/iteration — BENCHMARKS.md)
@@ -191,7 +196,8 @@ def _frame_fn_brickmajor(cfg, cam):
                               cfg=tcfg, Dm=Dm)
         bgrid, Dm, _ = fuse_frame_brickmajor(
             bgrid, res.pose, pts, nrm, rgb, params=params, cam=cam,
-            cfg=fcfg, bs=bs, cap=fcfg.brick_cap, cap_free=2048,
+            cfg=fcfg, bs=bs, cap=fcfg.brick_cap,
+            cap_free=fcfg.brick_cap_free or None,
             emit_dm="view")
         return (bgrid, Dm), res
     return frame
@@ -220,7 +226,8 @@ def _frame_fn_packed(cfg, cam):
                               cfg=tcfg, Dm=Dm)
         pgrid, Dm, _ = fuse_frame_packed(
             pgrid, res.pose, pts, nrm, rgb, params=params, cam=cam,
-            cfg=fcfg, bs=bs, cap=fcfg.brick_cap, cap_free=2048,
+            cfg=fcfg, bs=bs, cap=fcfg.brick_cap,
+            cap_free=fcfg.brick_cap_free or None,
             emit_dm="view")
         return (pgrid, Dm), res
     return frame

@@ -36,4 +36,7 @@ BENCH_STRIDE=4 BENCH_DTYPE=bfloat16 BENCH_BUDGET_S=2000 timeout 2100 \
     python bench.py >> "$LOG" 2>&1
 log "=== 5. frame breakdown ==="
 timeout 1800 python scripts/probe_frame_breakdown.py >> "$LOG" 2>&1
+log "=== 6. bench (BENCH_PRESET=tum512) ==="
+BENCH_PRESET=tum512 BENCH_BUDGET_S=2000 timeout 2100 python bench.py \
+    >> "$LOG" 2>&1
 log "done"
