@@ -515,3 +515,37 @@ def test_packed_grid_roundtrip():
     ge = dense_from_packed(empty_packed_grid(PARAMS, BS), PARAMS, BS)
     np.testing.assert_array_equal(np.asarray(ge.D),
                                   np.asarray(empty_grid(PARAMS).D))
+
+
+def test_classifier_left_edge_trunc_band_matches_dense():
+    """OUT classification must honor C-cast truncation parity: u in (-1, 0)
+    truncates to pixel 0 and IS fused by the dense path (fuse.py:159), so a
+    brick whose hull-max u lands in (-1, 0) may not be classified OUT.
+    Regression for the `u1 < 0` vs `u1 <= -1` bound (found by review):
+    grid positioned so bricks straddle the left image edge."""
+    params = GridParams(m=16, width=2.0, height=2.0, depth=2.0,
+                        origin=(-1.35, -1.0, -1.0), delta=0.3, epsilon=0.05)
+    cam = PinholeCamera(fx=20.0, fy=20.0, cx=8.0, cy=8.0,
+                        width=16, height=16)
+    # flat wall straight ahead: valid depth in image column 0
+    h, w = cam.height, cam.width
+    jj, ii = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                          jnp.arange(h, dtype=jnp.float32))
+    z = jnp.full((h, w), 2.0, jnp.float32)
+    pts = jnp.stack([(jj - cam.cx) / cam.fx * z,
+                     (ii - cam.cy) / cam.fy * z, z], axis=-1)
+    nrm = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0], jnp.float32),
+                           (h, w, 3))
+    from tracking_sdf_tpu.core.lie import pose_identity
+    pose = pose_identity()
+    cfg = FusionConfig(fuse_color=False)
+
+    gd = fuse_frame(empty_grid(params), pose, pts, nrm, None,
+                    params=params, cam=cam, cfg=cfg)
+    gb, stats = fuse_frame_bricked(
+        empty_grid(params), pose, pts, nrm, None,
+        params=params, cam=cam, cfg=cfg, bs=(4, 4, 4), cap=64)
+    assert int(stats.overflow) == 0
+    np.testing.assert_allclose(np.asarray(gb.W), np.asarray(gd.W), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb.D), np.asarray(gd.D), atol=1e-5)
+    assert float(gd.W.sum()) > 0

@@ -58,7 +58,10 @@ class FuseStats(NamedTuple):
     n_full: jnp.ndarray  # () int32 — bricks classified FULL
     overflow: jnp.ndarray  # () int32 — FULL bricks dropped (cap too small)
     n_free: jnp.ndarray  # () int32
-    overflow_active: jnp.ndarray = jnp.int32(0)  # active bricks dropped (pallas merge)
+    # merge='pallas': active bricks dropped; merge='rows' and brickmajor:
+    # FREE bricks dropped (cap_free too small). Either way: capacity
+    # overflow in the merge tail, reported never silent.
+    overflow_active: jnp.ndarray = jnp.int32(0)
 
 
 def _zeta_mip(points_cam, normals_cam, cam, delta, dtype):
@@ -233,9 +236,14 @@ def classify_bricks(params, pose, points_cam, normals_cam, cam, bs, dtype,
     # only when all corners are in front
     inside = all_front & (u0 >= 0) & (u1 < w_img) & (v0 >= 0) & (v1 < h)
     # entirely out: behind camera, or hull misses the image (hull bound on
-    # (u, v) is valid only when all corners are in front — otherwise keep)
+    # (u, v) is valid only when all corners are in front — otherwise keep).
+    # Left/top bound is <= -1, NOT < 0: the per-voxel path truncates toward
+    # zero (C-cast parity, fuse.py:159), so u in (-1, 0) maps to pixel 0
+    # and is VALID — an OUT test at u1 < 0 would skip a one-pixel band the
+    # dense path fuses. Right/bottom stays >= w/h (u >= w truncates to
+    # iu >= w, invalid).
     out = (pz_max <= 0) | (
-        all_front & ((u1 < 0) | (u0 >= w_img) | (v1 < 0) | (v0 >= h))
+        all_front & ((u1 <= -1) | (u0 >= w_img) | (v1 <= -1) | (v0 >= h))
     )
     zeta_min = _query_zeta(zflat, zoffs, zdims, u0, u1, v0, v1)
     free = inside & (pz_max < zeta_min)

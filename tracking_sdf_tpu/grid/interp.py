@@ -44,7 +44,7 @@ _OFFSETS = np.array(
 )
 
 
-def _gather_corners(vol: jnp.ndarray, ci, cj, ck, in_bounds):
+def _gather_corners(vol: jnp.ndarray, ci, cj, ck):
     """Gather vol[ci, cj, ck] with out-of-bounds lanes clamped (and masked by caller)."""
     m0, m1, m2 = vol.shape
     ci = jnp.clip(ci, 0, m0 - 1)
@@ -101,8 +101,8 @@ def trilinear_with_grad(
 
     ci, cj, ck = _corner_indices(base)
     inb = _in_bounds(ci, cj, ck, D.shape)
-    d = _gather_corners(D, ci, cj, ck, inb)
-    w_obs = _gather_corners(W, ci, cj, ck, inb)
+    d = _gather_corners(D, ci, cj, ck)
+    w_obs = _gather_corners(W, ci, cj, ck)
     mask = (inb & (w_obs > 0)).astype(dtype)  # (..., 8)
 
     off = jnp.asarray(_OFFSETS, dtype=dtype)  # (8, 3)
@@ -199,7 +199,7 @@ def _corner_fetch(vol: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
     if (vol.shape[0] * vol.shape[1] * vol.shape[2]) % _ROW_W == 0:
         return _corner_fetch_rows(vol, base)
     ci, cj, ck = _corner_indices(base)
-    return _gather_corners(vol, ci, cj, ck, None)
+    return _gather_corners(vol, ci, cj, ck)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -370,8 +370,8 @@ def shepard_l1(
 
     ci, cj, ck = _corner_indices(base)
     inb = _in_bounds(ci, cj, ck, D.shape)
-    d = _gather_corners(D, ci, cj, ck, inb)
-    w_obs = _gather_corners(W, ci, cj, ck, inb)
+    d = _gather_corners(D, ci, cj, ck)
+    w_obs = _gather_corners(W, ci, cj, ck)
     valid_corner = inb & (w_obs > 0)
 
     corner_pos = base[..., None, :] + jnp.asarray(_OFFSETS)  # (..., 8, 3)

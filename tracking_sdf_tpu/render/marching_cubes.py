@@ -49,6 +49,10 @@ _CORNERS = np.array(
      [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1]],
     dtype=np.int32,
 )
+# column c of an interp._OFFSETS-ordered corner fetch holding _CORNERS[c]
+_CORNERS_TO_OFFSETS = np.array(
+    [4 * di + 2 * dj + dk for di, dj, dk in _CORNERS], dtype=np.int32
+)
 
 # Six tetrahedra around the main diagonal c0 -> c7 (each face of the path
 # cube walk): a standard 6-tet decomposition with consistent diagonal.
@@ -86,6 +90,9 @@ _TRI_TABLE[14, 0] = (0, 1, 2)           # v1 v2 v3
 class Mesh(NamedTuple):
     vertices: np.ndarray  # (T, 3, 3) float32 world-space triangle vertices
     colors: Optional[np.ndarray]  # (T, 3, 3) float32 in [0,1] or None
+    # surface cells beyond max_cells, not triangulated (overflow is
+    # REPORTED, never silent — same discipline as FuseStats)
+    dropped_cells: int = 0
 
     @property
     def num_triangles(self) -> int:
@@ -115,8 +122,14 @@ def _triangulate_cells(
     grid: TSDFGrid, cells: jnp.ndarray, *, params: GridParams
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pass 2: cells (A, 3) int32 -> (verts (A*6, 2, 3, 3), valid (A*6, 2))."""
+    from tracking_sdf_tpu.grid.interp import _corner_fetch
+
     corners = cells[:, None, :] + jnp.asarray(_CORNERS)[None, :, :]  # (A, 8, 3)
-    d = grid.D[corners[..., 0], corners[..., 1], corners[..., 2]]  # (A, 8)
+    # width-128 row gathers (the measured-fast TPU shape; 3D-operand
+    # advanced indexing is ~2x slower per row — interp._corner_fetch_rows).
+    # _corner_fetch returns interp._OFFSETS order (k fastest); remap to
+    # this module's _CORNERS order (i fastest): offsets idx = 4di+2dj+dk.
+    d = _corner_fetch(grid.D, cells)[:, jnp.asarray(_CORNERS_TO_OFFSETS)]
     pos = voxel_to_world(params, corners.astype(grid.D.dtype))  # (A, 8, 3)
 
     tets = jnp.asarray(_TETS)  # (6, 4)
@@ -188,7 +201,9 @@ def marching_cubes(
     if idx.shape[0] == 0:
         empty = np.zeros((0, 3, 3), np.float32)
         return Mesh(empty, empty.copy() if with_colors else None)
+    dropped = 0
     if max_cells is not None and idx.shape[0] > max_cells:
+        dropped = idx.shape[0] - max_cells
         idx = idx[:max_cells]
 
     # pad to a fixed bucket so recompilation is rare
@@ -210,7 +225,7 @@ def marching_cubes(
             grid.R, grid.G, grid.B, grid.Wc, world_to_voxel(params, flat)
         )
         colors = np.asarray(rgb).reshape(-1, 3, 3).astype(np.float32)
-    return Mesh(tri.astype(np.float32), colors)
+    return Mesh(tri.astype(np.float32), colors, dropped_cells=dropped)
 
 
 def export_ply(mesh: Mesh, path: str, binary: bool = True) -> None:
