@@ -166,7 +166,9 @@ def write_synthetic_tum(
     for i, depth in enumerate(depths):
         stamp = t0 + i * dt
         raw = np.nan_to_num(depth, nan=0.0) * DEPTH_SCALE
-        raw = np.clip(raw, 0, 65535).astype(np.uint16)
+        # round, not truncate: truncation biases every written depth low
+        # by up to 1/DEPTH_SCALE (0.2 mm), visible in sub-mm roundtrips
+        raw = np.clip(np.round(raw), 0, 65535).astype(np.uint16)
         name = f"depth/{stamp:.6f}.png"
         Image.fromarray(raw, mode="I;16").save(os.path.join(root, name))
         depth_lines.append(f"{stamp:.6f} {name}")

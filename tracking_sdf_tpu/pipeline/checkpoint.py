@@ -43,6 +43,11 @@ def save_checkpoint(
     if pose_prev is not None:
         arrays["pose_prev_R"] = np.asarray(pose_prev.R)
         arrays["pose_prev_t"] = np.asarray(pose_prev.t)
+    # frame_num rides INSIDE the npz so grid+counter replace in ONE atomic
+    # rename (a crash between two file replaces would pair a new grid with
+    # a stale counter and double-fuse frames on resume); meta.json is a
+    # human-readable mirror, not the source of truth on load.
+    arrays["frame_num"] = np.int64(frame_num)
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
     os.replace(tmp, os.path.join(path, _STATE_FILE))
@@ -64,9 +69,13 @@ def load_checkpoint(
         if "pose_prev_R" in z:
             pose_prev = Pose(jnp.asarray(z["pose_prev_R"]),
                              jnp.asarray(z["pose_prev_t"]))
+        frame_in_npz = int(z["frame_num"]) if "frame_num" in z else None
     with open(os.path.join(path, _META_FILE)) as f:
         meta = json.load(f)
-    frame_num = int(meta.pop("frame_num"))
+    meta_frame = int(meta.pop("frame_num"))
+    # the npz is the atomic source of truth; meta.json is a readable mirror
+    # (older checkpoints predate the in-npz counter — fall back then)
+    frame_num = frame_in_npz if frame_in_npz is not None else meta_frame
     return grid, pose, frame_num, meta, pose_prev
 
 

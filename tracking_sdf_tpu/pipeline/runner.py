@@ -36,10 +36,17 @@ from tracking_sdf_tpu.pipeline.trajectory import TrajectoryWriter
 from tracking_sdf_tpu.tracking.gauss_newton import track_frame
 from tracking_sdf_tpu.tracking.preprocess import preprocess_frame
 
-# Initial pose of the reference (camera_tracking.cpp:5-7): z forward along -y,
-# 1 m up — appropriate for the TUM sequences' first frame in the grid volume.
+# Initial pose modeled on the reference (camera_tracking.cpp:5-7): camera z
+# forward along world -y, 1 m up — appropriate for the TUM sequences' first
+# frame in the grid volume. DELIBERATE deviation: the reference's literal
+# rot (1,0,0, 0,0,-1, 0,-1,0) has det = -1 — a REFLECTION, not a rotation —
+# which poisons every downstream pose (GN composes proper rotations onto
+# it, so det stays -1 for the whole run) and makes quaternion trajectory
+# export mathematically invalid (an improper matrix has no quaternion; the
+# export would silently emit garbage orientations). We flip the third
+# row's sign to the proper rotation with the same camera-z axis.
 REFERENCE_INITIAL_POSE = Pose(
-    R=jnp.asarray([[1.0, 0.0, 0.0], [0.0, 0.0, -1.0], [0.0, -1.0, 0.0]], jnp.float32),
+    R=jnp.asarray([[1.0, 0.0, 0.0], [0.0, 0.0, -1.0], [0.0, 1.0, 0.0]], jnp.float32),
     t=jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
 )
 
@@ -353,16 +360,25 @@ class Reconstruction:
         gn_iters, nvalid, mean_res = 0, 0, 0.0
         rejected = False
         t0 = time.perf_counter()
-        if cfg.use_groundtruth and gt_pose is not None:
-            # fusion-only oracle mode (sdf_reconstruction.cpp:51-66)
-            self._pose_prev = self.pose
-            self.pose = gt_pose
+        if cfg.use_groundtruth:
+            if gt_pose is not None:
+                # fusion-only oracle mode (sdf_reconstruction.cpp:51-66)
+                self._pose_prev = self.pose
+                self.pose = gt_pose
+            else:
+                # groundtruth gap (no association within max_dt): DROP the
+                # frame like the reference's tf-timeout path
+                # (sdf_reconstruction.cpp:57-60) — falling through to GN
+                # tracking would mix tracked poses into a gt-only run
+                rejected = True
+                self._pose_prev = None
         elif self.frame_num > 1:
             pose0 = self._predict_pose()
             # brick-major mode: track against the Dm view emitted by the
-            # last fusion (no dense grid materialization in the hot loop)
+            # last fusion (no dense grid materialization in the hot loop).
+            # self.grid is a MATERIALIZING property in that mode — only
+            # touch it inside the branches that consume it.
             bm = self._bgrid is not None and cfg.tracking.jacobian == "analytic"
-            g_track = None if bm else self.grid
             dm = self._dm if bm else None
             if self._track is not None:
                 pts = points[:: cfg.tracking.pixel_stride, :: cfg.tracking.pixel_stride]
@@ -372,13 +388,13 @@ class Reconstruction:
                 from tracking_sdf_tpu.tracking.pyramid import track_frame_pyramid
 
                 res, _ = track_frame_pyramid(
-                    g_track, pose0, points, params=cfg.grid,
+                    None if bm else self.grid, pose0, points, params=cfg.grid,
                     cfg=cfg.tracking, levels=cfg.pyramid_levels, Dm=dm,
                 )
             else:
                 pts = points[:: cfg.tracking.pixel_stride, :: cfg.tracking.pixel_stride]
                 res = track_frame(
-                    g_track, pose0, pts.reshape(-1, 3),
+                    None if bm else self.grid, pose0, pts.reshape(-1, 3),
                     params=cfg.grid, cfg=cfg.tracking, Dm=dm,
                 )
             jax.block_until_ready(res.pose.t)
@@ -414,7 +430,14 @@ class Reconstruction:
         fuse_ms = (time.perf_counter() - t0) * 1e3
 
         if self._publisher is not None and not rejected:
-            self._publisher.publish(self.grid)
+            # host-side rate gate: snapshotting costs a dense materialize
+            # (brick-major property) + a ~400 MB device copy at 256^3;
+            # don't pay it ~50x/s when the publisher consumes one snapshot
+            # per interval
+            now = time.perf_counter()
+            if now - self._last_publish >= self._publisher.interval:
+                self._publisher.publish(self.grid)
+                self._last_publish = now
 
         stat = FrameStats(
             index=self.frame_num, timestamp=timestamp, track_ms=track_ms,
@@ -440,6 +463,7 @@ class Reconstruction:
             export_ply(mesh, path)
 
         self._publisher = MeshPublisher(export, interval=interval)
+        self._last_publish = float("-inf")  # first frame always publishes
         return self._publisher
 
     # ------------------------------------------------------------------ #
@@ -554,8 +578,11 @@ class Reconstruction:
     def summary(self) -> Dict[str, float]:
         if not self.stats:
             return {}
+        # stats[1:] everywhere: frame 1 carries the jit compiles (fusion's
+        # can be 30+ s on the congested remote helper) and would swamp fps
         track = np.asarray([s.track_ms for s in self.stats[1:]] or [0.0])
-        fuse = np.asarray([s.fuse_ms for s in self.stats])
+        fuse = np.asarray([s.fuse_ms for s in self.stats[1:]]
+                          or [s.fuse_ms for s in self.stats])
         return {
             "frames": float(len(self.stats)),
             "track_ms_mean": float(track.mean()),

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import threading
 import time
-from typing import Callable
+from typing import Callable, Optional
 
 
 class MeshPublisher:
@@ -30,13 +30,14 @@ class MeshPublisher:
         interval: float = 1.0,
     ):
         self._export = export_fn
-        self._interval = interval
+        self.interval = interval
         self._snapshot = None
         self._have_data = threading.Event()
         self._stop = threading.Event()
         self._lock = threading.Lock()
         self.published = 0
         self.errors = 0
+        self.last_error: Optional[Exception] = None
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -72,16 +73,22 @@ class MeshPublisher:
                 except Exception as e:  # surfaced via .last_error for callers
                     self.errors += 1
                     self.last_error = e
-            if self._stop.wait(timeout=self._interval):
+            if self._stop.wait(timeout=self.interval):
                 break
 
     def close(self, final: bool = True) -> None:
         """Stop the thread; optionally publish one final snapshot."""
         self._stop.set()
         self._thread.join(timeout=30.0)
+        if self._thread.is_alive():
+            # loop thread still mid-export after the timeout: a caller-side
+            # final export would race it on the same output path (corrupt
+            # interleaved file). Skip — the in-flight export IS the final.
+            return
         if final and self._snapshot is not None:
             try:
                 self._export(self._snapshot)
                 self.published += 1
-            except Exception:
+            except Exception as e:
                 self.errors += 1
+                self.last_error = e

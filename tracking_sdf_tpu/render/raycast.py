@@ -51,7 +51,11 @@ class RenderResult(NamedTuple):
     normal_cam: jnp.ndarray  # (H, W, 3); NaN on miss
     rgb: Optional[jnp.ndarray]  # (H, W, 3) in [0,1] or None
     steps: jnp.ndarray  # (H, W) int32 — march steps taken (profiling)
-    dropped: jnp.ndarray = jnp.int32(0)  # rays beyond phase-2 compaction capacity
+    # rays beyond phase-2 compaction capacity (int32 scalar at runtime).
+    # Python-int default: a jnp default would run a device op AT IMPORT
+    # TIME, claiming the default (axon) backend before callers can force
+    # CPU (CLAUDE.md gotcha)
+    dropped: jnp.ndarray = 0
 
 
 def _ray_box(origin, unit, lo, hi):
