@@ -102,7 +102,14 @@ bool decode_png(const std::vector<uint8_t>& buf, Image& img) {
     }
     pos += 12 + len;
   }
-  if (img.width <= 0 || img.height <= 0 || idat.empty()) return false;
+  // Reject absurd IHDR dims from corrupt/fuzzed files BEFORE sizing
+  // buffers: width*height ~2^60 would bad_alloc out of the extern "C"
+  // boundary (std::terminate kills the Python process instead of
+  // returning -1), and 32-bit element-count math downstream overflows.
+  constexpr int kMaxDim = 16384;
+  if (img.width <= 0 || img.height <= 0 || img.width > kMaxDim ||
+      img.height > kMaxDim || idat.empty())
+    return false;
 
   const int bpp_bits = img.channels * img.bit_depth;
   const size_t stride = (size_t(img.width) * bpp_bits + 7) / 8;
@@ -283,7 +290,8 @@ int tsdf_decode_depth(const char* path, float* out, int* w, int* h,
   if (!read_file(path, buf) || !decode_png(buf, img)) return -1;
   *w = img.width;
   *h = img.height;
-  if (img.width * img.height > max_elems) return -2;
+  // size_t math: int multiply would overflow for large (valid) dims
+  if (size_t(img.width) * size_t(img.height) > size_t(max_elems)) return -2;
   return depth_to_float(img, out) ? 0 : -3;
 }
 
@@ -294,7 +302,7 @@ int tsdf_decode_rgb(const char* path, float* out, int* w, int* h,
   if (!read_file(path, buf) || !decode_png(buf, img)) return -1;
   *w = img.width;
   *h = img.height;
-  if (img.width * img.height * 3 > max_elems) return -2;
+  if (size_t(img.width) * size_t(img.height) * 3 > size_t(max_elems)) return -2;
   return rgb_to_float(img, out) ? 0 : -3;
 }
 

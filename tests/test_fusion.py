@@ -133,3 +133,29 @@ def test_weighting_variants():
     # exponential matches the reference formula on ref-convention distances
     for dv, wv in zip(np.asarray(d), w_exp):
         assert abs(ref_numpy.weighting_ref(-dv, eps, delta) - wv) < 1e-6
+
+
+def test_max_weight_clamp_is_stable_ema():
+    """With max_weight set, a saturated voxel fusing the SAME observation
+    repeatedly must converge toward it (exponential moving average with
+    uncapped-sum denominator), never diverge. Regression for dividing by
+    the CLAMPED weight, which made D grow by (w/Wmax)*d per frame forever."""
+    pose = look_at((0.0, -1.6, 0.2), (0.0, 0.0, 0.0))
+    points, normals = _make_frame(pose)
+    cfg = FusionConfig(fuse_color=False, max_weight=3.0)
+
+    grid = empty_grid(PARAMS)
+    snaps = []
+    for _ in range(12):
+        grid = fuse_frame(grid, pose, points, normals, None,
+                          params=PARAMS, cam=CAM, cfg=cfg)
+        snaps.append(np.asarray(grid.D).copy())
+    W = np.asarray(grid.W)
+    sat = W >= 3.0 - 1e-6
+    assert sat.sum() > 100  # the clamp actually engaged
+    # same observation every frame: the fused value must be a fixed point
+    # after saturation, not a linear ramp
+    drift_late = np.abs(snaps[-1] - snaps[-2])[sat].max()
+    assert drift_late < 1e-4, drift_late
+    # and values stay within the truncation band (divergence blows past it)
+    assert np.abs(snaps[-1][W > 0]).max() <= PARAMS.width * 3 + 1e-3

@@ -168,6 +168,10 @@ def main(argv=None) -> int:
             print(f"resumed from {args.checkpoint} at frame {skip}",
                   file=sys.stderr)
 
+    # capture before the native-loader rebinding below: the stream()
+    # generator has no .groundtruth and is exhausted after run(), which
+    # would silently skip --eval
+    gt_source = getattr(dataset, "groundtruth", None)
     if args.native_loader and hasattr(dataset, "stream"):
         dataset = dataset.stream()
 
@@ -197,7 +201,7 @@ def main(argv=None) -> int:
 
     summary = recon.summary()
     if args.eval and args.trajectory:
-        gt = getattr(dataset, "groundtruth", None)
+        gt = gt_source
         if gt is None:
             # synthetic mode: build the groundtruth from the frames' poses
             import numpy as np
@@ -219,7 +223,15 @@ def main(argv=None) -> int:
             summary["ate_pairs"] = float(n)
 
     if args.json:
-        print(json.dumps(summary))
+        # NaN (e.g. ate_rmse with <2 associated pairs) is not valid JSON —
+        # json.dumps would emit the bare token `NaN` that strict parsers
+        # reject; map non-finite floats to null
+        import math
+
+        print(json.dumps({
+            k: (None if isinstance(v, float) and not math.isfinite(v) else v)
+            for k, v in summary.items()
+        }))
     else:
         for k, v in summary.items():
             print(f"{k}: {v:.4f}")

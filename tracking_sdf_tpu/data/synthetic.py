@@ -46,7 +46,12 @@ class SphereScene(NamedTuple):
         disc = b * b - 4.0 * a * cc
         hit = disc >= 0
         sq = jnp.sqrt(jnp.where(hit, disc, 0.0))
-        t = (-b - sq) / (2.0 * a)
+        t_near = (-b - sq) / (2.0 * a)
+        t_far = (-b + sq) / (2.0 * a)
+        # origin inside the sphere (near root behind): the interior surface
+        # at the far root is still visible — matches CuboidScene's
+        # inside-the-primitive semantics (exit hit)
+        t = jnp.where(t_near > 0, t_near, t_far)
         return jnp.where(hit & (t > 0), t, jnp.nan)
 
 

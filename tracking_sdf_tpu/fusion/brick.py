@@ -560,21 +560,23 @@ def fuse_frame_bricked(
     w_add = jnp.where(is_free, 1.0, jnp.where(is_fullc, accf[..., 0], 0.0))
     wd_add = jnp.where(is_free, params.delta,
                        jnp.where(is_fullc, accf[..., 1], 0.0))
-    W_out = grid.W + w_add
-    if cfg.max_weight is not None:
-        W_out = jnp.minimum(W_out, cfg.max_weight)
+    # denominator = UNCAPPED sum; clamp only the stored weight (dividing
+    # by the clamped weight diverges at saturation — see fusion/fuse.py)
+    W_sum = grid.W + w_add
+    W_out = (W_sum if cfg.max_weight is None
+             else jnp.minimum(W_sum, cfg.max_weight))
     has = w_add > 0
     D_out = jnp.where(
-        has, (grid.W * grid.D + wd_add) / jnp.where(has, W_out, 1.0), grid.D
+        has, (grid.W * grid.D + wd_add) / jnp.where(has, W_sum, 1.0), grid.D
     )
 
     if fuse_color:
         wc_add = jnp.where(is_fullc, accf[..., 2], 0.0)
-        Wc_out = grid.Wc + wc_add
-        if cfg.max_weight is not None:
-            Wc_out = jnp.minimum(Wc_out, cfg.max_weight)
+        Wc_sum = grid.Wc + wc_add
+        Wc_out = (Wc_sum if cfg.max_weight is None
+                  else jnp.minimum(Wc_sum, cfg.max_weight))
         has_c = wc_add > 0
-        safe = jnp.where(has_c, Wc_out, 1.0)
+        safe = jnp.where(has_c, Wc_sum, 1.0)
         R_out = jnp.where(has_c, (grid.Wc * grid.R + accf[..., 3]) / safe, grid.R)
         G_out = jnp.where(has_c, (grid.Wc * grid.G + accf[..., 4]) / safe, grid.G)
         B_out = jnp.where(has_c, (grid.Wc * grid.B + accf[..., 5]) / safe, grid.B)
@@ -628,11 +630,11 @@ def _merge_rows(grid, U, brick_class, vi, vj, fbk, valid_brick, params, cfg,
     Dold = gather(Dt, rows_g)
     Wold = gather(Wt, rows_g)
     w_add = Ur[..., 0]
-    W_new = Wold + w_add
-    if cfg.max_weight is not None:
-        W_new = jnp.minimum(W_new, cfg.max_weight)
+    W_sum = Wold + w_add
+    W_new = (W_sum if cfg.max_weight is None
+             else jnp.minimum(W_sum, cfg.max_weight))
     has = w_add > 0
-    D_new = jnp.where(has, (Wold * Dold + Ur[..., 1]) / jnp.where(has, W_new, 1.0),
+    D_new = jnp.where(has, (Wold * Dold + Ur[..., 1]) / jnp.where(has, W_sum, 1.0),
                       Dold)
     Dt = scatter_set(Dt, rows_s, D_new)
     Wt = scatter_set(Wt, rows_s, W_new)
@@ -641,11 +643,11 @@ def _merge_rows(grid, U, brick_class, vi, vj, fbk, valid_brick, params, cfg,
         Rt, Gt, Bt, Wct = (leaf_rows(l) for l in (grid.R, grid.G, grid.B, grid.Wc))
         Rold, Gold, Bold, Wcold = (gather(t, rows_g) for t in (Rt, Gt, Bt, Wct))
         wc_add = Ur[..., 2]
-        Wc_new = Wcold + wc_add
-        if cfg.max_weight is not None:
-            Wc_new = jnp.minimum(Wc_new, cfg.max_weight)
+        Wc_sum = Wcold + wc_add
+        Wc_new = (Wc_sum if cfg.max_weight is None
+                  else jnp.minimum(Wc_sum, cfg.max_weight))
         has_c = wc_add > 0
-        safe = jnp.where(has_c, Wc_new, 1.0)
+        safe = jnp.where(has_c, Wc_sum, 1.0)
         R_new = jnp.where(has_c, (Wcold * Rold + Ur[..., 3]) / safe, Rold)
         G_new = jnp.where(has_c, (Wcold * Gold + Ur[..., 4]) / safe, Gold)
         B_new = jnp.where(has_c, (Wcold * Bold + Ur[..., 5]) / safe, Bold)
@@ -673,10 +675,10 @@ def _merge_rows(grid, U, brick_class, vi, vj, fbk, valid_brick, params, cfg,
     rows_fs = jnp.where(valid_f[:, None], rows_f, oob_f)
     Dof = gather(Dt, rows_fg)
     Wof = gather(Wt, rows_fg)
-    W_nf = Wof + 1.0
-    if cfg.max_weight is not None:
-        W_nf = jnp.minimum(W_nf, cfg.max_weight)
-    D_nf = (Wof * Dof + jnp.asarray(params.delta, dtype)) / W_nf
+    W_sumf = Wof + 1.0
+    W_nf = (W_sumf if cfg.max_weight is None
+            else jnp.minimum(W_sumf, cfg.max_weight))
+    D_nf = (Wof * Dof + jnp.asarray(params.delta, dtype)) / W_sumf
     Dt = scatter_set(Dt, rows_fs, D_nf)
     Wt = scatter_set(Wt, rows_fs, W_nf)
 

@@ -278,12 +278,14 @@ def fuse_frame_brickmajor(
     # Wold * Dold product (0 * NaN = NaN), keep NaN where nothing fused
     Dold_s = jnp.where(Wold > 0, Dold, 0.0)
     w_add = ch[0]
-    W_new = Wold + w_add
-    if cfg.max_weight is not None:
-        W_new = jnp.minimum(W_new, cfg.max_weight)
+    # denominator = UNCAPPED sum; clamp only the stored weight (dividing
+    # by the clamped weight diverges at saturation — see fusion/fuse.py)
+    W_sum = Wold + w_add
+    W_new = (W_sum if cfg.max_weight is None
+             else jnp.minimum(W_sum, cfg.max_weight))
     has = w_add > 0
     D_new = jnp.where(
-        has, (Wold * Dold_s + ch[1]) / jnp.where(has, W_new, 1.0), Dold)
+        has, (Wold * Dold_s + ch[1]) / jnp.where(has, W_sum, 1.0), Dold)
     Db = sset(bgrid.D, D_new)
     Wb = sset(bgrid.W, W_new)
 
@@ -293,11 +295,11 @@ def fuse_frame_brickmajor(
         Bold = jnp.take(bgrid.B, rows_g, axis=0).astype(dtype)
         Wcold = jnp.take(bgrid.Wc, rows_g, axis=0).astype(dtype)
         wc_add = ch[2]
-        Wc_new = Wcold + wc_add
-        if cfg.max_weight is not None:
-            Wc_new = jnp.minimum(Wc_new, cfg.max_weight)
+        Wc_sum = Wcold + wc_add
+        Wc_new = (Wc_sum if cfg.max_weight is None
+                  else jnp.minimum(Wc_sum, cfg.max_weight))
         has_c = wc_add > 0
-        safe = jnp.where(has_c, Wc_new, 1.0)
+        safe = jnp.where(has_c, Wc_sum, 1.0)
         Rb = sset(bgrid.R, jnp.where(has_c, (Wcold * Rold + ch[3]) / safe, Rold))
         Gb = sset(bgrid.G, jnp.where(has_c, (Wcold * Gold + ch[4]) / safe, Gold))
         Bb = sset(bgrid.B, jnp.where(has_c, (Wcold * Bold + ch[5]) / safe, Bold))
@@ -317,10 +319,10 @@ def fuse_frame_brickmajor(
     Dof = jnp.take(Db, rows_fg, axis=0).astype(dtype)
     Wof = jnp.take(Wb, rows_fg, axis=0).astype(dtype)
     Dof_s = jnp.where(Wof > 0, Dof, 0.0)  # storage invariant (see FULL merge)
-    W_nf = Wof + 1.0
-    if cfg.max_weight is not None:
-        W_nf = jnp.minimum(W_nf, cfg.max_weight)
-    D_nf = (Wof * Dof_s + jnp.asarray(params.delta, dtype)) / W_nf
+    W_sumf = Wof + 1.0
+    W_nf = (W_sumf if cfg.max_weight is None
+            else jnp.minimum(W_sumf, cfg.max_weight))
+    D_nf = (Wof * Dof_s + jnp.asarray(params.delta, dtype)) / W_sumf
     Db = Db.at[rows_fs].set(D_nf.astype(Db.dtype), mode="drop",
                             unique_indices=True)
     Wb = Wb.at[rows_fs].set(W_nf.astype(Wb.dtype), mode="drop",

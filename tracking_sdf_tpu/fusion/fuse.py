@@ -181,20 +181,25 @@ def fuse_voxels(
 
     w_new = jnp.where(fuse_mask, weighting(cfg.weighting, d, params.epsilon, params.delta), 0.0)
 
-    W_new = grid.W + w_new
-    if cfg.max_weight is not None:
-        W_new = jnp.minimum(W_new, cfg.max_weight)
+    # running mean divides by the UNCAPPED sum; only the STORED weight is
+    # clamped. Dividing by the clamped weight makes saturated voxels
+    # diverge (D + (w/Wmax)*d per frame — coefficients sum to > 1); the
+    # correct clamped update is the exponential moving average
+    # (Wmax*D + w*d) / (Wmax + w).
+    W_sum = grid.W + w_new
+    W_new = (W_sum if cfg.max_weight is None
+             else jnp.minimum(W_sum, cfg.max_weight))
     has = w_new > 0
-    D_new = jnp.where(has, (grid.W * grid.D + w_new * d) / jnp.where(has, W_new, 1.0), grid.D)
+    D_new = jnp.where(has, (grid.W * grid.D + w_new * d) / jnp.where(has, W_sum, 1.0), grid.D)
 
     if cfg.fuse_color and pix.shape[-1] >= 10:
         cr, cg, cb = g[..., 7], g[..., 8], g[..., 9]
         wc_new = w_new * cosv
-        Wc_new = grid.Wc + wc_new
-        if cfg.max_weight is not None:
-            Wc_new = jnp.minimum(Wc_new, cfg.max_weight)
+        Wc_sum = grid.Wc + wc_new
+        Wc_new = (Wc_sum if cfg.max_weight is None
+                  else jnp.minimum(Wc_sum, cfg.max_weight))
         has_c = wc_new > 0
-        safe_wc = jnp.where(has_c, Wc_new, 1.0)
+        safe_wc = jnp.where(has_c, Wc_sum, 1.0)
         R_new = jnp.where(has_c, (grid.Wc * grid.R + wc_new * cr) / safe_wc, grid.R)
         G_new = jnp.where(has_c, (grid.Wc * grid.G + wc_new * cg) / safe_wc, grid.G)
         B_new = jnp.where(has_c, (grid.Wc * grid.B + wc_new * cb) / safe_wc, grid.B)

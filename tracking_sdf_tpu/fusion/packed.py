@@ -193,23 +193,25 @@ def fuse_frame_packed(
     ones_f = jnp.ones((cap_free, BV), dtype)
     w_add = jnp.concatenate([ch[0], ones_f])
     wd_add = jnp.concatenate([ch[1], ones_f * jnp.asarray(params.delta, dtype)])
-    W_new = Wold + w_add
-    if cfg.max_weight is not None:
-        W_new = jnp.minimum(W_new, cfg.max_weight)
+    # denominator = UNCAPPED sum; clamp only the stored weight (dividing
+    # by the clamped weight diverges at saturation — see fusion/fuse.py)
+    W_sum = Wold + w_add
+    W_new = (W_sum if cfg.max_weight is None
+             else jnp.minimum(W_sum, cfg.max_weight))
     has = w_add > 0
     D_new = jnp.where(
-        has, (Wold * Dold_s + wd_add) / jnp.where(has, W_new, 1.0), Dold)
+        has, (Wold * Dold_s + wd_add) / jnp.where(has, W_sum, 1.0), Dold)
     new = [D_new, W_new]
 
     if fuse_color:
         Rold, Gold, Bold, Wcold = old[:, 2], old[:, 3], old[:, 4], old[:, 5]
         zeros_f = jnp.zeros((cap_free, BV), dtype)
         wc_add = jnp.concatenate([ch[2], zeros_f])
-        Wc_new = Wcold + wc_add
-        if cfg.max_weight is not None:
-            Wc_new = jnp.minimum(Wc_new, cfg.max_weight)
+        Wc_sum = Wcold + wc_add
+        Wc_new = (Wc_sum if cfg.max_weight is None
+                  else jnp.minimum(Wc_sum, cfg.max_weight))
         has_c = wc_add > 0
-        safe = jnp.where(has_c, Wc_new, 1.0)
+        safe = jnp.where(has_c, Wc_sum, 1.0)
         cadd = [jnp.concatenate([ch[c], zeros_f]) for c in (3, 4, 5)]
         new += [
             jnp.where(has_c, (Wcold * Rold + cadd[0]) / safe, Rold),

@@ -558,6 +558,10 @@ class Reconstruction:
         from tracking_sdf_tpu.pipeline.checkpoint import load_checkpoint
 
         grid, pose, frame_num, _, pose_prev = load_checkpoint(path)
+        if self._writer is not None and not self._writer.started:
+            # preserve the pre-resume trajectory (the lazy writer has not
+            # opened/truncated the file yet)
+            self._writer.set_append(True)
         if self._mesh is not None:
             from tracking_sdf_tpu.parallel import shard_grid
 

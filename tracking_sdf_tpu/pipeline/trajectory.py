@@ -57,9 +57,27 @@ class TrajectoryWriter:
     `stamp tx ty tz qx qy qz qw`, sdf_reconstruction.cpp:12)."""
 
     def __init__(self, path: str, append: bool = False):
-        self._f = open(path, "a" if append else "w")
+        # LAZY open on first write: the runner constructs the writer before
+        # a checkpoint restore is known, and an eager "w" open would
+        # truncate the pre-resume trajectory before set_append(True) runs
+        self._path = path
+        self._append = append
+        self._f = None
+
+    @property
+    def started(self) -> bool:
+        return self._f is not None
+
+    def set_append(self, append: bool) -> None:
+        """Switch to append mode; only before the first write (the runner
+        calls this from restore_checkpoint to preserve pre-resume poses)."""
+        if self._f is not None:
+            raise RuntimeError("set_append after first write")
+        self._append = append
 
     def write(self, timestamp: float, pose: Pose) -> None:
+        if self._f is None:
+            self._f = open(self._path, "a" if self._append else "w")
         t = np.asarray(pose.t, dtype=np.float64)
         q = np.asarray(quaternion_from_matrix(pose.R), dtype=np.float64)
         self._f.write(
@@ -69,7 +87,9 @@ class TrajectoryWriter:
         self._f.flush()
 
     def close(self) -> None:
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
+            self._f = None
 
     def __enter__(self):
         return self
