@@ -78,3 +78,35 @@ def test_prefetching_loader_depth_only(seq):
         frames = list(ld)
     assert [i for i, _, _ in frames] == list(range(6))
     assert all(rgb is None for _, _, rgb in frames)
+
+
+def test_corrupt_png_rejected_not_crash(tmp_path):
+    """Hardening regression: fuzzed/corrupt PNGs must yield a decode ERROR
+    (rc < 0 -> Python exception), never a crash or overflow. Covers the
+    absurd-IHDR-dims path (2^30 x 2^30 would have bad_alloc'd across the
+    extern-C boundary and killed the process) and int-overflow dims."""
+    import struct
+    import zlib as _zlib
+
+    import pytest
+
+    def png(w, h, bit_depth=16, color_type=0, payload=b"\x00" * 10):
+        ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+        def chunk(typ, data):
+            c = struct.pack(">I", len(data)) + typ + data
+            return c + struct.pack(">I", _zlib.crc32(typ + data))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _zlib.compress(payload))
+                + chunk(b"IEND", b""))
+
+    cases = {
+        "huge.png": png(1 << 30, 1 << 30),        # bad_alloc territory
+        "overflow.png": png(65535, 65535),        # 32-bit elem-count overflow
+        "trunc.png": png(64, 48)[:20],            # truncated stream
+        "zero.png": png(0, 0),
+    }
+    for name, data in cases.items():
+        p = tmp_path / name
+        p.write_bytes(data)
+        with pytest.raises(Exception):
+            native.decode_depth(str(p))
