@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from tracking_sdf_tpu.config import FusionConfig, GridParams
 from tracking_sdf_tpu.core.camera import PinholeCamera
 from tracking_sdf_tpu.core.lie import Pose
-from tracking_sdf_tpu.grid.grid import TSDFGrid
+from tracking_sdf_tpu.grid.grid import TSDFGrid, voxel_centers_world
 
 
 def weighting(name: str, d: jnp.ndarray, eps: float, delta: float) -> jnp.ndarray:
@@ -143,13 +143,8 @@ def fuse_voxels(
     mi = grid.D.shape[0]
 
     # local voxel-center iotas, shifted into global world coordinates
-    i = (jnp.arange(mi, dtype=dtype) + jnp.asarray(i_offset, dtype)).reshape(mi, 1, 1)
-    j = jnp.arange(params.m, dtype=dtype).reshape(1, params.m, 1)
-    k = jnp.arange(params.m, dtype=dtype).reshape(1, 1, params.m)
-    ox, oy, oz = params.origin
-    x = (params.width / params.m) * (i + 0.5) + ox
-    y = (params.height / params.m) * (j + 0.5) + oy
-    z = (params.depth / params.m) * (k + 0.5) + oz
+    # (shared transform: grid.voxel_centers_world, the sdf.h:153-157 map)
+    x, y, z = voxel_centers_world(params, dtype, i_offset=i_offset, mi=mi)
     px, py, pz = _world_to_camera_components(pose, x, y, z)
 
     in_front = pz > 0  # reference: skip z < 0 (:247); >0 also guards the division

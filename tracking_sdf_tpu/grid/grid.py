@@ -82,14 +82,19 @@ def voxel_to_world(params: GridParams, ijk: jnp.ndarray) -> jnp.ndarray:
     return vsize * (ijk + 0.5) + origin
 
 
-def voxel_centers_world(params: GridParams, dtype=jnp.float32):
-    """(i, j, k) iota planes broadcastable to (m, m, m), as world coordinates.
+def voxel_centers_world(params: GridParams, dtype=jnp.float32,
+                        i_offset=0, mi=None):
+    """(i, j, k) iota planes broadcastable to (mi, m, m), as world coords.
 
     Returned as three broadcast-shaped arrays rather than a packed (m,m,m,3)
     tensor so XLA keeps them as fused iotas (no HBM materialization).
+    ``i_offset``/``mi`` address an SPMD i-slab: local plane index 0 maps to
+    global voxel i = i_offset (i_offset may be traced).
     """
     m = params.m
-    i = jnp.arange(m, dtype=dtype).reshape(m, 1, 1)
+    mi = m if mi is None else mi
+    i = (jnp.arange(mi, dtype=dtype)
+         + jnp.asarray(i_offset, dtype)).reshape(mi, 1, 1)
     j = jnp.arange(m, dtype=dtype).reshape(1, m, 1)
     k = jnp.arange(m, dtype=dtype).reshape(1, 1, m)
     ox, oy, oz = params.origin
