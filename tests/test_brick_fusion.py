@@ -549,3 +549,53 @@ def test_classifier_left_edge_trunc_band_matches_dense():
     np.testing.assert_allclose(np.asarray(gb.W), np.asarray(gd.W), atol=1e-5)
     np.testing.assert_allclose(np.asarray(gb.D), np.asarray(gd.D), atol=1e-5)
     assert float(gd.W.sum()) > 0
+
+
+def test_bricked_matches_dense_randomized():
+    """Property test: bricked == dense fusion over randomized cameras,
+    grid placements (including grids straddling the image edges), brick
+    shapes, and scene poses. The u1<0-vs-<=-1 classifier bug lived in a
+    one-pixel band only specific placements hit — sweep placements
+    instead of waiting for the next special case."""
+    rng = np.random.default_rng(7)
+    from tracking_sdf_tpu.core.lie import pose_identity
+
+    for trial in range(10):
+        m = int(rng.choice([16, 24, 32]))
+        bs = tuple(int(b) for b in rng.choice(
+            [(4, 4, 4), (2, 8, 8), (8, 4, 2), (1, 8, 16)]))
+        if any(m % b for b in bs):
+            continue
+        origin = (-1.0 + float(rng.uniform(-0.6, 0.2)),
+                  -1.0 + float(rng.uniform(-0.4, 0.2)),
+                  -1.0 + float(rng.uniform(-0.3, 0.3)))
+        params = GridParams(m=m, width=2.0, height=2.0, depth=2.0,
+                            origin=origin, delta=0.25, epsilon=0.05)
+        cam = PinholeCamera(
+            fx=float(rng.uniform(15, 40)), fy=float(rng.uniform(15, 40)),
+            cx=float(rng.uniform(4, 12)), cy=float(rng.uniform(4, 12)),
+            width=16, height=16)
+        # wall + sphere scene rendered from a jittered pose
+        scene = SphereScene(center=(float(rng.uniform(-0.3, 0.3)),
+                                    float(rng.uniform(-0.2, 0.4)), 0.0),
+                            radius=0.4)
+        eye = (float(rng.uniform(-0.4, 0.4)), -1.6, float(rng.uniform(-0.3, 0.3)))
+        pose = look_at(eye, (0.0, 0.0, 0.0))
+        depth = render_scene_depth(scene, cam, pose)
+        # fill holes with a far plane so edge pixels carry valid depth
+        depth = jnp.where(jnp.isnan(depth), 3.0, depth)
+        pts = backproject(cam, depth)
+        nrm = estimate_normals(pts)
+        cfg = FusionConfig(fuse_color=False)
+        gd = fuse_frame(empty_grid(params), pose, pts, nrm, None,
+                        params=params, cam=cam, cfg=cfg)
+        gb, stats = fuse_frame_bricked(
+            empty_grid(params), pose, pts, nrm, None,
+            params=params, cam=cam, cfg=cfg, bs=bs, cap=512)
+        assert int(stats.overflow) == 0, (trial, m, bs, origin)
+        np.testing.assert_allclose(
+            np.asarray(gb.W), np.asarray(gd.W), atol=1e-5,
+            err_msg=f"trial {trial} m={m} bs={bs} origin={origin}")
+        np.testing.assert_allclose(
+            np.asarray(gb.D), np.asarray(gd.D), atol=1e-5,
+            err_msg=f"trial {trial} m={m} bs={bs} origin={origin}")
