@@ -39,4 +39,6 @@ timeout 1800 python scripts/probe_frame_breakdown.py >> "$LOG" 2>&1
 log "=== 6. bench (BENCH_PRESET=tum512) ==="
 BENCH_PRESET=tum512 BENCH_BUDGET_S=2000 timeout 2100 python bench.py \
     >> "$LOG" 2>&1
+log "=== 7. tracking pyramid breakdown ==="
+timeout 1800 python scripts/probe_track_pyr.py >> "$LOG" 2>&1
 log "done"
