@@ -271,9 +271,10 @@ def test_cli_synthetic_end_to_end(tmp_path, capsys):
 
     traj = str(tmp_path / "t.txt")
     mesh = str(tmp_path / "m.ply")
+    png = str(tmp_path / "panel.png")
     rc = main([
         "--preset", "synthetic64", "--synthetic", "--frames", "5",
-        "--trajectory", traj, "--mesh", mesh, "--json",
+        "--trajectory", traj, "--mesh", mesh, "--render", png, "--json",
     ])
     assert rc == 0
     out = capsys.readouterr().out.strip().splitlines()[-1]
@@ -282,6 +283,11 @@ def test_cli_synthetic_end_to_end(tmp_path, capsys):
     summary = json.loads(out)
     assert summary["frames"] == 5.0
     assert os.path.exists(traj) and os.path.exists(mesh)
+    # --render drove raycast + image_io: a real PNG came out
+    assert os.path.getsize(png) > 1000
+    from PIL import Image
+    w, h = Image.open(png).size
+    assert w > 0 and h > 0
 
 
 import pytest
