@@ -3,8 +3,14 @@
 The reference has NO checkpointing (SURVEY.md §5): its only persistent
 artifact is the appended trajectory.txt, and a crash loses the whole grid.
 Here the full reconstruction state — grid, pose, frame counter — snapshots
-to a directory via orbax (async-capable, multi-host-aware) with a plain
-.npz fallback, enabling stop/resume and the elastic-recovery story.
+to a directory as a single .npz replaced atomically (temp + os.replace),
+enabling stop/resume and the elastic-recovery story. Deliberately NOT
+orbax: the state is one small pytree of same-shaped arrays, a single
+atomic file replace IS the whole durability story (bitwise-resume test),
+and host-local .npz keeps restore dependency-free; multi-host runs
+device_get through the addressable shards (save_checkpoint) so the same
+file works across topology changes. Swap in orbax if per-shard async
+saves of much larger grids ever become the bottleneck.
 """
 from __future__ import annotations
 
