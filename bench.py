@@ -322,7 +322,12 @@ if __name__ == "__main__":
         raise TimeoutError("bench main path exceeded budget")
 
     signal.signal(signal.SIGALRM, _on_timeout)
-    signal.alarm(int(float(__import__("os").environ.get("BENCH_BUDGET_S", "480"))))
+    # Default budget must absorb a COLD compile of the K-frame on-device
+    # loop through the remote compile helper, which takes many minutes when
+    # congested (measured: >480 s). Warm-cache runs finish in well under a
+    # minute either way, so the high default only delays the fallback when
+    # something is genuinely wrong.
+    signal.alarm(int(float(__import__("os").environ.get("BENCH_BUDGET_S", "1800"))))
     try:
         main()
         signal.alarm(0)
