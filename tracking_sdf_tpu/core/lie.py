@@ -51,8 +51,12 @@ def pose_compose(a: Pose, b: Pose) -> Pose:
 
 
 def pose_apply(p: Pose, x: jnp.ndarray) -> jnp.ndarray:
-    """Apply pose to points of shape (..., 3)."""
-    return jnp.einsum("ij,...j->...i", p.R, x, precision=jax.lax.Precision.HIGHEST) + p.t
+    """Apply pose to points of shape (..., 3).
+
+    Batched poses (R (..., 3, 3), t (..., 3)) broadcast against the points'
+    leading dims, matching pose_inverse/pose_compose."""
+    return jnp.einsum("...ij,...j->...i", p.R, x,
+                      precision=jax.lax.Precision.HIGHEST) + p.t
 
 
 def so3_hat(w: jnp.ndarray) -> jnp.ndarray:
@@ -181,24 +185,31 @@ def quaternion_from_matrix(R: jnp.ndarray) -> jnp.ndarray:
     qy_sq = jnp.maximum(1.0 - m00 + m11 - m22, 0.0)
     qz_sq = jnp.maximum(1.0 - m00 - m11 + m22, 0.0)
 
-    def cand_w():
-        s = 2.0 * jnp.sqrt(qw_sq)
-        return jnp.stack([(m21 - m12) / s, (m02 - m20) / s, (m10 - m01) / s, s / 4.0], -1)
+    # All four candidates are computed and the best is where-selected (no
+    # lax.switch: its branch index must be a scalar, which would forbid
+    # batched R). The non-selected candidates may divide by s == 0, so the
+    # denominator is made safe; the argmax candidate always has
+    # q*_sq >= 1 (the four sum to 4), hence s >= 2.
+    def cand(sq, a, b, c, pos):
+        s = 2.0 * jnp.sqrt(sq)
+        safe = jnp.where(s > 0, s, 1.0)
+        parts = [a / safe, b / safe, c / safe]
+        parts.insert(pos, s / 4.0)
+        return jnp.stack(parts, -1)
 
-    def cand_x():
-        s = 2.0 * jnp.sqrt(qx_sq)
-        return jnp.stack([s / 4.0, (m01 + m10) / s, (m02 + m20) / s, (m21 - m12) / s], -1)
-
-    def cand_y():
-        s = 2.0 * jnp.sqrt(qy_sq)
-        return jnp.stack([(m01 + m10) / s, s / 4.0, (m12 + m21) / s, (m02 - m20) / s], -1)
-
-    def cand_z():
-        s = 2.0 * jnp.sqrt(qz_sq)
-        return jnp.stack([(m02 + m20) / s, (m12 + m21) / s, s / 4.0, (m10 - m01) / s], -1)
-
+    cands = jnp.stack(
+        [
+            cand(qw_sq, m21 - m12, m02 - m20, m10 - m01, 3),
+            cand(qx_sq, m01 + m10, m02 + m20, m21 - m12, 0),
+            cand(qy_sq, m01 + m10, m12 + m21, m02 - m20, 1),
+            cand(qz_sq, m02 + m20, m12 + m21, m10 - m01, 2),
+        ],
+        axis=-2,
+    )  # (..., 4, 4)
     idx = jnp.argmax(jnp.stack([qw_sq, qx_sq, qy_sq, qz_sq], axis=-1), axis=-1)
-    return jax.lax.switch(idx, [cand_w, cand_x, cand_y, cand_z])
+    return jnp.take_along_axis(
+        cands, idx[..., None, None].astype(jnp.int32), axis=-2
+    )[..., 0, :]
 
 
 def matrix_from_quaternion(q: jnp.ndarray) -> jnp.ndarray:

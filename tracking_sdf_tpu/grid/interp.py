@@ -93,15 +93,20 @@ def trilinear_with_grad(
     correct (and autodiff-consistent) at partially-observed cells.
 
     Returns (value (...,), grad (..., 3), valid (...,)).
+
+    Like trilinear_with_grad_nan, ALL math runs in >= float32 regardless of
+    the storage dtype: with bfloat16 grids (FusionConfig.storage_dtype) the
+    corners are upcast right after the gather, so raycast Newton refinement
+    and marching-cubes edge interpolation keep full precision.
     """
-    dtype = D.dtype
+    dtype = jnp.promote_types(D.dtype, jnp.float32)
     base_f = jnp.floor(coords)
     base = base_f.astype(jnp.int32)
     f = (coords - base_f).astype(dtype)  # fractional position in [0, 1)
 
     ci, cj, ck = _corner_indices(base)
     inb = _in_bounds(ci, cj, ck, D.shape)
-    d = _gather_corners(D, ci, cj, ck)
+    d = _gather_corners(D, ci, cj, ck).astype(dtype)
     w_obs = _gather_corners(W, ci, cj, ck)
     mask = (inb & (w_obs > 0)).astype(dtype)  # (..., 8)
 
@@ -365,12 +370,12 @@ def shepard_l1(
 
     Returns (value, valid).
     """
-    dtype = D.dtype
+    dtype = jnp.promote_types(D.dtype, jnp.float32)  # full-precision math
     base = jnp.trunc(coords).astype(jnp.int32)
 
     ci, cj, ck = _corner_indices(base)
     inb = _in_bounds(ci, cj, ck, D.shape)
-    d = _gather_corners(D, ci, cj, ck)
+    d = _gather_corners(D, ci, cj, ck).astype(dtype)
     w_obs = _gather_corners(W, ci, cj, ck)
     valid_corner = inb & (w_obs > 0)
 

@@ -13,7 +13,6 @@ from tracking_sdf_tpu.parallel.mesh import (
     grid_sharding,
     replicated_sharding,
     shard_grid,
-    MeshAxes,
 )
 from tracking_sdf_tpu.parallel.sharded import (
     shard_brick_grid,
@@ -30,7 +29,6 @@ __all__ = [
     "grid_sharding",
     "replicated_sharding",
     "shard_grid",
-    "MeshAxes",
     "shard_brick_grid",
     "sharded_fuse_frame",
     "sharded_fuse_frame_bricked",

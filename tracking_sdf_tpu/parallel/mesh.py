@@ -16,17 +16,13 @@ over ICI within a slice and DCN across slices).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tracking_sdf_tpu.grid.grid import TSDFGrid
-
-
-class MeshAxes(NamedTuple):
-    data: str = "d"
 
 
 def make_mesh(

@@ -221,9 +221,13 @@ def marching_cubes(
         from tracking_sdf_tpu.grid.grid import world_to_voxel
 
         flat = jnp.asarray(tri.reshape(-1, 3))
-        rgb, _ = interp_color(
+        rgb, cvalid = interp_color(
             grid.R, grid.G, grid.B, grid.Wc, world_to_voxel(params, flat)
         )
+        # Vertices with no color observation (Wc = 0 on every corner) keep
+        # the grid's 0.4 default grey (sdf.cpp:38-40 init parity) instead of
+        # interp_color's 0/0 -> black.
+        rgb = jnp.where(cvalid[..., None], rgb, 0.4)
         colors = np.asarray(rgb).reshape(-1, 3, 3).astype(np.float32)
     return Mesh(tri.astype(np.float32), colors, dropped_cells=dropped)
 

@@ -44,8 +44,9 @@ def track_frame_pyramid(
     ``cfg.pixel_stride``, coarsest first, ending at 1 (= the reference's
     stride). Returns (finest-level result, per-level results).
     """
-    if levels[-1] != 1:
-        raise ValueError("levels must end at 1 (finest = cfg.pixel_stride)")
+    if not levels or levels[-1] != 1:
+        raise ValueError("levels must be non-empty and end at 1 "
+                         "(finest = cfg.pixel_stride)")
     if Dm is None and cfg.jacobian == "analytic":
         from tracking_sdf_tpu.grid.interp import masked_view
 
