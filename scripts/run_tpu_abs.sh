@@ -13,16 +13,21 @@ LOG="${1:-/tmp/tpu_abs.log}"
 : > "$LOG"
 log() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$LOG"; }
 
-log "waiting for TPU tunnel..."
-for i in $(seq 1 200); do
+# Poll until the tunnel answers or the deadline passes (default 11h —
+# longer than any round; TPU_ABS_DEADLINE_S to override).
+DEADLINE=$(( $(date +%s) + ${TPU_ABS_DEADLINE_S:-39600} ))
+log "waiting for TPU tunnel (deadline $(date -d @$DEADLINE +%H:%M:%S))..."
+i=0
+while :; do
+  i=$((i+1))
   if timeout 100 python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((256,256)); (x@x).block_until_ready(); print('TPU OK')" \
       2>/dev/null | grep -q "TPU OK"; then
     log "tunnel up (attempt $i)"; break
   fi
+  [ "$(date +%s)" -ge "$DEADLINE" ] && { log "tunnel never recovered"; exit 1; }
   sleep 60
-  [ "$i" = 200 ] && { log "tunnel never recovered"; exit 1; }
 done
 
 log "=== 1. bench (default: brickmajor f32) ==="
