@@ -186,7 +186,9 @@ def test_brick_masked_view_matches_flat_dm():
     np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=0, atol=0)
 
-    # zero-copy invariant: with BV = 512 (a multiple of 128) the storage
-    # rows ARE the tracking view's width-128 rows — the view must wrap
-    # bgrid.D itself, not a reshaped copy (fusion/brickmajor.py _row_w).
-    assert view.rows is bg.D
+    # storage is fat (NB, BV) rows (see _row_w: width-128 storage measured
+    # 3x slower end-to-end); the view's width-128 rows are a pure reshape
+    # of D in brick order
+    assert view.rows.shape == (bg.D.size // 128, 128)
+    np.testing.assert_array_equal(
+        np.asarray(view.rows).reshape(bg.D.shape), np.asarray(bg.D))

@@ -170,7 +170,8 @@ def write_synthetic_tum(
         # by up to 1/DEPTH_SCALE (0.2 mm), visible in sub-mm roundtrips
         raw = np.clip(np.round(raw), 0, 65535).astype(np.uint16)
         name = f"depth/{stamp:.6f}.png"
-        Image.fromarray(raw, mode="I;16").save(os.path.join(root, name))
+        # uint16 array -> Pillow infers mode I;16 (explicit mode= is deprecated)
+        Image.fromarray(raw).save(os.path.join(root, name))
         depth_lines.append(f"{stamp:.6f} {name}")
         if rgbs is not None:
             img = np.clip(rgbs[i] * 255.0, 0, 255).astype(np.uint8)

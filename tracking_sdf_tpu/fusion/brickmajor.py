@@ -9,11 +9,10 @@ grid: at bk = 8 that is ~365k 32-byte scatter rows at ~0.2 us/row (~70 ms),
 where (1, 8, 128)'s fat rows cost ~6 ms.
 
 This module removes the trade-off by changing the STORAGE layout: grid
-leaves live as brick-row tables (one brick = BV = bi*bj*bk contiguous
-voxels, stored as R = BV/128 width-128 rows — see BrickGrid). The merge is
-then gather/merge/scatter of ~n_full*R fat rows — measured 1.14 ms/leaf for
-7k bricks — independent of brick shape, so the classification-optimal
-compact brick wins outright.
+leaves live as (NB, BV) brick-row tables (one brick = BV = bi*bj*bk
+contiguous voxels = one fat row). The merge is then gather/merge/scatter of
+~n_full fat 2-KB rows — measured 1.14 ms/leaf for 7k bricks — independent
+of brick shape, so the classification-optimal compact brick wins outright.
 
 Consumers that need the flat (m, m, m) layout (tracking interpolation,
 raycasting, meshing — contiguous k rows) get it from ONE relayout pass per
@@ -54,14 +53,12 @@ class BrickGrid(NamedTuple):
     voxels are (di, dj, dk) row-major over the brick shape. Equivalent to
     the dense (m, m, m) grid via a pure reshape/transpose (to_dense).
 
-    STORAGE SHAPE: each leaf is (NB * BV // row_w, row_w) with
-    row_w = _row_w(BV) — width-128 gather rows whenever BV is a multiple
-    of 128, else one brick per row. Width 128 matches the tracking view's
-    row width (grid/interp._ROW_W), so BrickMaskedView wraps D with NO
-    reshape: the (NB, BV) -> (-1, 128) reshape is a TPU tile relayout
-    (T(8,128) tilings differ), which as a jit output materialized a 67 MB
-    copy per frame at 256^3 (seen in the optimized fuse HLO). The merge
-    addresses bricks as R = BV // row_w consecutive rows.
+    STORAGE SHAPE: each leaf is (NB, BV) — one fat row per brick (see
+    _row_w for the measured negative A/B on width-128 rows). The tracking
+    view's (NB, BV) -> (-1, 128) reshape IS a TPU tile relayout (T(8,128)
+    tilings differ, ~67 MB copy per frame at 256^3), but that one copy is
+    far cheaper than multiplying the per-row-cost-bound merge ops by
+    BV/128.
 
     STORAGE INVARIANT: D holds NaN wherever W <= 0 (the masked-view
     encoding, grid/interp.masked_view) instead of the dense layout's "far"
@@ -80,8 +77,17 @@ class BrickGrid(NamedTuple):
 
 
 def _row_w(bv: int) -> int:
-    """Storage row width: 128 (the tracking view's row width) when possible."""
-    return 128 if bv % 128 == 0 else bv
+    """Storage row width: one FAT row per brick (width BV).
+
+    MEASURED NEGATIVE A/B (BENCHMARKS.md): width-128 storage rows (row_w =
+    128 when BV % 128 == 0, making the tracking view a zero-op wrap of D)
+    dropped the headline 52 -> 16 fps on the TPU. The merge's gather and
+    scatter-set cost is per-ROW (~0.15-0.2 us/row, near-independent of row
+    width), so splitting each brick into R = BV/128 rows multiplied the
+    row count of every merge op by R (4x at BV = 512) — ~+45 ms/frame,
+    dwarfing the ~3-7 ms view-relayout it saved. Fat rows + the in-jit
+    reshape relayout for the tracking view is the measured optimum."""
+    return bv
 
 
 def _to_rows(leaf: jnp.ndarray, bs: Tuple[int, int, int]) -> jnp.ndarray:
@@ -170,9 +176,9 @@ def brick_masked_view(
 
     Tracking interpolates directly from this (interp._corner_fetch_brick),
     which removes the per-frame masked_dense_D relayout (~3 ms at 256^3)
-    from the hot loop. With width-128 storage rows this wraps bgrid.D
-    as-is — zero device ops; the reshape fallback (BV not a multiple of
-    128, small test grids) is a TPU tile relayout."""
+    from the hot loop. The (-1, 128) reshape is a TPU tile relayout when
+    BV != 128 — one fat->thin copy of D, which measured cheaper than
+    storing thin rows (see _row_w)."""
     if bgrid.D.shape[1] == 128:
         return BrickMaskedView(bgrid.D, params.m, bs)
     return BrickMaskedView(bgrid.D.reshape(-1, 128), params.m, bs)

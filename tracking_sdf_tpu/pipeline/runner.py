@@ -186,22 +186,15 @@ class Reconstruction:
                                        max(256, cap_max // 2), cap_max})
             self._cap_idx = len(self._cap_levels) - 1
 
-            # brickmajor: D's storage rows ARE the tracking view (width-128
-            # rows), so build the view OUTSIDE the jit boundary — zero device
-            # ops, and no risk of XLA copying a duplicated output. packed
-            # keeps in-jit emission (its view is a reshape of the one array).
-            _emit = "view" if config.fusion.mode == "packed" else False
-
             def fuse_bm(pose, pts, normals, rgb):
                 cap = self._cap_levels[self._cap_idx]
-                self._bgrid, dm, stats = _fuse_kernel(
+                self._bgrid, self._dm, stats = _fuse_kernel(
                     self._bgrid, pose, pts, normals, rgb,
                     params=config.grid, cam=cam, cfg=config.fusion,
                     bs=self._bs, cap=cap,
                     cap_free=config.fusion.brick_cap_free or None,
-                    emit_dm=_emit,
+                    emit_dm="view",
                 )
-                self._dm = dm if _emit else self._bm_view(self._bgrid)
                 self.last_fuse_stats = stats
                 need = int(stats.n_full) * 1.3
                 self._cap_idx = next(
