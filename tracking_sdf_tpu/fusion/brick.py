@@ -374,32 +374,23 @@ def _full_brick_updates(brick_class, pix, pose, params, cam, cfg, bs, cap,
         nrow = cap * bi * (bj // sj) * (bk // sk)
         lane = 128 if nrow % 128 == 0 else bk // sk
         g = jnp.take(pix, fp.reshape(nrow // lane, lane), axis=0)
-        # Keep g FACTORED (share dims size-1) and let the arithmetic below
-        # broadcast it implicitly: an explicit broadcast_to + dim-merging
-        # reshape here forces XLA to materialize the broadcast as a
-        # (cap, bi, bj, bk, C) buffer (~100 MB at cap 6144 / C 8 — seen as
-        # broadcast+bitcast pairs in the optimized HLO), a pure HBM
-        # round-trip the fused elementwise math never needs.
+        # Broadcast the shared pixel rows up to per-voxel shape HERE.
+        # MEASURED (BENCHMARKS.md, TPU A/B 2026-08-19): keeping g factored
+        # (share dims size-1, broadcasting inside the arithmetic) looked
+        # like it should kill a ~100 MB HLO broadcast materialize, but the
+        # REAL kernel ran slower — probe byte-counting is not a cost
+        # model; the explicit broadcast is what XLA schedules best.
         g = g.reshape(cap, bi, bj // sj, 1, bk // sk, 1, -1)
-        shared = (sj, sk)
+        g = jnp.broadcast_to(
+            g, (cap, bi, bj // sj, sj, bk // sk, sk, g.shape[-1])
+        ).reshape(cap, bi, bj, bk, -1)
     else:
         nvox = cap * bi * bj * bk
         lane = 128 if nvox % 128 == 0 else bk
         g = jnp.take(
             pix, flat_pix.reshape(nvox // lane, lane), axis=0
         ).reshape(cap, bi, bj, bk, -1)
-        shared = None
     nx, ny, nz, s = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
-
-    if shared is not None:
-        # factored-shape math: split (bj, bk) -> (bj/sj, sj, bk/sk, sk) on
-        # the per-voxel quantities (order-preserving reshape, fuses as a
-        # bitcast); g's size-1 share dims broadcast inside the arithmetic.
-        sjj, skk = shared
-        shp6 = (cap, bi, bj // sjj, sjj, bk // skk, skk)
-        px, py, pz = (a.reshape(shp6) for a in (px, py, pz))
-        in_front = in_front.reshape(shp6)
-        ins = ins.reshape(shp6)
 
     if cfg.distance != "point_to_plane":
         raise NotImplementedError(
@@ -409,8 +400,7 @@ def _full_brick_updates(brick_class, pix, pose, params, cam, cfg, bs, cap,
     d_ref = s - (px * nx + py * ny + pz * nz)
     d = -d_ref  # canonical +free-space; invalid pixels (s = +inf) -> -inf
 
-    observe = in_front & ins & valid_brick.reshape(
-        (cap,) + (1,) * (in_front.ndim - 1))
+    observe = in_front & ins & valid_brick[:, None, None, None]
     fuse_mask = observe & (d >= -params.delta)
     # sanitize BEFORE multiplying: 0 * (-inf) from an invalid pixel is NaN
     d = jnp.where(fuse_mask, jnp.minimum(d, params.delta), 0.0)
@@ -422,9 +412,6 @@ def _full_brick_updates(brick_class, pix, pose, params, cam, cfg, bs, cap,
     if fuse_color:
         cosv, cosr, cosg, cosb = g[..., 4], g[..., 5], g[..., 6], g[..., 7]
         upd += [w_new * cosv, w_new * cosr, w_new * cosg, w_new * cosb]
-    if shared is not None:
-        # merge the share dims back (order-preserving: pure bitcast)
-        upd = [jnp.broadcast_to(u, shp6).reshape(cap, bi, bj, bk) for u in upd]
     return upd, full_ids, valid_brick, n_full, (vi, vj, fbk)
 
 
