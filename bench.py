@@ -150,6 +150,33 @@ def _bootstrap(cfg, cam, poses, rgb):
                       params=cfg.grid, cam=cam, cfg=cfg.fusion)
 
 
+def _bootstrap_brickmajor(cfg, cam, poses, rgb, vdt):
+    """Fuse frame 0 directly into an empty brick grid.
+
+    The dense _bootstrap at 512^3 OOMs HBM at compile (the per-voxel
+    gather materializes a (m^3, C) pixel buffer: 4.3 GB f32, +261 MB over
+    the 15.75 GB budget, dtype-independent). Brickmajor fusion of the same
+    frame stays within the brick caps' footprint. Caps are the preset's
+    steady-state caps; overflow (frame 0 can exceed cap_free) is the same
+    REPORTED behavior as any other frame."""
+    from tracking_sdf_tpu.core.camera import backproject
+    from tracking_sdf_tpu.data.synthetic import render_scene_depth
+    from tracking_sdf_tpu.fusion.brickmajor import (
+        empty_brick_grid, fuse_frame_brickmajor)
+    from tracking_sdf_tpu.tracking.preprocess import estimate_normals
+
+    depth0 = render_scene_depth(make_scene(), cam, poses[0])
+    pts0 = backproject(cam, depth0)
+    nrm0 = estimate_normals(pts0)
+    bg = empty_brick_grid(cfg.grid, (8, 8, 8), value_dtype=vdt)
+    fcfg = cfg.fusion
+    bg, _, _ = fuse_frame_brickmajor(
+        bg, poses[0], pts0, nrm0, rgb, params=cfg.grid, cam=cam, cfg=fcfg,
+        bs=(8, 8, 8), cap=fcfg.brick_cap,
+        cap_free=fcfg.brick_cap_free or None, emit_dm=False)
+    return bg
+
+
 def _frame_fn(cfg, cam):
     """One tracked+fused frame, initialized at the previous pose (the
     reference's scheme and the config default — constant-velocity
@@ -258,12 +285,17 @@ def main():
         from tracking_sdf_tpu.fusion.brickmajor import (
             brick_grid_from_dense, brick_masked_view)
 
-        # BENCH_DTYPE=bfloat16: bf16 value-leaf storage A/B
-        vdt = (jnp.bfloat16
-               if os.environ.get("BENCH_DTYPE") == "bfloat16" else None)
+        # BENCH_DTYPE overrides the preset's storage_dtype (A/B knob):
+        # bfloat16 or float32; unset -> preset default
+        _dt = os.environ.get("BENCH_DTYPE", cfg.fusion.storage_dtype)
+        vdt = jnp.bfloat16 if _dt == "bfloat16" else None
         frame = _frame_fn_brickmajor(cfg, cam)
-        dense0 = _bootstrap(cfg, cam, poses, rgb)
-        bg0 = brick_grid_from_dense(dense0, (8, 8, 8), value_dtype=vdt)
+        if cfg.grid.m >= 512:
+            # dense bootstrap OOMs at 512^3 — see _bootstrap_brickmajor
+            bg0 = _bootstrap_brickmajor(cfg, cam, poses, rgb, vdt)
+        else:
+            dense0 = _bootstrap(cfg, cam, poses, rgb)
+            bg0 = brick_grid_from_dense(dense0, (8, 8, 8), value_dtype=vdt)
         state0 = (bg0, brick_masked_view(bg0, cfg.grid, (8, 8, 8)))
     elif mode == "packed":
         from tracking_sdf_tpu.fusion.packed import (
