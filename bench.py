@@ -170,10 +170,18 @@ def _bootstrap_brickmajor(cfg, cam, poses, rgb, vdt):
     nrm0 = estimate_normals(pts0)
     bg = empty_brick_grid(cfg.grid, (8, 8, 8), value_dtype=vdt)
     fcfg = cfg.fusion
-    bg, _, _ = fuse_frame_brickmajor(
+    bg, _, stats = fuse_frame_brickmajor(
         bg, poses[0], pts0, nrm0, rgb, params=cfg.grid, cam=cam, cfg=fcfg,
         bs=(8, 8, 8), cap=fcfg.brick_cap,
         cap_free=fcfg.brick_cap_free or None, emit_dm=False)
+    ovf, ovf_act = int(stats.overflow), int(stats.overflow_active)
+    if ovf or ovf_act:
+        # overflow is REPORTED, never silent: frame 0's frustum can exceed
+        # the steady-state caps, which would carve a differently-initialized
+        # grid than the dense bootstrap
+        print(f"# bootstrap brick overflow: {ovf} FULL / {ovf_act} FREE "
+              f"bricks dropped (caps {fcfg.brick_cap}/"
+              f"{fcfg.brick_cap_free or fcfg.brick_cap})", file=sys.stderr)
     return bg
 
 
@@ -278,6 +286,47 @@ def _fallback_sequential():
     _emit(K / (time.perf_counter() - t0))
 
 
+def _print_breakdown(cfg, cam, state, poses, PTS, NRM, PTS_S, rgb, frame_ms):
+    """Per-phase split of the headline: a track-only on-device K-loop on the
+    warmed state; fuse = frame - track. One extra compile (cached across
+    runs); failures are non-fatal (the headline JSON is already out)."""
+    from tracking_sdf_tpu.tracking.gauss_newton import track_frame
+    from tracking_sdf_tpu.tracking.pyramid import track_frame_pyramid
+
+    params, tcfg = cfg.grid, cfg.tracking
+    _, Dm = state
+
+    @jax.jit
+    def track_k(Dm, pose):
+        def body(k, carry):
+            p, acc, iters = carry
+            # k-dependent inputs (PTS[k]) keep XLA from hoisting the body
+            if cfg.pyramid_levels:
+                res, _ = track_frame_pyramid(
+                    None, p, PTS[k % K], params=params, cfg=tcfg,
+                    levels=cfg.pyramid_levels, Dm=Dm)
+            else:
+                res = track_frame(None, p, PTS_S[k % K], params=params,
+                                  cfg=tcfg, Dm=Dm)
+            return (pose, acc + res.pose.t[0], iters + res.iterations)
+        return jax.lax.fori_loop(
+            0, K, body, (pose, jnp.float32(0.0), jnp.int32(0)))
+
+    out = track_k(Dm, poses[0])
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = track_k(Dm, poses[0])
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / K)
+    track_ms = best * 1e3
+    print(f"# breakdown: track {track_ms:.1f} ms "
+          f"({int(out[2]) / K:.1f} GN iters/frame) + "
+          f"fuse ~{frame_ms - track_ms:.1f} ms = {frame_ms:.1f} ms/frame",
+          file=sys.stderr)
+
+
 def main():
     cfg, cam, poses, PTS, NRM, PTS_S, rgb = build_inputs()
     mode = os.environ.get("BENCH_MODE", "brickmajor")
@@ -288,6 +337,10 @@ def main():
         # BENCH_DTYPE overrides the preset's storage_dtype (A/B knob):
         # bfloat16 or float32; unset -> preset default
         _dt = os.environ.get("BENCH_DTYPE", cfg.fusion.storage_dtype)
+        if _dt not in ("bfloat16", "float32"):
+            raise ValueError(
+                f"BENCH_DTYPE must be 'bfloat16' or 'float32', got {_dt!r}"
+                " — refusing to measure the wrong variant silently")
         vdt = jnp.bfloat16 if _dt == "bfloat16" else None
         frame = _frame_fn_brickmajor(cfg, cam)
         if cfg.grid.m >= 512:
@@ -345,6 +398,13 @@ def main():
         f"final |t err| {err*1e3:.1f} mm (baseline {BASELINE_FPS:.1f} fps)",
         file=sys.stderr,
     )
+    if mode == "brickmajor" and os.environ.get("BENCH_BREAKDOWN", "1") != "0":
+        try:
+            _print_breakdown(cfg, cam, state, poses, PTS, NRM, PTS_S, rgb,
+                             best_dt * 1e3)
+        except Exception as e:  # headline is already emitted
+            print(f"# breakdown failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -18,17 +18,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import bench as B
 from tracking_sdf_tpu.fusion.brickmajor import (
-    brick_grid_from_dense, fuse_frame_brickmajor)
-from tracking_sdf_tpu.grid.interp import masked_view
+    brick_grid_from_dense, brick_masked_view, fuse_frame_brickmajor)
 from tracking_sdf_tpu.tracking.gauss_newton import track_frame
 from tracking_sdf_tpu.core.lie import Pose
 
 K = 10
 cfg, cam, poses, PTS, NRM, PTS_S, rgb = B.build_inputs()
 params, tcfg, fcfg = cfg.grid, cfg.tracking, cfg.fusion._replace(mode="bricked")
-dense0 = B._bootstrap(cfg, cam, poses, rgb)
-bg0 = brick_grid_from_dense(dense0, (8, 8, 8))
-Dm0 = masked_view(dense0.D, dense0.W)
+vdt = jnp.bfloat16 if fcfg.storage_dtype == "bfloat16" else None
+if cfg.grid.m >= 512:  # dense bootstrap OOMs HBM at 512^3 (bench.py)
+    bg0 = B._bootstrap_brickmajor(cfg, cam, poses, rgb, vdt)
+else:
+    bg0 = brick_grid_from_dense(B._bootstrap(cfg, cam, poses, rgb),
+                                (8, 8, 8), value_dtype=vdt)
+Dm0 = brick_masked_view(bg0, cfg.grid, (8, 8, 8))
 pose0 = poses[0]
 
 
@@ -79,7 +82,7 @@ def make_fuse(cap, cap_free, emit_dm, color):
                 rgb if color else None,
                 params=params, cam=cam, cfg=fcfg, bs=(8, 8, 8),
                 cap=cap, cap_free=cap_free, emit_dm=emit_dm)
-            if Dm is not None:
+            if emit_dm is True:  # touch the flat relayout so it isn't DCE'd
                 bg2 = bg2._replace(D=bg2.D + 0.0 * Dm[0, 0, 0])
             return bg2
         return jax.lax.fori_loop(0, K, body, bg)
@@ -87,18 +90,37 @@ def make_fuse(cap, cap_free, emit_dm, color):
 
 
 cap = fcfg.brick_cap
-f_full = timeit(f"fuse cap={cap} +dm +color", make_fuse(cap, 2048, True, True),
-                bg0, pose0)
-f_nodm = timeit(f"fuse cap={cap} -dm +color", make_fuse(cap, 2048, False, True),
-                bg0, pose0)
-f_nocol = timeit(f"fuse cap={cap} -dm -color", make_fuse(cap, 2048, False, False),
-                 bg0, pose0)
+cfree = fcfg.brick_cap_free or cap
+f_full = timeit(f"fuse cap={cap} +dm(view) +color",
+                make_fuse(cap, cfree, "view", True), bg0, pose0)
+f_nodm = timeit(f"fuse cap={cap} -dm +color",
+                make_fuse(cap, cfree, False, True), bg0, pose0)
+f_nocol = timeit(f"fuse cap={cap} -dm -color",
+                 make_fuse(cap, cfree, False, False), bg0, pose0)
 f_small = timeit("fuse cap=256 -dm -color", make_fuse(256, 256, False, False),
                  bg0, pose0)
-print(f"  -> Dm relayout: {(f_full - f_nodm)*1e3:.2f} ms; "
+print(f"  -> Dm view: {(f_full - f_nodm)*1e3:.2f} ms; "
       f"color: {(f_nodm - f_nocol)*1e3:.2f} ms; "
       f"per-brick work ({cap - 256} bricks): {(f_nocol - f_small)*1e3:.2f} ms; "
       f"classify+fixed: {f_small*1e3:.2f} ms")
 print(f"  -> track(5.2 iters) {(t1 + (t5 - t1)/4*4.2)*1e3:.1f} ms + "
       f"fuse {f_full*1e3:.1f} ms = "
       f"{(t1 + (t5-t1)/4*4.2 + f_full)*1e3:.1f} ms/frame")
+
+# ---- actual brick counts on the bench trajectory (cap sizing) -------------
+@jax.jit
+def stats_k(bg, pose):
+    def body(k, carry):
+        bg, nf_max, nr_max = carry
+        bg2, _, st = fuse_frame_brickmajor(
+            bg, perturb(pose, k), PTS[k % B.K], NRM[k % B.K], rgb,
+            params=params, cam=cam, cfg=fcfg, bs=(8, 8, 8),
+            cap=cap, cap_free=cfree, emit_dm=False)
+        return (bg2, jnp.maximum(nf_max, st.n_full),
+                jnp.maximum(nr_max, st.n_free))
+    return jax.lax.fori_loop(0, K, body, (bg, jnp.int32(0), jnp.int32(0)))
+
+
+_, nf, nr = stats_k(bg0, pose0)
+print(f"  -> max over {K} frames: n_full {int(nf)} (cap {cap}), "
+      f"n_free {int(nr)} (cap_free {cfree})", flush=True)

@@ -241,11 +241,17 @@ def preset(name: str) -> PipelineConfig:
         # pyramid (2, 1): one coarse stride-6 pass absorbs nearly all GN
         # iterations (59 -> 16 fine iters/10 frames, identical trajectory;
         # BENCHMARKS.md pyramid A/B), -6.7 ms/frame.
+        # storage_dtype bfloat16: TPU A/B on fat rows (BENCHMARKS.md,
+        # 2026-08-19 batch) measured 56.8 vs 51.6 fps with bench |t err|
+        # unchanged (13.3 mm) and 30-frame TPU closed-loop ATE 24.1 vs
+        # 21.7 mm — the merge is bandwidth-bound there, so halving D/RGB
+        # bytes is ~+10%. f32 stays one env var away (BENCH_DTYPE=float32).
         "tum256": PipelineConfig(
             grid=GridParams(m=256),
             fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
                                 pixel_share=2, pixel_share_j=2,
-                                brick_cap_free=2048),
+                                brick_cap_free=2048,
+                                storage_dtype="bfloat16"),
             pyramid_levels=(2, 1),
         ),
         # 512^3 bricked grid + pyramid + device-side marching cubes.
@@ -254,7 +260,8 @@ def preset(name: str) -> PipelineConfig:
             # surface band ~8x the 256^3 voxel count at half the voxel size
             fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
                                 brick_cap=49152, pixel_share=2,
-                                pixel_share_j=2, brick_cap_free=16384),
+                                pixel_share_j=2, brick_cap_free=16384,
+                                storage_dtype="bfloat16"),
             pyramid_levels=(4, 2, 1),
         ),
     }

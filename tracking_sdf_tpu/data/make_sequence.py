@@ -1,0 +1,202 @@
+"""Generate a TUM-on-disk-layout RGB-D sequence from a synthetic scene.
+
+No real TUM dataset ships in this image, so this is the closest proxy to
+the reference's de-facto integration test (trajectory vs the bundled
+rgbd_dataset_freiburg1_plant-groundtruth.txt, written per frame by
+sdf_reconstruction.cpp:4-17): a multi-object scene rendered along a
+handheld-like 6-DoF trajectory to 16-bit depth PNGs (meters * 5000, the
+TUM convention), 8-bit RGB PNGs, depth.txt/rgb.txt listings and
+groundtruth.txt — then replayed through the REAL ingestion chain (native
+PNG loader -> TUMDataset -> runner -> trajectory writer -> Umeyama ATE)
+via `python -m tracking_sdf_tpu.cli --dataset DIR --eval`.
+
+The world frame is chosen so frame 0's camera pose IS the runner's
+REFERENCE_INITIAL_POSE (the reference hardcodes it, camera_tracking.cpp:5-7):
+the scene then lands inside the tum256/tum512 grid volume exactly as a real
+fr1 sequence would, with no alignment knobs anywhere.
+
+Depth gets a Kinect-like quadratic noise sigma = noise_k * z^2 (~1.5 mm at
+1 m, ~9 mm at 2.5 m) plus random dropout holes; RGB is the scenes' analytic
+color fields. Usage:
+
+    python -m tracking_sdf_tpu.data.make_sequence --out /tmp/tum_synth \
+        --frames 120
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Tuple
+
+import numpy as np
+
+
+def _build(width: int, height: int):
+    """(scene, cam, pose0). Scene geometry is authored in frame-0 CAMERA
+    coordinates (x right, y down, z forward — easy frustum reasoning) and
+    mapped to world with REFERENCE_INITIAL_POSE."""
+    import jax.numpy as jnp
+
+    from tracking_sdf_tpu.core.camera import PinholeCamera, tum_fr1_camera
+    from tracking_sdf_tpu.data.synthetic import CuboidScene, SphereScene
+    from tracking_sdf_tpu.pipeline.runner import REFERENCE_INITIAL_POSE
+
+    pose0 = REFERENCE_INITIAL_POSE
+    R0 = np.asarray(pose0.R)
+    t0 = np.asarray(pose0.t)
+
+    def w(p):  # camera-0 point -> world
+        return R0 @ np.asarray(p, np.float32) + t0
+
+    def box(lo, hi):
+        a, b = w(lo), w(hi)
+        return CuboidScene(tuple(np.minimum(a, b)), tuple(np.maximum(a, b)))
+
+    objects = [
+        # floor (camera-down y=+0.85) and back wall (z=2.6) bound the room
+        box((-4.0, 0.85, -0.5), (4.0, 1.05, 4.0)),
+        box((-4.0, -2.0, 2.6), (4.0, 1.05, 2.9)),
+        # table with a cube sitting on it
+        box((-0.55, 0.35, 1.30), (0.45, 0.85, 1.95)),
+        box((-0.30, 0.05, 1.45), (0.00, 0.35, 1.75)),
+        SphereScene(center=tuple(w((0.45, 0.10, 1.60))), radius=0.25),
+        SphereScene(center=tuple(w((-0.55, 0.45, 1.05))), radius=0.18),
+    ]
+
+    class Scene:
+        """Union of the objects; color follows the nearest-hit object."""
+
+        def sdf(self, x):
+            d = objects[0].sdf(x)
+            for o in objects[1:]:
+                d = jnp.minimum(d, o.sdf(x))
+            return d
+
+        def intersect(self, o_, d_):
+            ts = jnp.stack([ob.intersect(o_, d_) for ob in objects])
+            return jnp.nanmin(ts, axis=0)
+
+        def intersect_argmin(self, o_, d_):
+            ts = jnp.stack([ob.intersect(o_, d_) for ob in objects])
+            filled = jnp.where(jnp.isnan(ts), jnp.inf, ts)
+            idx = jnp.argmin(filled, axis=0)
+            t = jnp.take_along_axis(ts, idx[None], axis=0)[0]
+            return t, idx
+
+        def color_at(self, pts, idx):
+            cols = jnp.stack([ob.color(pts) for ob in objects])
+            return jnp.take_along_axis(
+                cols, idx[None, ..., None], axis=0)[0]
+
+    cam = tum_fr1_camera()
+    if (width, height) != (cam.width, cam.height):
+        s = width / cam.width
+        cam = PinholeCamera(fx=cam.fx * s, fy=cam.fy * s,
+                            cx=cam.cx * s, cy=cam.cy * s,
+                            width=width, height=height)
+    return Scene(), cam, pose0
+
+
+def _trajectory(pose0, n_frames: int) -> List:
+    """Handheld-like 6-DoF path: multi-frequency sinusoidal twist increments
+    (~12 mm + ~0.5 deg/frame) — smooth but never constant-velocity, like a
+    person scanning a tabletop."""
+    import jax.numpy as jnp
+
+    from tracking_sdf_tpu.core.lie import pose_compose, se3_exp
+
+    poses = [pose0]
+    for k in range(1, n_frames):
+        s = 2.0 * np.pi * k
+        xi = np.asarray([
+            0.009 * np.sin(s / 90) + 0.003 * np.sin(s / 17),   # x sweep
+            0.006 * np.cos(s / 70) + 0.002 * np.sin(s / 23),   # y bob
+            0.005 * np.sin(s / 55) + 0.002 * np.cos(s / 13),   # z push
+            0.004 * np.cos(s / 80) + 0.0015 * np.sin(s / 19),  # pitch
+            -0.006 * np.sin(s / 90) - 0.002 * np.sin(s / 29),  # yaw (counter-
+            0.003 * np.sin(s / 60),                            # roll  sweep)
+        ], np.float32)
+        poses.append(pose_compose(poses[-1], se3_exp(jnp.asarray(xi))))
+    return poses
+
+
+def generate(root: str, n_frames: int = 120, width: int = 640,
+             height: int = 480, noise_k: float = 1.5e-3,
+             dropout: float = 0.01, seed: int = 0,
+             progress: bool = False) -> dict:
+    """Render and write the sequence; returns summary stats."""
+    import jax
+    import jax.numpy as jnp
+
+    from tracking_sdf_tpu.core.camera import pixel_rays
+    from tracking_sdf_tpu.core.lie import quaternion_from_matrix
+    from tracking_sdf_tpu.data.tum import write_synthetic_tum
+
+    scene, cam, pose0 = _build(width, height)
+    poses = _trajectory(pose0, n_frames)
+
+    dirs_cam, _ = pixel_rays(cam)  # (H, W, 3), z == 1 -> t is z-depth
+
+    @jax.jit
+    def render(R, t):
+        d_world = jnp.einsum("ij,hwj->hwi", R, dirs_cam)
+        origins = jnp.broadcast_to(t, d_world.shape)
+        z, idx = scene.intersect_argmin(origins, d_world)
+        pts = origins + z[..., None] * d_world
+        rgb = scene.color_at(pts, idx)
+        return z, rgb
+
+    rng = np.random.default_rng(seed)
+    depths, rgbs, gts = [], [], []
+    min_valid = 1.0
+    for i, pose in enumerate(poses):
+        z, rgb = render(pose.R, pose.t)
+        z = np.asarray(z, np.float32)
+        rgb = np.asarray(np.clip(rgb, 0.0, 1.0), np.float32)
+        # Kinect-like quadratic depth noise + random dropout holes
+        if noise_k > 0:
+            z = z + (noise_k * z * z * rng.standard_normal(z.shape)
+                     ).astype(np.float32)
+        if dropout > 0:
+            z[rng.random(z.shape) < dropout] = np.nan
+        valid = float(np.isfinite(z).mean())
+        min_valid = min(min_valid, valid)
+        depths.append(z)
+        rgbs.append(rgb)
+        q = np.asarray(quaternion_from_matrix(pose.R), np.float32)
+        gts.append((np.asarray(pose.t, np.float32), q))
+        if progress and i % 20 == 0:
+            print(f"  frame {i}/{n_frames} valid={valid:.2f}",
+                  file=sys.stderr, flush=True)
+
+    write_synthetic_tum(root, depths, rgbs, gts)
+    return {"frames": n_frames, "min_valid_frac": min_valid,
+            "camera": (cam.fx, cam.fy, cam.cx, cam.cy, width, height)}
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description="generate a synthetic TUM-layout RGB-D sequence")
+    p.add_argument("--out", required=True)
+    p.add_argument("--frames", type=int, default=120)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--noise-k", type=float, default=1.5e-3,
+                   help="depth noise sigma = noise_k * z^2 (0 disables)")
+    p.add_argument("--dropout", type=float, default=0.01,
+                   help="random NaN-hole fraction")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # rendering never needs the chip
+    stats = generate(args.out, args.frames, args.width, args.height,
+                     args.noise_k, args.dropout, args.seed, progress=True)
+    print(f"wrote {stats['frames']} frames to {args.out} "
+          f"(min valid-depth fraction {stats['min_valid_frac']:.2f})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
