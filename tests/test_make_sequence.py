@@ -1,0 +1,84 @@
+"""CI-sized guard for the real-data integration path (VERDICT r1 item 2).
+
+The reference's de-facto integration test is its trajectory vs the bundled
+TUM groundtruth file (sdf_reconstruction.cpp:4-17 writes trajectory.txt;
+rgbd_dataset_freiburg1_plant-groundtruth.txt is the oracle). No dataset
+ships in this image, so data.make_sequence renders a multi-object scene to
+the TUM on-disk layout (16-bit depth PNGs at the /5000 scale, rgb PNGs,
+listings, groundtruth.txt) and this test replays it through the FULL
+ingestion chain the big 120-frame TPU run uses: native C++ PNG loader ->
+TUMDataset association -> CLI -> runner (bilateral + normals + track +
+fuse) -> trajectory writer -> Umeyama ATE.
+"""
+import io
+import json
+import math
+from contextlib import redirect_stdout
+
+import numpy as np
+import pytest
+
+from tracking_sdf_tpu import cli, config
+from tracking_sdf_tpu.config import (
+    FusionConfig, GridParams, PipelineConfig)
+from tracking_sdf_tpu.data.make_sequence import generate
+from tracking_sdf_tpu.data.tum import TUMDataset
+
+
+@pytest.fixture(scope="module")
+def sequence(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tum_synth"))
+    stats = generate(root, n_frames=8, width=160, height=120,
+                     noise_k=1.0e-3, dropout=0.01, seed=3)
+    return root, stats
+
+
+def test_sequence_layout_and_groundtruth(sequence):
+    root, stats = sequence
+    assert stats["min_valid_frac"] > 0.9
+    ds = TUMDataset(root)
+    assert len(ds) == 8
+    assert ds.groundtruth is not None and len(ds.groundtruth.timestamps) == 8
+    f0 = ds[0]
+    assert f0.depth.shape == (120, 160) and f0.rgb.shape == (120, 160, 3)
+    # 16-bit roundtrip: depth quantization is <= 0.5/5000 m
+    assert np.isfinite(f0.depth).mean() > 0.9
+    assert np.nanmax(f0.depth) < 65535 / 5000.0
+    # frame 0's groundtruth is the runner's hardcoded initial pose, so the
+    # scene lands inside the tum grid volume with no alignment knobs
+    t0, _ = f0.gt_pose
+    np.testing.assert_allclose(t0, [0.0, 0.0, 1.0], atol=1e-5)
+
+
+def test_cli_dataset_eval_end_to_end(sequence, tmp_path, monkeypatch):
+    root, stats = sequence
+    fx, fy, cx, cy, w, h = stats["camera"]
+
+    # CI-sized stand-in for tum256: same metric volume (the scene is
+    # authored for it), coarse 96^3 voxels, the flagship brickmajor+bf16
+    # fusion path
+    small = PipelineConfig(
+        grid=GridParams(m=96),
+        fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
+                            brick_cap=1728, brick_cap_free=1728,
+                            pixel_share=2, pixel_share_j=2,
+                            storage_dtype="bfloat16"),
+    )
+    monkeypatch.setattr(config, "preset", lambda name: small)
+
+    traj = str(tmp_path / "traj.txt")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main([
+            "--preset", "tum256", "--dataset", root, "--native-loader",
+            "--camera", f"{fx},{fy},{cx},{cy},{w},{h}",
+            "--trajectory", traj, "--eval", "--json", "--cpu",
+        ])
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["frames"] == 8
+    assert out["ate_pairs"] == 8
+    # 96^3 = 62 mm voxels; a working tracker stays within ~half a voxel,
+    # a broken one diverges to the >= 10 cm scale of the camera motion
+    assert out["ate_rmse_m"] is not None and math.isfinite(out["ate_rmse_m"])
+    assert out["ate_rmse_m"] < 0.05, out

@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preset", default="tum256",
                    help="config preset: synthetic64|tum128|tum256|tum512")
     p.add_argument("--dataset", help="TUM sequence directory (depth.txt, ...)")
+    p.add_argument("--camera", default=None,
+                   help="dataset intrinsics: 'fr1' (default) | 'kinect' | "
+                        "'fx,fy,cx,cy[,width,height]'")
     p.add_argument("--synthetic", action="store_true",
                    help="run on a generated synthetic orbit instead of a dataset")
     p.add_argument("--frames", type=int, default=None, help="max frames")
@@ -148,7 +151,7 @@ def main(argv=None) -> int:
         from tracking_sdf_tpu.data.tum import TUMDataset
 
         dataset = TUMDataset(args.dataset, with_rgb=not args.no_color)
-        cam = tum_fr1_camera()
+        cam = _parse_camera(args.camera)
         init_pose = None
         if cfg.use_groundtruth and dataset.groundtruth is None:
             print("error: --groundtruth-poses needs groundtruth.txt", file=sys.stderr)
@@ -236,6 +239,25 @@ def main(argv=None) -> int:
         for k, v in summary.items():
             print(f"{k}: {v:.4f}")
     return 0
+
+
+def _parse_camera(spec):
+    """'fr1' | 'kinect' | 'fx,fy,cx,cy[,width,height]' -> PinholeCamera."""
+    from tracking_sdf_tpu.core.camera import (
+        PinholeCamera, ros_default_camera, tum_fr1_camera)
+
+    if spec in (None, "fr1"):
+        return tum_fr1_camera()
+    if spec == "kinect":
+        return ros_default_camera()
+    vals = [float(v) for v in spec.split(",")]
+    if len(vals) not in (4, 6):
+        raise SystemExit(f"--camera: expected 4 or 6 comma-separated values, "
+                         f"got {len(vals)}")
+    kw = dict(zip(("fx", "fy", "cx", "cy"), vals[:4]))
+    if len(vals) == 6:
+        kw.update(width=int(vals[4]), height=int(vals[5]))
+    return PinholeCamera(**kw)
 
 
 def _synthetic_dataset(cfg, n_frames):
