@@ -287,43 +287,40 @@ def _fallback_sequential():
 
 
 def _print_breakdown(cfg, cam, state, poses, PTS, NRM, PTS_S, rgb, frame_ms):
-    """Per-phase split of the headline: a track-only on-device K-loop on the
-    warmed state; fuse = frame - track. One extra compile (cached across
-    runs); failures are non-fatal (the headline JSON is already out)."""
-    from tracking_sdf_tpu.tracking.gauss_newton import track_frame
-    from tracking_sdf_tpu.tracking.pyramid import track_frame_pyramid
+    """Per-phase split of the headline: a fuse-only on-device K-loop on the
+    warmed state; track = frame - fuse. Fuse-only (not track-only) because
+    fusion cost is pose-insensitive while a track-only loop re-tracks from
+    stale poses and inflates the GN iteration count ~3x. One extra compile
+    (cached across runs); failures are non-fatal (the headline JSON is
+    already out)."""
+    from tracking_sdf_tpu.fusion.brickmajor import fuse_frame_brickmajor
 
-    params, tcfg = cfg.grid, cfg.tracking
-    _, Dm = state
+    params = cfg.grid
+    fcfg = cfg.fusion._replace(mode="bricked")
+    bgrid, _ = state
 
     @jax.jit
-    def track_k(Dm, pose):
-        def body(k, carry):
-            p, acc, iters = carry
+    def fuse_k(bg, pose):
+        def body(k, bg):
             # k-dependent inputs (PTS[k]) keep XLA from hoisting the body
-            if cfg.pyramid_levels:
-                res, _ = track_frame_pyramid(
-                    None, p, PTS[k % K], params=params, cfg=tcfg,
-                    levels=cfg.pyramid_levels, Dm=Dm)
-            else:
-                res = track_frame(None, p, PTS_S[k % K], params=params,
-                                  cfg=tcfg, Dm=Dm)
-            return (pose, acc + res.pose.t[0], iters + res.iterations)
-        return jax.lax.fori_loop(
-            0, K, body, (pose, jnp.float32(0.0), jnp.int32(0)))
+            bg2, _, _ = fuse_frame_brickmajor(
+                bg, pose, PTS[k % K], NRM[k % K], rgb, params=params,
+                cam=cam, cfg=fcfg, bs=(8, 8, 8), cap=fcfg.brick_cap,
+                cap_free=fcfg.brick_cap_free or None, emit_dm="view")
+            return bg2
+        return jax.lax.fori_loop(0, K, body, bg)
 
-    out = track_k(Dm, poses[0])
+    out = fuse_k(bgrid, poses[0])
     jax.block_until_ready(out)
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        out = track_k(Dm, poses[0])
+        out = fuse_k(out, poses[0])
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / K)
-    track_ms = best * 1e3
-    print(f"# breakdown: track {track_ms:.1f} ms "
-          f"({int(out[2]) / K:.1f} GN iters/frame) + "
-          f"fuse ~{frame_ms - track_ms:.1f} ms = {frame_ms:.1f} ms/frame",
+    fuse_ms = best * 1e3
+    print(f"# breakdown: fuse {fuse_ms:.1f} ms + "
+          f"track ~{frame_ms - fuse_ms:.1f} ms = {frame_ms:.1f} ms/frame",
           file=sys.stderr)
 
 

@@ -7,6 +7,7 @@ dense path everywhere (up to f32 association in the merge); color matches
 inside FULL bricks (the bricked path deliberately fuses color only there).
 """
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from tracking_sdf_tpu.config import FusionConfig, GridParams
@@ -226,12 +227,17 @@ def test_pixel_share_close_to_exact():
         assert ((W1 > 0) != (W2 > 0)).mean() < 0.02
 
 
-def test_bricked_matches_dense_randomized():
+@pytest.mark.parametrize("distance", ["point_to_plane", "point_to_point"])
+def test_bricked_matches_dense_nan_speckle(distance):
     """Fuzz the classification proofs: random camera poses (including views
     from inside the volume and oblique angles) and random NaN speckle must
-    never break bricked == dense geometry."""
+    never break bricked == dense geometry — in BOTH distance modes (the
+    point-to-point zeta proof is z_y - delta, fusion/brick._zeta_mip).
+
+    (Was a duplicate of test_bricked_matches_dense_randomized below, which
+    silently shadowed this one — renamed.)"""
     rng = np.random.default_rng(7)
-    cfg = FusionConfig(fuse_color=False)
+    cfg = FusionConfig(fuse_color=False, distance=distance)
     for trial in range(4):
         eye = rng.uniform([-1.3, -1.8, -0.6], [1.3, -0.4, 0.8])
         target = rng.uniform(-0.4, 0.4, 3)
@@ -266,10 +272,12 @@ def test_bricked_nan_frame_is_noop():
     assert bool(jnp.isfinite(gb.D).all())
 
 
-def test_brickmajor_matches_dense():
+@pytest.mark.parametrize("distance", ["point_to_plane", "point_to_point"])
+def test_brickmajor_matches_dense(distance):
     """Brick-MAJOR storage fusion == dense fusion (geometry everywhere,
     color in fused-color voxels), and the emitted Dm is exactly the masked
-    view of the merged grid."""
+    view of the merged grid. Both distance modes (paper Table I axis) —
+    the flagship layout must run the paper's best-accuracy variant."""
     from tracking_sdf_tpu.fusion.brickmajor import (
         brick_grid_from_dense,
         dense_from_brick_grid,
@@ -277,7 +285,7 @@ def test_brickmajor_matches_dense():
     )
     from tracking_sdf_tpu.grid.interp import masked_view
 
-    cfg = FusionConfig(fuse_color=True)
+    cfg = FusionConfig(fuse_color=True, distance=distance)
     gd = empty_grid(PARAMS)
     bg = brick_grid_from_dense(empty_grid(PARAMS), BS)
     Dm = None
@@ -551,14 +559,14 @@ def test_classifier_left_edge_trunc_band_matches_dense():
     assert float(gd.W.sum()) > 0
 
 
-def test_bricked_matches_dense_randomized():
+@pytest.mark.parametrize("distance", ["point_to_plane", "point_to_point"])
+def test_bricked_matches_dense_randomized(distance):
     """Property test: bricked == dense fusion over randomized cameras,
     grid placements (including grids straddling the image edges), brick
     shapes, and scene poses. The u1<0-vs-<=-1 classifier bug lived in a
     one-pixel band only specific placements hit — sweep placements
     instead of waiting for the next special case."""
     rng = np.random.default_rng(7)
-    from tracking_sdf_tpu.core.lie import pose_identity
 
     for trial in range(10):
         m = int(rng.choice([16, 24, 32]))
@@ -586,7 +594,7 @@ def test_bricked_matches_dense_randomized():
         depth = jnp.where(jnp.isnan(depth), 3.0, depth)
         pts = backproject(cam, depth)
         nrm = estimate_normals(pts)
-        cfg = FusionConfig(fuse_color=False)
+        cfg = FusionConfig(fuse_color=False, distance=distance)
         gd = fuse_frame(empty_grid(params), pose, pts, nrm, None,
                         params=params, cam=cam, cfg=cfg)
         gb, stats = fuse_frame_bricked(

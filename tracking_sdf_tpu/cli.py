@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None,
                    help="override the preset's fusion path (config.py "
                         "FusionConfig.mode)")
+    p.add_argument("--distance", choices=("point_to_plane", "point_to_point"),
+                   default=None,
+                   help="fusion distance (paper Table I ablation axis): "
+                        "point_to_plane is the reference's shipped mode "
+                        "(sdf.cpp:272), point_to_point its commented-out "
+                        "alternative (sdf.h:169-172)")
     p.add_argument("--storage-dtype", choices=("float32", "bfloat16"),
                    default=None,
                    help="grid value-leaf storage dtype (brickmajor mode): "
@@ -125,6 +131,8 @@ def main(argv=None) -> int:
             fusion = fusion._replace(brick_shape=(8, 8, 8))
     if args.storage_dtype:
         fusion = fusion._replace(storage_dtype=args.storage_dtype)
+    if args.distance:
+        fusion = fusion._replace(distance=args.distance)
     if fusion is not cfg.fusion:
         changes["fusion"] = fusion
     if args.no_bilateral:

@@ -64,8 +64,13 @@ class FuseStats(NamedTuple):
     overflow_active: jnp.ndarray = jnp.int32(0)
 
 
-def _zeta_mip(points_cam, normals_cam, cam, delta, dtype):
+def _zeta_mip(points_cam, normals_cam, cam, delta, dtype,
+              distance="point_to_plane"):
     """Conservative free-space depth: per-pixel zeta then min-mip pyramid.
+
+    zeta is the camera-z at which the pixel's fusion distance falls to
+    delta — a voxel strictly closer than zeta over its whole pixel bbox is
+    provably far-free-space (update exactly (w = 1, d = +delta)).
 
     Returns (flat_table (sum levels,), offsets, dims) — a concatenated
     pyramid of per-tile minima of zeta, padded so every level's query is a
@@ -74,30 +79,40 @@ def _zeta_mip(points_cam, normals_cam, cam, delta, dtype):
     h, w = points_cam.shape[:2]
     z_y = points_cam[..., 2]
     n = normals_cam
-    # unit-z ray r = ((u-cx)/fx, (v-cy)/fy, 1); d = (z_p - z_y) * (r.n)
-    v = jnp.arange(h, dtype=dtype)[:, None]
-    u = jnp.arange(w, dtype=dtype)[None, :]
-    rx = (u - cam.cx) / cam.fx
-    ry = (v - cam.cy) / cam.fy
-    rn = rx * n[..., 0] + ry * n[..., 1] + n[..., 2]
-    ok = (
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+    # validity matches the dense path's per-voxel gate (NaN point OR normal
+    # skips, reference sdf.cpp:260) in BOTH distance modes
+    fin = (
         jnp.isfinite(points_cam[..., 0])
         & jnp.isfinite(points_cam[..., 1])
         & jnp.isfinite(n[..., 0])
         & jnp.isfinite(n[..., 1])
         & jnp.isfinite(n[..., 2])
-        & (rn < 0)  # normal toward camera; else no free-space guarantee
     )
-    neg_inf = jnp.asarray(-jnp.inf, dtype)
-    # A voxel mapping to this pixel has its own continuous ray r'' with
-    # r''.n = r.n + du*nx/fx + dv*ny/fy, du,dv in [0,1). Worst case lowers
-    # d by z_p * e_minus, hence the (a + e_minus) denominator:
-    #   d >= a (z_y - z_p) - z_p e_minus >= delta  <=>  z_p <= zeta.
-    a = jnp.maximum(-rn, 1e-6)
-    e_minus = (
-        jnp.maximum(-n[..., 0], 0.0) / cam.fx + jnp.maximum(-n[..., 1], 0.0) / cam.fy
-    )
-    zeta = jnp.where(ok, (z_y * a - delta) / (a + e_minus), neg_inf)
+    if distance == "point_to_point":
+        # d = z_y - z_p (sdf.h:169-172, canonical sign): no ray or normal
+        # dependence at all, so the proof is a plain per-pixel bound
+        #   d >= delta  <=>  z_p <= z_y - delta = zeta.
+        zeta = jnp.where(fin, z_y - delta, neg_inf)
+    else:
+        # unit-z ray r = ((u-cx)/fx, (v-cy)/fy, 1); d = (z_p - z_y) * (r.n)
+        v = jnp.arange(h, dtype=dtype)[:, None]
+        u = jnp.arange(w, dtype=dtype)[None, :]
+        rx = (u - cam.cx) / cam.fx
+        ry = (v - cam.cy) / cam.fy
+        rn = rx * n[..., 0] + ry * n[..., 1] + n[..., 2]
+        # normal toward camera required; else no free-space guarantee
+        ok = fin & (rn < 0)
+        # A voxel mapping to this pixel has its own continuous ray r'' with
+        # r''.n = r.n + du*nx/fx + dv*ny/fy, du,dv in [0,1). Worst case lowers
+        # d by z_p * e_minus, hence the (a + e_minus) denominator:
+        #   d >= a (z_y - z_p) - z_p e_minus >= delta  <=>  z_p <= zeta.
+        a = jnp.maximum(-rn, 1e-6)
+        e_minus = (
+            jnp.maximum(-n[..., 0], 0.0) / cam.fx
+            + jnp.maximum(-n[..., 1], 0.0) / cam.fy
+        )
+        zeta = jnp.where(ok, (z_y * a - delta) / (a + e_minus), neg_inf)
 
     # Pad to tile multiples with +inf: pad cells contain no real pixels, and
     # FREE candidacy already requires the brick bbox fully inside the image,
@@ -213,16 +228,17 @@ def _brick_corners_cam(params, pose, bs, dtype, nbi, i_offset):
 
 
 def classify_bricks(params, pose, points_cam, normals_cam, cam, bs, dtype,
-                    nbi, i_offset):
+                    nbi, i_offset, distance="point_to_plane"):
     """Exact conservative OUT/FREE/FULL brick classification.
 
     Returns brick_class (nbi, nbj, nbk) int32: 0 = OUT, 1 = FREE, 2 = FULL.
     Shared by the flat-layout (fuse_frame_bricked) and brick-major
-    (fusion.brickmajor) paths; proofs in the module docstring.
+    (fusion.brickmajor) paths; proofs in the module docstring. The FREE
+    proof (zeta) depends on the distance mode; OUT is geometry-only.
     """
     h, w_img = points_cam.shape[:2]
     zflat, zoffs, zdims = _zeta_mip(points_cam, normals_cam, cam,
-                                    params.delta, dtype)
+                                    params.delta, dtype, distance)
     cx_, cy_, cz_ = _brick_corners_cam(params, pose, bs, dtype, nbi, i_offset)
     pz_min = cz_.min(-1)
     pz_max = cz_.max(-1)
@@ -250,17 +266,23 @@ def classify_bricks(params, pose, points_cam, normals_cam, cam, bs, dtype,
     return jnp.where(out, 0, jnp.where(free, 1, 2)).astype(jnp.int32)
 
 
-def _pixel_table(points_cam, normals_cam, rgb, fuse_color, dtype):
-    """(H*W, C) gather table: [nx, ny, nz, s=y·n (, cos, cos*r, cos*g, cos*b)].
+def _pixel_table(points_cam, normals_cam, rgb, fuse_color, dtype,
+                 distance="point_to_plane"):
+    """(H*W, C) gather table: [nx, ny, nz, s (, cos, cos*r, cos*g, cos*b)].
+
+    Channel 3 (``s``) is the distance mode's per-pixel scalar: y·n for
+    point-to-plane (d = -(s - p·n)), the observed depth z_y for
+    point-to-point (d = s - p_z directly).
 
     C is 4 (geometry) or 8 (color) — PADDED-POWER-OF-TWO ROWS ARE LOAD-
     BEARING: the per-voxel random gather runs at ~4.3 ns/row for 8-float
     rows but 7.7-21.7 ns/row for 9-float rows (measured; the lowering's
     row copies straddle 32-byte units). Hence:
       * no `finite` flag channel — an invalid pixel (NaN point/normal,
-        reference sdf.cpp:260) is encoded as s = +inf, which drives the
-        canonical distance d = -(s - p·n) to -inf and the d >= -delta
-        fuse mask to False (exactly the flag's effect);
+        reference sdf.cpp:260) is encoded with the sign that drives the
+        canonical distance to -inf (+inf for point-to-plane's negated s,
+        -inf for point-to-point's direct s) so the d >= -delta fuse mask
+        goes False (exactly the flag's effect);
       * cos is premultiplied into rgb (w_c·r = w·(cos·r)), saving a
         channel at one extra f32 rounding vs the dense path (<=1 ulp).
     """
@@ -271,11 +293,14 @@ def _pixel_table(points_cam, normals_cam, rgb, fuse_color, dtype):
         & jnp.isfinite(n_img[..., 0]) & jnp.isfinite(n_img[..., 1])
         & jnp.isfinite(n_img[..., 2])
     )
-    s_img = jnp.where(
-        finite,
-        jnp.sum(jnp.where(finite[..., None], y_img * n_img, 0.0), axis=-1),
-        jnp.inf,
-    )
+    if distance == "point_to_point":
+        s_img = jnp.where(finite, y_img[..., 2], -jnp.inf)
+    else:
+        s_img = jnp.where(
+            finite,
+            jnp.sum(jnp.where(finite[..., None], y_img * n_img, 0.0), axis=-1),
+            jnp.inf,
+        )
     channels = [
         jnp.where(finite, n_img[..., 0], 0.0),
         jnp.where(finite, n_img[..., 1], 0.0),
@@ -392,13 +417,15 @@ def _full_brick_updates(brick_class, pix, pose, params, cam, cfg, bs, cap,
         ).reshape(cap, bi, bj, bk, -1)
     nx, ny, nz, s = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
 
-    if cfg.distance != "point_to_plane":
-        raise NotImplementedError(
-            "bricked fusion supports point_to_plane only (the shipped "
-            "reference mode, sdf.cpp:272); use mode='dense' otherwise"
-        )
-    d_ref = s - (px * nx + py * ny + pz * nz)
-    d = -d_ref  # canonical +free-space; invalid pixels (s = +inf) -> -inf
+    if cfg.distance == "point_to_plane":
+        d_ref = s - (px * nx + py * ny + pz * nz)  # (y - p)·n (sdf.cpp:272)
+        d = -d_ref  # canonical +free-space; invalid pixels (s = +inf) -> -inf
+    elif cfg.distance == "point_to_point":
+        # s holds z_y; canonical d = z_y - p_z (sdf.h:169-172 negated);
+        # invalid pixels (s = -inf) -> -inf, masked below
+        d = s - pz
+    else:
+        raise ValueError(f"unknown distance: {cfg.distance}")
 
     observe = in_front & ins & valid_brick[:, None, None, None]
     fuse_mask = observe & (d >= -params.delta)
@@ -463,11 +490,13 @@ def fuse_frame_bricked(
     nbi, nbj, nbk = mi // bi, m // bj, m // bk
     fuse_color = cfg.fuse_color and rgb is not None
 
-    pix = _pixel_table(points_cam, normals_cam, rgb, fuse_color, dtype)
+    pix = _pixel_table(points_cam, normals_cam, rgb, fuse_color, dtype,
+                       cfg.distance)
 
     # ---- brick classification: 0 = OUT, 1 = FREE, 2 = FULL -----------------
     brick_class = classify_bricks(
-        params, pose, points_cam, normals_cam, cam, bs, dtype, nbi, i_offset)
+        params, pose, points_cam, normals_cam, cam, bs, dtype, nbi,
+        i_offset, cfg.distance)
 
     upd, full_ids, valid_brick, n_full, (vi, vj, fbk) = _full_brick_updates(
         brick_class, pix, pose, params, cam, cfg, bs, cap, dtype,

@@ -159,9 +159,11 @@ def fuse_frame_packed(
     nch = _C if fuse_color else 2
     N = cap + cap_free
 
-    pix = _pixel_table(points_cam, normals_cam, rgb, fuse_color, dtype)
+    pix = _pixel_table(points_cam, normals_cam, rgb, fuse_color, dtype,
+                       cfg.distance)
     brick_class = classify_bricks(
-        params, pose, points_cam, normals_cam, cam, bs, dtype, nbi, i_offset)
+        params, pose, points_cam, normals_cam, cam, bs, dtype, nbi,
+        i_offset, cfg.distance)
     upd, full_ids, valid_brick, n_full, _ = _full_brick_updates(
         brick_class, pix, pose, params, cam, cfg, bs, cap, dtype,
         (nbi, nbj, nbk), i_offset, (h, w_img), fuse_color)
