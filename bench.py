@@ -323,6 +323,40 @@ def _print_breakdown(cfg, cam, state, poses, PTS, NRM, PTS_S, rgb, frame_ms):
           f"track ~{frame_ms - fuse_ms:.1f} ms = {frame_ms:.1f} ms/frame",
           file=sys.stderr)
 
+    # ---- end-to-end: + bilateral filter + normal estimation ---------------
+    # The reference's per-frame callback includes preprocessing
+    # (sdf_reconstruction.cpp:36-49); the headline above (like the paper's
+    # 23 ms §V-E scope) covers track+fuse only, so also report the full
+    # per-frame cost with the 11x11 bilateral + integral-normals included.
+    from tracking_sdf_tpu.data.synthetic import render_scene_depth
+    from tracking_sdf_tpu.tracking.preprocess import preprocess_frame
+
+    scene = make_scene()
+    DEPTH = jnp.stack([render_scene_depth(scene, cam, poses[k])
+                       for k in range(1, K + 1)])
+
+    @jax.jit
+    def prep_k(D):
+        def body(k, acc):
+            pts, nrm = preprocess_frame(D[k % K], cam=cam, bilateral=True)
+            # full reductions force the whole chain (a scalar probe would
+            # let XLA slice away most of the work)
+            return acc + jnp.nansum(nrm[..., 0]) + jnp.nansum(pts[..., 2])
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+    out = prep_k(DEPTH)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        jax.block_until_ready(prep_k(DEPTH))
+        best = min(best, (time.perf_counter() - t0) / K)
+    prep_ms = best * 1e3
+    e2e = frame_ms + prep_ms
+    print(f"# end-to-end: preprocess {prep_ms:.1f} ms -> "
+          f"{e2e:.1f} ms/frame = {1000.0 / e2e:.1f} fps incl. "
+          f"bilateral+normals", file=sys.stderr)
+
 
 def main():
     cfg, cam, poses, PTS, NRM, PTS_S, rgb = build_inputs()

@@ -1,0 +1,69 @@
+"""TPU evaluation on the 120-frame synthetic TUM-layout dataset.
+
+The VERDICT r1 item-2 run: the full ingestion chain (native PNG loader ->
+TUMDataset -> runner with bilateral+normals -> trajectory writer ->
+Umeyama ATE / RPE) on real RGB-D-shaped data (640x480, 16-bit depth PNGs
+with quadratic Kinect noise + holes), ~1 m camera sweep over 120 frames.
+
+Doubles as the accuracy A/B oracle (the 30-frame synthetic orbit's ATE is
+variant-noisy at the few-mm scale): preset deltas over pyramid x
+pixel_share_j x distance, all at the preset's bfloat16 storage.
+
+Generate the dataset first (CPU, ~1 min):
+    python -m tracking_sdf_tpu.data.make_sequence --out /tmp/tum_synth120 \
+        --frames 120
+"""
+import dataclasses
+import io
+import json
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+from tracking_sdf_tpu import cli, config  # noqa: E402
+
+ROOT = os.environ.get("DATASET", "/tmp/tum_synth120")
+base = config.preset("tum256")
+
+
+def mk(pyr=(2, 1), sj=2, dist="point_to_plane"):
+    c = dataclasses.replace(base, pyramid_levels=pyr)
+    return dataclasses.replace(
+        c, fusion=c.fusion._replace(pixel_share_j=sj, distance=dist))
+
+
+variants = {
+    "pyr21+sj2 (preset)": mk(),
+    "flat+sj2": mk(pyr=None),
+    "flat+sj1": mk(pyr=None, sj=1),
+    "pyr21+sj1": mk(sj=1),
+    "pyr21+sj2+p2p": mk(dist="point_to_point"),
+    "flat+sj1+p2p": mk(pyr=None, sj=1, dist="point_to_point"),
+}
+
+orig_preset = config.preset
+try:
+    for name, cfgv in variants.items():
+        config.preset = lambda _n, _c=cfgv: _c
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            cli.main(["--preset", "tum256", "--dataset", ROOT,
+                      "--native-loader",
+                      "--trajectory", f"/tmp/ds_{name.split(' ')[0]}.txt",
+                      "--eval", "--json"])
+        out = json.loads(buf.getvalue().strip().splitlines()[-1])
+        print(f"{name:20s} ATE {out['ate_rmse_m']*1e3:6.1f} mm  "
+              f"RPE {out['rpe_trans_m']*1e3:5.2f} mm/fr "
+              f"{out['rpe_rot_rad']*1e3:5.2f} mrad/fr  "
+              f"GN {out['gn_iters_mean']:.1f}  "
+              f"track {out['track_ms_mean']:.0f} ms  "
+              f"fuse {out['fuse_ms_mean']:.0f} ms", flush=True)
+finally:
+    config.preset = orig_preset

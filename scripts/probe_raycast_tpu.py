@@ -1,11 +1,11 @@
 """TPU A/B: raycast 640x480 off a fused 256^3 grid, empty_skip on/off.
 
-Measures the committed-but-unmeasured empty-space-skipping leap
-(render/raycast.py _skip_mip chamfer, commit 9070043) on the real chip.
-K renders per on-device dispatch (lax.fori-style scan via jax.lax.map is
-overkill here: raycast is one big jit; we time K sequential dispatches of
-the SAME compiled fn and subtract nothing — per-dispatch tunnel jitter is
-amortized by best-of-3 over K=5 batches).
+Measures the empty-space-skipping leap (render/raycast.py _skip_mip
+chamfer, commit 9070043) on the real chip. K renders in ONE on-device
+fori_loop dispatch, k-dependent pose (LICM-proofed), a full-image nansum
+forcing the march each iteration — the earlier per-dispatch version
+measured 0.1 ms/render for skip OFF (async dispatch artifact), which is
+not a number a 307k-ray march can produce.
 """
 import os
 import sys
@@ -20,31 +20,38 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import bench as B
+from tracking_sdf_tpu.core.lie import Pose
 from tracking_sdf_tpu.render.raycast import raycast, RaycastConfig
+
+K = 5
 
 
 def main():
     cfg, cam, poses, PTS, NRM, PTS_S, rgb = B.build_inputs()
     grid = B._bootstrap(cfg, cam, poses, rgb)
     params = cfg.grid
+    pose0 = poses[0]
 
     for label, rcfg in [
         ("skip OFF", RaycastConfig(empty_skip=False)),
         ("skip ON", RaycastConfig(empty_skip=True)),
     ]:
-        fn = jax.jit(lambda g, p, rc=rcfg: raycast(
-            g, p, params=params, cam=cam, cfg=rc))
-        out = fn(grid, poses[0])  # compile + warm
-        jax.block_until_ready(out)
+        @jax.jit
+        def run_k(g, pose, rc=rcfg):
+            def body(k, acc):
+                p = Pose(pose.R, pose.t + 1e-6 * k)
+                out = raycast(g, p, params=params, cam=cam, cfg=rc)
+                return acc + jnp.nansum(out.depth)
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+        jax.block_until_ready(run_k(grid, pose0))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            for k in range(5):
-                out = fn(grid, poses[k % len(poses)])
-            jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / 5)
-        d = out.depth if hasattr(out, "depth") else out[0]
-        hits = int(jnp.sum(jnp.isfinite(jnp.asarray(d))))
+            jax.block_until_ready(run_k(grid, pose0))
+            best = min(best, (time.perf_counter() - t0) / K)
+        out = raycast(grid, pose0, params=params, cam=cam, cfg=rcfg)
+        hits = int(jnp.sum(jnp.asarray(out.hit)))
         print(f"raycast {label:10s} {best*1e3:8.1f} ms/render  "
               f"({hits} hit px)", flush=True)
 

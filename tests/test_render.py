@@ -91,6 +91,30 @@ def test_marching_cubes_sphere():
     assert mesh.colors.shape == mesh.vertices.shape
 
 
+def test_marching_cubes_shepard_colors():
+    """color_mode='shepard' wires the reference-exact interpolate_color
+    (sdf.cpp:377-382) into mesh export: vertex colors must equal the
+    shepard_color oracle at the same vertices and differ from trilinear
+    somewhere (the schemes agree only at corner-exact points)."""
+    from tracking_sdf_tpu.grid.grid import world_to_voxel
+    from tracking_sdf_tpu.grid.interp import shepard_color
+
+    grid = grid_from_scene(PARAMS, SCENE)
+    mesh_s = marching_cubes(grid, params=PARAMS, with_colors=True,
+                            color_mode="shepard")
+    mesh_t = marching_cubes(grid, params=PARAMS, with_colors=True)
+    assert mesh_s.num_triangles == mesh_t.num_triangles  # geometry unchanged
+    np.testing.assert_array_equal(mesh_s.vertices, mesh_t.vertices)
+
+    flat = jnp.asarray(mesh_s.vertices.reshape(-1, 3))
+    rgb, valid = shepard_color(grid.R, grid.G, grid.B, grid.Wc,
+                               world_to_voxel(PARAMS, flat))
+    rgb = np.where(np.asarray(valid)[..., None], np.asarray(rgb), 0.4)
+    np.testing.assert_allclose(
+        mesh_s.colors.reshape(-1, 3), rgb, atol=1e-6)
+    assert np.abs(mesh_s.colors - mesh_t.colors).max() > 1e-4
+
+
 def test_marching_cubes_respects_weight_gate():
     grid = grid_from_scene(PARAMS, SCENE)
     # knock out observations in the x>0 half: no triangles there

@@ -228,10 +228,15 @@ def main(argv=None) -> int:
                     np.stack([f.gt_pose[1] for f in frames_with_gt]),
                 )
         if gt is not None:
+            from tracking_sdf_tpu.pipeline.trajectory import rpe_rmse
+
             est = read_trajectory(args.trajectory)
             rmse, n = ate_rmse(est, gt)
             summary["ate_rmse_m"] = rmse
             summary["ate_pairs"] = float(n)
+            rpe_t, rpe_r = rpe_rmse(est, gt, delta=1)
+            summary["rpe_trans_m"] = rpe_t
+            summary["rpe_rot_rad"] = rpe_r
 
     if args.json:
         # NaN (e.g. ate_rmse with <2 associated pairs) is not valid JSON —

@@ -515,15 +515,20 @@ class Reconstruction:
                 mf.close()
         return self.stats
 
-    def export_mesh(self, path: str, with_colors: bool = True) -> int:
-        """Marching-cubes the current grid snapshot to a PLY file."""
+    def export_mesh(self, path: str, with_colors: bool = True,
+                    color_mode: str = "trilinear") -> int:
+        """Marching-cubes the current grid snapshot to a PLY file.
+
+        color_mode="shepard" reproduces the reference's per-vertex
+        interpolate_color exactly (sdf.cpp:377-382)."""
         from tracking_sdf_tpu.render.marching_cubes import export_ply, marching_cubes
 
         grid = self.grid
         if self._mesh is not None:
             grid = jax.device_get(grid)
             grid = TSDFGrid(*(jnp.asarray(l) for l in grid))
-        mesh = marching_cubes(grid, params=self.config.grid, with_colors=with_colors)
+        mesh = marching_cubes(grid, params=self.config.grid,
+                              with_colors=with_colors, color_mode=color_mode)
         export_ply(mesh, path)
         return mesh.num_triangles
 

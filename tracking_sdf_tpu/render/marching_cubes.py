@@ -189,13 +189,19 @@ def marching_cubes(
     params: GridParams,
     with_colors: bool = False,
     max_cells: Optional[int] = None,
+    color_mode: str = "trilinear",
 ) -> Mesh:
     """Extract the zero-isosurface triangle mesh (host-compacted).
 
     Functionally equivalent to SDF::visualize's meshing step
     (sdf.cpp:317-391) with `with_colors=True` matching its per-vertex
-    interpolate_color.
+    interpolate_color. ``color_mode`` selects the vertex-color scheme:
+    "trilinear" (default, smooth) or "shepard" — the reference's exact
+    inverse-L1 interpolate_color semantics (sdf.cpp:377-382 calls
+    interpolate_color per mesh vertex), for parity.
     """
+    if color_mode not in ("trilinear", "shepard"):
+        raise ValueError(f"unknown color_mode: {color_mode!r}")
     active = np.asarray(_active_cells(grid, params=params))
     idx = np.argwhere(active).astype(np.int32)  # (A, 3), interior cells
     if idx.shape[0] == 0:
@@ -219,9 +225,11 @@ def marching_cubes(
     colors = None
     if with_colors:
         from tracking_sdf_tpu.grid.grid import world_to_voxel
+        from tracking_sdf_tpu.grid.interp import shepard_color
 
+        color_fn = shepard_color if color_mode == "shepard" else interp_color
         flat = jnp.asarray(tri.reshape(-1, 3))
-        rgb, cvalid = interp_color(
+        rgb, cvalid = color_fn(
             grid.R, grid.G, grid.B, grid.Wc, world_to_voxel(params, flat)
         )
         # Vertices with no color observation (Wc = 0 on every corner) keep
