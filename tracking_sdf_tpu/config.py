@@ -255,12 +255,17 @@ def preset(name: str) -> PipelineConfig:
             pyramid_levels=(2, 1),
         ),
         # 512^3 bricked grid + pyramid + device-side marching cubes.
+        # Caps sized from the measured bench-trajectory maxima (n_full 36724,
+        # n_free 10101 — BENCHMARKS.md round-2 breakdown) + ~6-20% headroom:
+        # per-brick fusion work is CAP-bound (static shapes), so oversizing
+        # is pure cost (-19.5 ms from 49152 -> 38912). pixel_share 4x4 has
+        # the same METRIC group radius as the accuracy-proven 2x2 at 256^3
+        # (voxels are half the size); measured -31 ms (TPU fuse matrix).
         "tum512": PipelineConfig(
             grid=GridParams(m=512),
-            # surface band ~8x the 256^3 voxel count at half the voxel size
             fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
-                                brick_cap=49152, pixel_share=2,
-                                pixel_share_j=2, brick_cap_free=16384,
+                                brick_cap=38912, pixel_share=4,
+                                pixel_share_j=4, brick_cap_free=12288,
                                 storage_dtype="bfloat16"),
             pyramid_levels=(4, 2, 1),
         ),
