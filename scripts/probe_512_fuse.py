@@ -62,10 +62,17 @@ def run(label, cap, cap_free, sk, sj, color=True):
     return best
 
 
-# baseline = committed preset
-run("cap=49152 free=16384 share=2x2 (preset)", 49152, 16384, 2, 2)
-run("cap=38912 free=12288 share=2x2", 38912, 12288, 2, 2)
-run("cap=38912 free=12288 share=4x2", 38912, 12288, 4, 2)
-run("cap=38912 free=12288 share=4x4", 38912, 12288, 4, 4)
-run("cap=38912 free=12288 share=4x4 -color", 38912, 12288, 4, 4, color=False)
-run("cap=38912 free=12288 share=8x4", 38912, 12288, 8, 4)
+if os.environ.get("FUSE_VARIANTS") == "preset":
+    # single-variant mode for environment A/Bs (e.g. TSDF_FACTORED_SHARE=1)
+    run(f"preset caps, share={cfg.fusion.pixel_share}x"
+        f"{cfg.fusion.pixel_share_j}", cfg.fusion.brick_cap,
+        cfg.fusion.brick_cap_free, cfg.fusion.pixel_share,
+        cfg.fusion.pixel_share_j)
+else:
+    run("cap=49152 free=16384 share=2x2 (r1 preset)", 49152, 16384, 2, 2)
+    run("cap=38912 free=12288 share=2x2", 38912, 12288, 2, 2)
+    run("cap=38912 free=12288 share=4x2", 38912, 12288, 4, 2)
+    run("cap=38912 free=12288 share=4x4", 38912, 12288, 4, 4)
+    run("cap=38912 free=12288 share=4x4 -color", 38912, 12288, 4, 4,
+        color=False)
+    run("cap=38912 free=12288 share=8x4", 38912, 12288, 8, 4)

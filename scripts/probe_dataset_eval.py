@@ -30,7 +30,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 from tracking_sdf_tpu import cli, config  # noqa: E402
 
 ROOT = os.environ.get("DATASET", "/tmp/tum_synth120")
-base = config.preset("tum256")
+PRESET = os.environ.get("PRESET", "tum256")  # tum512 = the 512^3 oracle
+base = config.preset(PRESET)
 
 
 def mk(pyr=(2, 1), sj=2, dist="point_to_plane"):
@@ -39,14 +40,27 @@ def mk(pyr=(2, 1), sj=2, dist="point_to_plane"):
         c, fusion=c.fusion._replace(pixel_share_j=sj, distance=dist))
 
 
-variants = {
-    "pyr21+sj2 (preset)": mk(),
-    "flat+sj2": mk(pyr=None),
-    "flat+sj1": mk(pyr=None, sj=1),
-    "pyr21+sj1": mk(sj=1),
-    "pyr21+sj2+p2p": mk(dist="point_to_point"),
-    "flat+sj1+p2p": mk(pyr=None, sj=1, dist="point_to_point"),
-}
+def mk_share(sk, sj):
+    return dataclasses.replace(
+        base, fusion=base.fusion._replace(pixel_share=sk, pixel_share_j=sj))
+
+
+if os.environ.get("VARIANTS") == "share":
+    # pixel_share accuracy isolation (the tum512 4x4 |t err| question)
+    variants = {
+        "share=2x2": mk_share(2, 2),
+        "share=4x2": mk_share(4, 2),
+        "share=4x4 (preset)": mk_share(4, 4),
+    }
+else:
+    variants = {
+        "pyr21+sj2 (preset)": mk(),
+        "flat+sj2": mk(pyr=None),
+        "flat+sj1": mk(pyr=None, sj=1),
+        "pyr21+sj1": mk(sj=1),
+        "pyr21+sj2+p2p": mk(dist="point_to_point"),
+        "flat+sj1+p2p": mk(pyr=None, sj=1, dist="point_to_point"),
+    }
 
 orig_preset = config.preset
 try:
@@ -54,9 +68,9 @@ try:
         config.preset = lambda _n, _c=cfgv: _c
         buf = io.StringIO()
         with redirect_stdout(buf):
-            cli.main(["--preset", "tum256", "--dataset", ROOT,
+            cli.main(["--preset", PRESET, "--dataset", ROOT,
                       "--native-loader",
-                      "--trajectory", f"/tmp/ds_{name.split(' ')[0]}.txt",
+                      "--trajectory", f"/tmp/ds_{PRESET}_{name.split(' ')[0]}.txt",
                       "--eval", "--json"])
         out = json.loads(buf.getvalue().strip().splitlines()[-1])
         print(f"{name:20s} ATE {out['ate_rmse_m']*1e3:6.1f} mm  "

@@ -38,6 +38,7 @@ FuseStats.overflow — size `cap` to the surface area of the scene.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -403,18 +404,31 @@ def _full_brick_updates(brick_class, pix, pose, params, cam, cfg, bs, cap,
         # MEASURED (BENCHMARKS.md, TPU A/B 2026-08-19): keeping g factored
         # (share dims size-1, broadcasting inside the arithmetic) looked
         # like it should kill a ~100 MB HLO broadcast materialize, but the
-        # REAL kernel ran slower — probe byte-counting is not a cost
-        # model; the explicit broadcast is what XLA schedules best.
-        g = g.reshape(cap, bi, bj // sj, 1, bk // sk, 1, -1)
-        g = jnp.broadcast_to(
-            g, (cap, bi, bj // sj, sj, bk // sk, sk, g.shape[-1])
-        ).reshape(cap, bi, bj, bk, -1)
+        # REAL kernel ran slower AT 256^3/share 2x2 — probe byte-counting
+        # is not a cost model; the explicit broadcast is what XLA schedules
+        # best there. At 512^3/share 4x4 the materialize is ~640 MB, so the
+        # balance may flip: TSDF_FACTORED_SHARE=1 is the A/B escape hatch
+        # (numerically inert — cross-checked bit-for-bit on CPU).
+        if os.environ.get("TSDF_FACTORED_SHARE") == "1":
+            g = g.reshape(cap, bi, bj // sj, 1, bk // sk, 1, -1)
+            gs = (cap, bi, bj // sj, sj, bk // sk, sk)
+            px, py, pz = (a.reshape(gs) for a in (px, py, pz))
+            in_front = in_front.reshape(gs)
+            ins = ins.reshape(gs)
+            shaped = gs
+        else:
+            g = g.reshape(cap, bi, bj // sj, 1, bk // sk, 1, -1)
+            g = jnp.broadcast_to(
+                g, (cap, bi, bj // sj, sj, bk // sk, sk, g.shape[-1])
+            ).reshape(cap, bi, bj, bk, -1)
+            shaped = None
     else:
         nvox = cap * bi * bj * bk
         lane = 128 if nvox % 128 == 0 else bk
         g = jnp.take(
             pix, flat_pix.reshape(nvox // lane, lane), axis=0
         ).reshape(cap, bi, bj, bk, -1)
+        shaped = None
     nx, ny, nz, s = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
 
     if cfg.distance == "point_to_plane":
@@ -427,7 +441,9 @@ def _full_brick_updates(brick_class, pix, pose, params, cam, cfg, bs, cap,
     else:
         raise ValueError(f"unknown distance: {cfg.distance}")
 
-    observe = in_front & ins & valid_brick[:, None, None, None]
+    vb = (valid_brick[:, None, None, None, None, None] if shaped
+          else valid_brick[:, None, None, None])
+    observe = in_front & ins & vb
     fuse_mask = observe & (d >= -params.delta)
     # sanitize BEFORE multiplying: 0 * (-inf) from an invalid pixel is NaN
     d = jnp.where(fuse_mask, jnp.minimum(d, params.delta), 0.0)
@@ -439,6 +455,12 @@ def _full_brick_updates(brick_class, pix, pose, params, cam, cfg, bs, cap,
     if fuse_color:
         cosv, cosr, cosg, cosb = g[..., 4], g[..., 5], g[..., 6], g[..., 7]
         upd += [w_new * cosv, w_new * cosr, w_new * cosg, w_new * cosb]
+    if shaped:
+        # factored mode: math ran in the 6-D share structure with size-1
+        # broadcast dims; restore the canonical per-voxel shape
+        upd = [jnp.broadcast_to(
+            u, (cap, bi, bj // sj, sj, bk // sk, sk)
+        ).reshape(cap, bi, bj, bk) for u in upd]
     return upd, full_ids, valid_brick, n_full, (vi, vj, fbk)
 
 
