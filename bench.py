@@ -347,9 +347,12 @@ def _print_breakdown(cfg, cam, state, poses, PTS, NRM, PTS_S, rgb, frame_ms):
     out = prep_k(DEPTH)
     jax.block_until_ready(out)
     best = float("inf")
-    for _ in range(2):
+    for rep in range(1, 3):
+        # vary inputs per rep: the remote backend dedupes identical
+        # (program, args) re-dispatches (measured: impossible sub-RTT times)
+        d_rep = DEPTH + jnp.float32(1e-6 * rep)
         t0 = time.perf_counter()
-        jax.block_until_ready(prep_k(DEPTH))
+        jax.block_until_ready(prep_k(d_rep))
         best = min(best, (time.perf_counter() - t0) / K)
     prep_ms = best * 1e3
     e2e = frame_ms + prep_ms

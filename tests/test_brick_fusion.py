@@ -261,6 +261,42 @@ def test_bricked_matches_dense_nan_speckle(distance):
                                    atol=1e-5, err_msg=f"trial {trial}")
 
 
+@pytest.mark.parametrize("distance", ["point_to_plane", "point_to_point"])
+def test_occluded_bricks_classified_and_exact(distance):
+    """Bricks provably behind every candidate surface (d < -delta at every
+    voxel) produce zero update in the dense path; the classifier must fold
+    them into class 0 (the eta max-mip proof, _zeta_mip) — at 512^3 they
+    were 39-40% of FULL bricks — while bricked == dense stays exact."""
+    from tracking_sdf_tpu.fusion.brick import classify_bricks
+
+    cfg = FusionConfig(fuse_color=False, distance=distance)
+    # mid-grid wall: roughly half the volume sits deep behind the surface
+    wall = CuboidScene(min_corner=(-4.0, 0.0, -4.0), max_corner=(4.0, 4.0, 4.0))
+    pose = look_at((0.0, -0.9, 0.0), (0.0, 1.0, 0.0))
+    depth = render_scene_depth(wall, CAM, pose)
+    pts = backproject(CAM, depth)
+    nrm = estimate_normals(pts)
+
+    bc = classify_bricks(PARAMS, pose, pts, nrm, CAM, BS, jnp.float32,
+                         PARAMS.m // BS[0], 0, distance)
+    # bricks well behind the wall (y > delta + a brick) and inside the
+    # frustum must be class 0 even though they are in front of the camera
+    yc = (jnp.arange(PARAMS.m // BS[1]) * BS[1] + BS[1] / 2) \
+        * (PARAMS.height / PARAMS.m) + PARAMS.origin[1]
+    deep = np.asarray(bc)[:, np.asarray(yc) > 0.4, :]
+    assert (deep == 0).all(), "deep-behind-wall bricks must classify OUT"
+    assert int(np.sum(np.asarray(bc) == 2)) > 0  # band bricks remain FULL
+
+    gd = fuse_frame(empty_grid(PARAMS), pose, pts, nrm, None,
+                    params=PARAMS, cam=CAM, cfg=cfg)
+    gb, stats = fuse_frame_bricked(
+        empty_grid(PARAMS), pose, pts, nrm, None,
+        params=PARAMS, cam=CAM, cfg=cfg, bs=BS, cap=220)
+    assert int(stats.overflow) == 0
+    np.testing.assert_allclose(np.asarray(gb.W), np.asarray(gd.W), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb.D), np.asarray(gd.D), atol=1e-5)
+
+
 def test_bricked_nan_frame_is_noop():
     cfg = FusionConfig(fuse_color=False)
     nanimg = jnp.full((72, 96, 3), jnp.nan, jnp.float32)

@@ -9,7 +9,10 @@ classification:
         (exactly the dense path's per-voxel skip rules: pz is affine in the
         voxel index, and the projection of a box with all corners in front
         is the convex hull of the corner projections, so corner bounds are
-        exact).
+        exact). Also folds in OCCLUDED bricks — provably deep behind every
+        candidate surface (d < -delta at every voxel, the eta max-mip bound
+        in _zeta_mip) or over invalid pixels, where the dense path's
+        d >= -delta mask rejects everything: zero update, zero cost.
   FREE  brick entirely inside the image and strictly in front of every
         candidate surface: max brick z < zeta_min over its pixel bbox, where
         per pixel  zeta = z_y - delta / (-r.n)  is the camera-z at which the
@@ -65,22 +68,75 @@ class FuseStats(NamedTuple):
     overflow_active: jnp.ndarray = jnp.int32(0)
 
 
+def _mip_rows(img, h, w, dtype, largest: bool):
+    """Min- (largest=False) or max- (largest=True) mip pyramid over _TILE
+    tiles, flattened into the overlapped stride-4 width-8 row table.
+
+    Returns (t8, offsets, dims). Padding uses the reduction's neutral
+    element; pad + wrap cells only ever ADD candidates, so queries stay
+    conservative (a min can only drop, a max can only rise — both degrade
+    FREE/OCCLUDED candidates to FULL, never the reverse).
+    """
+    neutral = jnp.asarray(-jnp.inf if largest else jnp.inf, dtype)
+    red = (lambda a, axis: a.max(axis=axis)) if largest \
+        else (lambda a, axis: a.min(axis=axis))
+    H = -(-h // _TILE) * _TILE
+    W = -(-w // _TILE) * _TILE
+    img = jnp.pad(img, ((0, H - h), (0, W - w)), constant_values=neutral)
+    lvl = red(img.reshape(H // _TILE, _TILE, W // _TILE, _TILE), (1, 3))
+    levels = [lvl]
+    while lvl.shape[0] > 1 or lvl.shape[1] > 1:
+        ph = lvl.shape[0] % 2
+        pw = lvl.shape[1] % 2
+        lvl = jnp.pad(lvl, ((0, ph), (0, pw)), constant_values=neutral)
+        lvl = red(lvl.reshape(lvl.shape[0] // 2, 2, lvl.shape[1] // 2, 2),
+                  (1, 3))
+        levels.append(lvl)
+
+    dims = [l.shape for l in levels]
+    offsets = np.concatenate([[0], np.cumsum([dh * dw for dh, dw in dims])])
+    flat = jnp.concatenate([l.reshape(-1) for l in levels])
+    # Overlapped stride-4 width-8 row table: row r = flat[4r : 4r+8], so any
+    # 4-contiguous cell run lives in ONE gathered 32-byte row (start lane =
+    # f0 % 4 <= 3, end <= 6). Scalar (width-1) gathers cost the same per ROW
+    # as 32-byte rows on TPU, so the 4x4 window query drops from 16 gathers
+    # per brick to 4.
+    npad = (-flat.shape[0]) % 4
+    fp = jnp.pad(flat, (0, npad), constant_values=neutral).reshape(-1, 4)
+    t8 = jnp.concatenate([fp, jnp.roll(fp, -1, axis=0)], axis=1)  # (ceil/4, 8)
+    return t8, offsets[:-1], dims
+
+
 def _zeta_mip(points_cam, normals_cam, cam, delta, dtype,
               distance="point_to_plane"):
-    """Conservative free-space depth: per-pixel zeta then min-mip pyramid.
+    """Conservative free-space AND occluded-space depth mips.
 
-    zeta is the camera-z at which the pixel's fusion distance falls to
-    delta — a voxel strictly closer than zeta over its whole pixel bbox is
-    provably far-free-space (update exactly (w = 1, d = +delta)).
+    zeta (min-mip): the camera-z at which the pixel's fusion distance falls
+    to +delta — a voxel strictly closer than zeta over its whole pixel bbox
+    is provably far-free-space (update exactly (w = 1, d = +delta)).
 
-    Returns (flat_table (sum levels,), offsets, dims) — a concatenated
-    pyramid of per-tile minima of zeta, padded so every level's query is a
-    plain flat-index take.
+    eta (max-mip): the camera-z beyond which the distance is provably below
+    -delta — a voxel strictly beyond eta over its bbox is provably OCCLUDED
+    (the dense path's d >= -delta mask rejects every voxel: ZERO update).
+    Invalid pixels get eta = -inf (they also produce zero update), so an
+    occluded brick may cover NaN regions — unlike FREE, which requires
+    valid pixels.
+
+    Derivation (point-to-plane): with unit-z ray r, a = -(r.n) and the
+    voxel's own ray r'' = r + (du/fx, dv/fy, 0), du,dv in [0,1):
+        d = a (z_y - z_p) + z_p e,   e in [-e_minus, +e_plus]
+    so d <= a z_y - z_p (a - e_plus) < -delta  <=>
+        z_p > (a z_y + delta) / (a - e_plus) = eta    (when a > e_plus;
+    else eta = +inf — no occlusion guarantee). Point-to-point: d = z_y -
+    z_p exactly, so eta = z_y + delta.
+
+    Returns (zeta_t8, offsets, dims, eta_t8) — the two tables share tiling.
     """
     h, w = points_cam.shape[:2]
     z_y = points_cam[..., 2]
     n = normals_cam
     neg_inf = jnp.asarray(-jnp.inf, dtype)
+    pos_inf = jnp.asarray(jnp.inf, dtype)
     # validity matches the dense path's per-voxel gate (NaN point OR normal
     # skips, reference sdf.cpp:260) in BOTH distance modes
     fin = (
@@ -92,11 +148,11 @@ def _zeta_mip(points_cam, normals_cam, cam, delta, dtype,
     )
     if distance == "point_to_point":
         # d = z_y - z_p (sdf.h:169-172, canonical sign): no ray or normal
-        # dependence at all, so the proof is a plain per-pixel bound
-        #   d >= delta  <=>  z_p <= z_y - delta = zeta.
+        # dependence at all, so the proofs are plain per-pixel bounds.
         zeta = jnp.where(fin, z_y - delta, neg_inf)
+        eta = jnp.where(fin, z_y + delta, neg_inf)
     else:
-        # unit-z ray r = ((u-cx)/fx, (v-cy)/fy, 1); d = (z_p - z_y) * (r.n)
+        # unit-z ray r = ((u-cx)/fx, (v-cy)/fy, 1)
         v = jnp.arange(h, dtype=dtype)[:, None]
         u = jnp.arange(w, dtype=dtype)[None, :]
         rx = (u - cam.cx) / cam.fx
@@ -104,51 +160,30 @@ def _zeta_mip(points_cam, normals_cam, cam, delta, dtype,
         rn = rx * n[..., 0] + ry * n[..., 1] + n[..., 2]
         # normal toward camera required; else no free-space guarantee
         ok = fin & (rn < 0)
-        # A voxel mapping to this pixel has its own continuous ray r'' with
-        # r''.n = r.n + du*nx/fx + dv*ny/fy, du,dv in [0,1). Worst case lowers
-        # d by z_p * e_minus, hence the (a + e_minus) denominator:
-        #   d >= a (z_y - z_p) - z_p e_minus >= delta  <=>  z_p <= zeta.
         a = jnp.maximum(-rn, 1e-6)
         e_minus = (
             jnp.maximum(-n[..., 0], 0.0) / cam.fx
             + jnp.maximum(-n[..., 1], 0.0) / cam.fy
         )
+        e_plus = (
+            jnp.maximum(n[..., 0], 0.0) / cam.fx
+            + jnp.maximum(n[..., 1], 0.0) / cam.fy
+        )
         zeta = jnp.where(ok, (z_y * a - delta) / (a + e_minus), neg_inf)
+        eta = jnp.where(
+            fin & (rn < 0) & (a > e_plus),
+            (z_y * a + delta) / jnp.maximum(a - e_plus, 1e-9),
+            jnp.where(fin, pos_inf, neg_inf),
+        )
 
-    # Pad to tile multiples with +inf: pad cells contain no real pixels, and
-    # FREE candidacy already requires the brick bbox fully inside the image,
-    # so +inf is neutral for the min (a -inf pad would falsely poison every
-    # brick whose query window touches the image edge).
-    pos_inf = jnp.asarray(jnp.inf, dtype)
-    H = -(-h // _TILE) * _TILE
-    W = -(-w // _TILE) * _TILE
-    zeta = jnp.pad(zeta, ((0, H - h), (0, W - w)), constant_values=pos_inf)
-    lvl = zeta.reshape(H // _TILE, _TILE, W // _TILE, _TILE).min(axis=(1, 3))
-    levels = [lvl]
-    while lvl.shape[0] > 1 or lvl.shape[1] > 1:
-        ph = lvl.shape[0] % 2
-        pw = lvl.shape[1] % 2
-        lvl = jnp.pad(lvl, ((0, ph), (0, pw)), constant_values=pos_inf)
-        lvl = lvl.reshape(lvl.shape[0] // 2, 2, lvl.shape[1] // 2, 2).min(axis=(1, 3))
-        levels.append(lvl)
-
-    dims = [l.shape for l in levels]
-    offsets = np.concatenate([[0], np.cumsum([dh * dw for dh, dw in dims])])
-    flat = jnp.concatenate([l.reshape(-1) for l in levels])
-    # Overlapped stride-4 width-8 row table: row r = flat[4r : 4r+8], so any
-    # 4-contiguous cell run lives in ONE gathered 32-byte row (start lane =
-    # f0 % 4 <= 3, end <= 6). Scalar (width-1) gathers cost the same per ROW
-    # as 32-byte rows on TPU, so the 4x4 window query drops from 16 gathers
-    # per brick to 4. Pad + wrap cells only ever ADD candidates to a min —
-    # conservative, never unsound (see _query_zeta).
-    npad = (-flat.shape[0]) % 4
-    fp = jnp.pad(flat, (0, npad), constant_values=jnp.inf).reshape(-1, 4)
-    t8 = jnp.concatenate([fp, jnp.roll(fp, -1, axis=0)], axis=1)  # (ceil/4, 8)
-    return t8, offsets[:-1], dims
+    zt8, zoffs, zdims = _mip_rows(zeta, h, w, dtype, largest=False)
+    et8, _, _ = _mip_rows(eta, h, w, dtype, largest=True)
+    return zt8, zoffs, zdims, et8
 
 
-def _query_zeta(t8, offsets, dims, u0, u1, v0, v1):
-    """Conservative min of zeta over pixel bbox [u0,u1]x[v0,v1] (inclusive).
+def _query_zeta(t8, offsets, dims, u0, u1, v0, v1, largest=False):
+    """Conservative min (or max, largest=True) over pixel bbox
+    [u0,u1]x[v0,v1] (inclusive).
 
     Uses a 4x4 cell window at the level where 3 cells cover the bbox span —
     over-coverage <= ~1.7x per axis (a 2x2 window at the next-coarser level
@@ -182,8 +217,12 @@ def _query_zeta(t8, offsets, dims, u0, u1, v0, v1):
     lane0 = (f0 - r0 * 4)[..., None]
     io = jnp.arange(8, dtype=jnp.int32)
     inwin = (io >= lane0) & (io < lane0 + 4)
-    pos_inf = jnp.asarray(jnp.inf, dtype)
-    vals = jnp.min(jnp.where(inwin, got, pos_inf), axis=(0, -1))
+    if largest:
+        fill = jnp.asarray(-jnp.inf, dtype)
+        vals = jnp.max(jnp.where(inwin, got, fill), axis=(0, -1))
+    else:
+        fill = jnp.asarray(jnp.inf, dtype)
+        vals = jnp.min(jnp.where(inwin, got, fill), axis=(0, -1))
     return vals.reshape(u0.shape)
 
 
@@ -235,11 +274,17 @@ def classify_bricks(params, pose, points_cam, normals_cam, cam, bs, dtype,
     Returns brick_class (nbi, nbj, nbk) int32: 0 = OUT, 1 = FREE, 2 = FULL.
     Shared by the flat-layout (fuse_frame_bricked) and brick-major
     (fusion.brickmajor) paths; proofs in the module docstring. The FREE
-    proof (zeta) depends on the distance mode; OUT is geometry-only.
+    (zeta min-mip) and OCCLUDED (eta max-mip) proofs depend on the distance
+    mode; plain OUT is geometry-only. OCCLUDED bricks — provably zero
+    update at every voxel (deep behind every candidate surface, d < -delta,
+    or over invalid pixels) — fold into class 0: at 512^3 they were 39-40%
+    of all FULL bricks (the shadow volume behind surfaces plus NaN shadows;
+    scripts/probe_512_composition.py), each paying full gather+math+merge
+    cost for nothing.
     """
     h, w_img = points_cam.shape[:2]
-    zflat, zoffs, zdims = _zeta_mip(points_cam, normals_cam, cam,
-                                    params.delta, dtype, distance)
+    zflat, zoffs, zdims, eflat = _zeta_mip(points_cam, normals_cam, cam,
+                                           params.delta, dtype, distance)
     cx_, cy_, cz_ = _brick_corners_cam(params, pose, bs, dtype, nbi, i_offset)
     pz_min = cz_.min(-1)
     pz_max = cz_.max(-1)
@@ -264,7 +309,20 @@ def classify_bricks(params, pose, points_cam, normals_cam, cam, bs, dtype,
     )
     zeta_min = _query_zeta(zflat, zoffs, zdims, u0, u1, v0, v1)
     free = inside & (pz_max < zeta_min)
-    return jnp.where(out, 0, jnp.where(free, 1, 2)).astype(jnp.int32)
+    # OCCLUDED: every voxel provably produces zero update. Unlike FREE this
+    # does NOT require the brick inside the image (off-image voxels are
+    # zero-update too) — only all_front, for the exact hull bbox. The bbox
+    # is clamped to the image for the query: in-image voxels project inside
+    # the clamped bbox (hull property), off-image voxels are zero-update
+    # regardless. Window widening/padding can only RAISE the max ->
+    # OCCLUDED conservatively degrades to FULL, never the reverse.
+    eta_max = _query_zeta(eflat, zoffs, zdims,
+                          jnp.clip(u0, 0, w_img - 1), jnp.clip(u1, 0, w_img - 1),
+                          jnp.clip(v0, 0, h - 1), jnp.clip(v1, 0, h - 1),
+                          largest=True)
+    occluded = all_front & (pz_min > eta_max)
+    return jnp.where(out | occluded, 0,
+                     jnp.where(free, 1, 2)).astype(jnp.int32)
 
 
 def _pixel_table(points_cam, normals_cam, rgb, fuse_color, dtype,

@@ -162,22 +162,29 @@ def _triangulate_cells(
     mu = jnp.clip(mu, 0.0, 1.0)
     verts = pa + mu[..., None] * (pb - pa)  # (N, 2, 3, 3)
 
-    # normalize winding: face normal aligned with +grad(D) (outward), using
-    # the exact trilinear gradient at each triangle centroid
-    from tracking_sdf_tpu.grid.grid import world_to_voxel
-    from tracking_sdf_tpu.grid.interp import trilinear_with_grad
+    # normalize winding: face normal aligned with +grad(D) (outward). The
+    # gradient comes from the ALREADY-FETCHED 8 corner values (per-cell
+    # central differences: mean of the 4 axis-edge deltas) instead of a
+    # trilinear_with_grad at each triangle centroid — the latter cost 12
+    # extra interpolation points (96 gather rows) per cell and was the
+    # dominant device cost of pass 2 (TPU MC breakdown). Orientation only
+    # needs the gradient's SIGN along the face normal; the cell-constant
+    # gradient agrees with the centroid gradient except in pathological
+    # multi-sheet cells (sphere-winding regression test pins > 99%).
+    c = jnp.asarray(_CORNERS)  # (8, 3) in (x, y, z) bit order
+    gx = jnp.sum(d * jnp.where(c[:, 0] == 1, 1.0, -1.0), axis=-1) / 4.0
+    gy = jnp.sum(d * jnp.where(c[:, 1] == 1, 1.0, -1.0), axis=-1) / 4.0
+    gz = jnp.sum(d * jnp.where(c[:, 2] == 1, 1.0, -1.0), axis=-1) / 4.0
+    scale = jnp.asarray(
+        [params.m / params.width, params.m / params.height, params.m / params.depth],
+        dtype=d.dtype,
+    )
+    g_cell = jnp.stack([gx, gy, gz], axis=-1) * scale  # (A, 3) world units
+    g_tet = jnp.repeat(g_cell, 6, axis=0)[:, None, :]  # (A*6, 1, 3)
 
     v0, v1, v2 = verts[:, :, 0], verts[:, :, 1], verts[:, :, 2]
     face_n = jnp.cross(v1 - v0, v2 - v0)
-    tri_centroid = (v0 + v1 + v2) / 3.0  # (N, 2, 3)
-    _, g_uvw, _ = trilinear_with_grad(
-        grid.D, grid.W, world_to_voxel(params, tri_centroid)
-    )
-    scale = jnp.asarray(
-        [params.m / params.width, params.m / params.height, params.m / params.depth],
-        dtype=g_uvw.dtype,
-    )
-    flip = jnp.sum(face_n * (g_uvw * scale), axis=-1) < 0
+    flip = jnp.sum(face_n * g_tet, axis=-1) < 0
     verts = jnp.where(flip[:, :, None, None], verts[:, :, ::-1, :], verts)
 
     return verts, valid_tri
@@ -217,27 +224,56 @@ def marching_cubes(
     pad = cap - idx.shape[0]
     idx_padded = np.concatenate([idx, np.zeros((pad, 3), np.int32)], axis=0)
     verts, valid = _triangulate_cells(grid, jnp.asarray(idx_padded), params=params)
-    valid = np.array(valid).reshape(cap, 6, 2)  # writable copy
-    valid[idx.shape[0]:] = False
-    verts = np.asarray(verts).reshape(cap, 6, 2, 3, 3)
-    tri = verts[valid]  # (T, 3, 3)
 
+    # Compact ON DEVICE before any transfer: the padded (cap, 6, 2, 3, 3)
+    # buffer is ~56 MB at 256^3 and device->host moves it over the tunnel
+    # (~1.3 s — the dominant cost of the old host-compaction path, TPU MC
+    # breakdown). Triangle order matches the old boolean-mask compaction
+    # (row-major over (cell, tet, tri)).
+    n_tri = int(_count_tris(valid, idx.shape[0]))
+    tri_cap = 1 << max(10, int(np.ceil(np.log2(max(n_tri, 2)))))
+    tri_d = _compact_triangles(verts, valid, idx.shape[0], tri_cap)
     colors = None
     if with_colors:
-        from tracking_sdf_tpu.grid.grid import world_to_voxel
-        from tracking_sdf_tpu.grid.interp import shepard_color
+        rgb = _vertex_colors(grid, tri_d, params=params, color_mode=color_mode)
+        colors = np.asarray(rgb)[:n_tri].astype(np.float32)
+    tri = np.asarray(tri_d)[:n_tri].astype(np.float32)
+    return Mesh(tri, colors, dropped_cells=dropped)
 
-        color_fn = shepard_color if color_mode == "shepard" else interp_color
-        flat = jnp.asarray(tri.reshape(-1, 3))
-        rgb, cvalid = color_fn(
-            grid.R, grid.G, grid.B, grid.Wc, world_to_voxel(params, flat)
-        )
-        # Vertices with no color observation (Wc = 0 on every corner) keep
-        # the grid's 0.4 default grey (sdf.cpp:38-40 init parity) instead of
-        # interp_color's 0/0 -> black.
-        rgb = jnp.where(cvalid[..., None], rgb, 0.4)
-        colors = np.asarray(rgb).reshape(-1, 3, 3).astype(np.float32)
-    return Mesh(tri.astype(np.float32), colors, dropped_cells=dropped)
+
+@partial(jax.jit, static_argnames=("n_cells",))
+def _count_tris(valid: jnp.ndarray, n_cells: int) -> jnp.ndarray:
+    v = valid.reshape(-1, 12) & (jnp.arange(valid.shape[0] // 6)[:, None] < n_cells)
+    return jnp.sum(v.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("n_cells", "tri_cap"))
+def _compact_triangles(verts, valid, n_cells: int, tri_cap: int):
+    ncap = valid.shape[0] // 6
+    v = (valid.reshape(ncap, 12)
+         & (jnp.arange(ncap)[:, None] < n_cells)).reshape(-1)
+    idx = jnp.nonzero(v, size=tri_cap, fill_value=v.shape[0])[0]
+    ok = idx < v.shape[0]
+    tri = jnp.take(verts.reshape(-1, 3, 3), jnp.where(ok, idx, 0), axis=0)
+    return jnp.where(ok[:, None, None], tri, 0.0)
+
+
+@partial(jax.jit, static_argnames=("params", "color_mode"))
+def _vertex_colors(grid: TSDFGrid, tri: jnp.ndarray, *, params: GridParams,
+                   color_mode: str) -> jnp.ndarray:
+    from tracking_sdf_tpu.grid.grid import world_to_voxel
+    from tracking_sdf_tpu.grid.interp import shepard_color
+
+    color_fn = shepard_color if color_mode == "shepard" else interp_color
+    flat = tri.reshape(-1, 3)
+    rgb, cvalid = color_fn(
+        grid.R, grid.G, grid.B, grid.Wc, world_to_voxel(params, flat)
+    )
+    # Vertices with no color observation (Wc = 0 on every corner) keep
+    # the grid's 0.4 default grey (sdf.cpp:38-40 init parity) instead of
+    # interp_color's 0/0 -> black.
+    rgb = jnp.where(cvalid[..., None], rgb, 0.4)
+    return rgb.reshape(tri.shape)
 
 
 def export_ply(mesh: Mesh, path: str, binary: bool = True) -> None:
