@@ -68,6 +68,13 @@ if os.environ.get("FUSE_VARIANTS") == "preset":
         f"{cfg.fusion.pixel_share_j}", cfg.fusion.brick_cap,
         cfg.fusion.brick_cap_free, cfg.fusion.pixel_share,
         cfg.fusion.pixel_share_j)
+elif os.environ.get("FUSE_VARIANTS") == "occluded":
+    # post-OCCLUDED-class cap trim (composition probe: ~22.5k of 36.7k FULL
+    # bricks survive the eta bound; the conservative 4x4-window max query
+    # keeps more — sweep down and watch the breakdown probe's n_full max)
+    run("cap=38912 free=12288 share=4x4", 38912, 12288, 4, 4)
+    run("cap=30720 free=12288 share=4x4", 30720, 12288, 4, 4)
+    run("cap=26624 free=12288 share=4x4", 26624, 12288, 4, 4)
 else:
     run("cap=49152 free=16384 share=2x2 (r1 preset)", 49152, 16384, 2, 2)
     run("cap=38912 free=12288 share=2x2", 38912, 12288, 2, 2)

@@ -18,4 +18,9 @@ log "=== 3. MC breakdown (device compaction) ==="
 timeout 1800 python scripts/probe_mc_breakdown.py >> "$LOG" 2>&1
 log "=== 4. rays/s sweep ==="
 timeout 1800 python scripts/bench_scaling.py --rays-only >> "$LOG" 2>&1
+log "=== 5. post-OCCLUDED 512^3: n_full max + cap trim sweep ==="
+BENCH_PRESET=tum512 timeout 2400 python scripts/probe_frame_breakdown.py >> "$LOG" 2>&1
+FUSE_VARIANTS=occluded timeout 2400 python scripts/probe_512_fuse.py >> "$LOG" 2>&1
+log "=== 6. 256^3 composition (does OCCLUDED help the headline?) ==="
+BENCH_PRESET=tum256 timeout 1800 python scripts/probe_512_composition.py >> "$LOG" 2>&1
 log "done"
