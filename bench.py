@@ -344,15 +344,15 @@ def _print_breakdown(cfg, cam, state, poses, PTS, NRM, PTS_S, rgb, frame_ms):
             return acc + jnp.nansum(nrm[..., 0]) + jnp.nansum(pts[..., 2])
         return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
 
-    out = prep_k(DEPTH)
-    jax.block_until_ready(out)
+    float(prep_k(DEPTH))
     best = float("inf")
     for rep in range(1, 3):
-        # vary inputs per rep: the remote backend dedupes identical
-        # (program, args) re-dispatches (measured: impossible sub-RTT times)
+        # vary inputs per rep AND force a value fetch: block_until_ready
+        # does not reliably synchronize through the tunnel, and identical
+        # re-dispatches can short-circuit (BENCHMARKS.md round 2)
         d_rep = DEPTH + jnp.float32(1e-6 * rep)
         t0 = time.perf_counter()
-        jax.block_until_ready(prep_k(d_rep))
+        float(prep_k(d_rep))
         best = min(best, (time.perf_counter() - t0) / K)
     prep_ms = best * 1e3
     e2e = frame_ms + prep_ms

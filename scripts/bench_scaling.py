@@ -66,12 +66,17 @@ def build(params_m=256):
 
 
 def bench_rays(reps=20):
-    """Pixels/s through residual+J+normal-equations (one GN iteration)."""
+    """Pixels/s through residual+J+normal-equations (one GN iteration),
+    at the PRODUCTION configuration: single-gather masked view (the
+    two-gather dense-grid path measures ~20x slower and is not what the
+    tracker runs)."""
+    from tracking_sdf_tpu.grid.interp import masked_view
     from tracking_sdf_tpu.tracking.gauss_newton import (
         normal_equations, pixel_residuals_analytic,
     )
 
     params, cam, grid, pose, pts, _ = build()
+    Dm = masked_view(grid.D, grid.W)
     for stride in (3, 2, 1):
         p = pts[::stride, ::stride].reshape(-1, 3)
         n = p.shape[0]
@@ -81,7 +86,8 @@ def bench_rays(reps=20):
             def body(k, carry):
                 A_prev, b_prev = carry
                 phi, J, mask = pixel_residuals_analytic(
-                    grid, pose_t, p + 1e-9 * A_prev[0, 0], params=params
+                    None, pose_t, p + 1e-9 * A_prev[0, 0], params=params,
+                    Dm=Dm,
                 )
                 return normal_equations(phi, J, mask)
 

@@ -30,15 +30,17 @@ def heavy(x):
 
 
 x = jnp.ones((N, N), jnp.float32) * 1e-3
-jax.block_until_ready(heavy(x))  # compile + warm
+float(heavy(x))  # compile + warm (VALUE fetch: block_until_ready does
+# not reliably synchronize through the tunnel — measured 0.3 ms for a
+# 4 TFLOP matmul chain)
 
 for label, vary in (("identical inputs", False), ("varied inputs", True)):
     times = []
     for r in range(1, 6):
         xr = x + jnp.float32(1e-9 * r) if vary else x
-        jax.block_until_ready(xr)
+        float(xr.ravel()[0])
         t0 = time.perf_counter()
-        jax.block_until_ready(heavy(xr))
+        float(heavy(xr))
         times.append((time.perf_counter() - t0) * 1e3)
     print(f"{label:18s} " + " ".join(f"{t:8.1f}" for t in times) + "  ms",
           flush=True)

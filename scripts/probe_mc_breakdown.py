@@ -48,9 +48,11 @@ def main():
     grids = [grid._replace(D=grid.D + jnp.float32(1e-7 * r))
              for r in range(4)]
     jax.block_until_ready(grids[-1].D)
-    act = t("pass1 active_cells (device)",
-            lambda r: jax.block_until_ready(
-                _active_cells(grids[r], params=params)))
+    def _p1(r):  # value fetch: block_until_ready no-ops through the tunnel
+        out = _active_cells(grids[r], params=params)
+        float(out.ravel()[0].astype(jnp.float32))
+        return out
+    act = t("pass1 active_cells (device, +1 scalar fetch)", _p1)
     acts = [_active_cells(g, params=params) for g in grids]
     jax.block_until_ready(acts)
     mask = t("mask device->host (np.asarray)", lambda r: np.asarray(acts[r]))
@@ -61,9 +63,11 @@ def main():
     pad = np.concatenate([idx, np.zeros((cap - idx.shape[0], 3), np.int32)])
     jidx = jnp.asarray(pad)
 
-    vv = t(f"pass2 triangulate (device, cap={cap})",
-           lambda r: jax.block_until_ready(
-               _triangulate_cells(grids[r], jidx, params=params)))
+    def _p2(r):
+        out = _triangulate_cells(grids[r], jidx, params=params)
+        float(out[0].ravel()[0])
+        return out
+    vv = t(f"pass2 triangulate (device, cap={cap}, +1 scalar fetch)", _p2)
     vvs = [_triangulate_cells(g, jidx, params=params) for g in grids]
     jax.block_until_ready(vvs)
     t("verts+valid device->host",

@@ -44,15 +44,16 @@ def main():
                 return acc + jnp.nansum(out.depth)
             return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
 
-        # vary inputs across reps: identical (program, args) re-dispatches
-        # measured an impossible 0.1 ms/render through the tunnel — the
-        # remote backend appears to dedupe repeat dispatches
-        jax.block_until_ready(run_k(grid, pose0))
+        # vary inputs across reps AND force a VALUE FETCH per rep:
+        # block_until_ready does not reliably synchronize through the
+        # tunnel (measured 0.0 ms for a 307k-ray march) — only fetching
+        # bytes does (CLAUDE.md: "force one value fetch at the end")
+        float(run_k(grid, pose0))
         best = float("inf")
         for rep in range(1, 4):
             p_rep = Pose(pose0.R, pose0.t + 1e-5 * rep)
             t0 = time.perf_counter()
-            jax.block_until_ready(run_k(grid, p_rep))
+            float(run_k(grid, p_rep))
             best = min(best, (time.perf_counter() - t0) / K)
         out = raycast(grid, pose0, params=params, cam=cam, cfg=rcfg)
         hits = int(jnp.sum(jnp.asarray(out.hit)))

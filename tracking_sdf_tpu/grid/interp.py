@@ -297,33 +297,25 @@ def masked_view(D: jnp.ndarray, W: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(W > 0, D, jnp.nan)
 
 
-def trilinear_with_grad_nan(
-    Dm: jnp.ndarray, coords: jnp.ndarray
+def trilinear_from_corners(
+    d_raw: jnp.ndarray, inb: jnp.ndarray, f: jnp.ndarray, dtype=jnp.float32,
+    off: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """trilinear_with_grad against a masked_view array (single gather).
+    """Masked trilinear value + gradient from PRE-GATHERED corner values.
 
-    Bit-equivalent to trilinear_with_grad(D, W, coords): the NaN corners are
-    exactly the (W <= 0) corners, and out-of-bounds lanes are masked the
-    same way. Returns (value, grad, valid).
-
-    bfloat16 storage (FusionConfig.storage_dtype): corners are upcast right
-    after the gather and ALL interpolation math runs in >= float32 — only
-    the gathered bytes shrink; weights/gradients lose no precision."""
-    dtype = jnp.promote_types(Dm.dtype, jnp.float32)
-    base_f = jnp.floor(coords)
-    base = base_f.astype(jnp.int32)
-    f = (coords - base_f).astype(dtype)
-
-    ci, cj, ck = _corner_indices(base)
-    inb = _in_bounds(ci, cj, ck, Dm.shape)
-    if isinstance(Dm, BrickMaskedView):
-        d_raw = _corner_fetch_brick(Dm, base)
-    else:
-        d_raw = _corner_fetch(Dm, base)
+    d_raw (..., 8) in _OFFSETS order with NaN = unobserved (masked_view
+    encoding), inb (..., 8) bool bounds mask, f (..., 3) fractional
+    position. Pure elementwise/reduction math — shared by the XLA path
+    (trilinear_with_grad_nan) and the Pallas fused-GN kernel
+    (tracking.pallas_gn), which guarantees their numeric parity.
+    """
     mask = (inb & jnp.isfinite(d_raw)).astype(dtype)
     d = jnp.where(mask > 0, d_raw.astype(dtype), 0.0)
 
-    off = jnp.asarray(_OFFSETS, dtype=dtype)
+    if off is None:
+        off = jnp.asarray(_OFFSETS, dtype=dtype)
+    # (``off`` is injectable because Pallas kernels may not capture array
+    # constants — tracking.pallas_gn passes it as a kernel input)
     fax = off * f[..., None, :] + (1.0 - off) * (1.0 - f[..., None, :])
     w = fax[..., 0] * fax[..., 1] * fax[..., 2]
 
@@ -352,6 +344,32 @@ def trilinear_with_grad_nan(
         0.0,
     )
     return value, grad, valid
+
+
+def trilinear_with_grad_nan(
+    Dm: jnp.ndarray, coords: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """trilinear_with_grad against a masked_view array (single gather).
+
+    Bit-equivalent to trilinear_with_grad(D, W, coords): the NaN corners are
+    exactly the (W <= 0) corners, and out-of-bounds lanes are masked the
+    same way. Returns (value, grad, valid).
+
+    bfloat16 storage (FusionConfig.storage_dtype): corners are upcast right
+    after the gather and ALL interpolation math runs in >= float32 — only
+    the gathered bytes shrink; weights/gradients lose no precision."""
+    dtype = jnp.promote_types(Dm.dtype, jnp.float32)
+    base_f = jnp.floor(coords)
+    base = base_f.astype(jnp.int32)
+    f = (coords - base_f).astype(dtype)
+
+    ci, cj, ck = _corner_indices(base)
+    inb = _in_bounds(ci, cj, ck, Dm.shape)
+    if isinstance(Dm, BrickMaskedView):
+        d_raw = _corner_fetch_brick(Dm, base)
+    else:
+        d_raw = _corner_fetch(Dm, base)
+    return trilinear_from_corners(d_raw, inb, f, dtype)
 
 
 def shepard_l1(

@@ -235,9 +235,13 @@ def marching_cubes(
     tri_d = _compact_triangles(verts, valid, idx.shape[0], tri_cap)
     colors = None
     if with_colors:
+        # color at the pow2 bucket shape (compile cached per bucket), then
+        # slice to the EXACT count on device (eager slice of a concrete
+        # int) before fetching — the tunnel moves ~13-30 MB/s, so the
+        # bucket's padding is pure transfer waste
         rgb = _vertex_colors(grid, tri_d, params=params, color_mode=color_mode)
-        colors = np.asarray(rgb)[:n_tri].astype(np.float32)
-    tri = np.asarray(tri_d)[:n_tri].astype(np.float32)
+        colors = np.asarray(rgb[:n_tri]).astype(np.float32)
+    tri = np.asarray(tri_d[:n_tri]).astype(np.float32)
     return Mesh(tri, colors, dropped_cells=dropped)
 
 
