@@ -130,7 +130,8 @@ def _zeta_mip(points_cam, normals_cam, cam, delta, dtype,
     else eta = +inf — no occlusion guarantee). Point-to-point: d = z_y -
     z_p exactly, so eta = z_y + delta.
 
-    Returns (zeta_t8, offsets, dims, eta_t8) — the two tables share tiling.
+    Returns (t16 (rows, 16) with zeta in lanes 0-7 and eta in lanes 8-15,
+    offsets, dims) — side by side so one row gather serves both queries.
     """
     h, w = points_cam.shape[:2]
     z_y = points_cam[..., 2]
@@ -178,12 +179,15 @@ def _zeta_mip(points_cam, normals_cam, cam, delta, dtype,
 
     zt8, zoffs, zdims = _mip_rows(zeta, h, w, dtype, largest=False)
     et8, _, _ = _mip_rows(eta, h, w, dtype, largest=True)
-    return zt8, zoffs, zdims, et8
+    # side-by-side (rows, 16) table: one row gather serves BOTH queries
+    # (the tables share tiling/offsets; gather cost is per row)
+    return jnp.concatenate([zt8, et8], axis=1), zoffs, zdims
 
 
-def _query_zeta(t8, offsets, dims, u0, u1, v0, v1, largest=False):
-    """Conservative min (or max, largest=True) over pixel bbox
-    [u0,u1]x[v0,v1] (inclusive).
+def _query_zeta(t16, offsets, dims, u0, u1, v0, v1):
+    """Conservative (min of zeta, max of eta) over pixel bbox
+    [u0,u1]x[v0,v1] (inclusive), from the side-by-side (rows, 16) table
+    (zeta lanes 0-7, eta lanes 8-15) in ONE row gather per window row.
 
     Uses a 4x4 cell window at the level where 3 cells cover the bbox span —
     over-coverage <= ~1.7x per axis (a 2x2 window at the next-coarser level
@@ -197,7 +201,7 @@ def _query_zeta(t8, offsets, dims, u0, u1, v0, v1, largest=False):
     neighboring image row / level / the +inf pad), the extra cells can only
     LOWER the min — a FREE brick may conservatively degrade to FULL (exact
     either way), never the reverse."""
-    dtype = t8.dtype
+    dtype = t16.dtype
     span = jnp.maximum(u1 - u0, v1 - v0) / (3.0 * _TILE)
     lvl = jnp.ceil(jnp.log2(jnp.maximum(span, 1.0))).astype(jnp.int32)
     lvl = jnp.clip(lvl, 0, len(dims) - 1)
@@ -213,17 +217,16 @@ def _query_zeta(t8, offsets, dims, u0, u1, v0, v1, largest=False):
         f0s.append((offs + cv * dw + cu0).reshape(-1))
     f0 = jnp.stack(f0s, axis=0)  # (4, NB) — 2D-shaped take = fast path
     r0 = f0 // 4
-    got = jnp.take(t8, jnp.minimum(r0, t8.shape[0] - 1), axis=0)  # (4, NB, 8)
+    got = jnp.take(t16, jnp.minimum(r0, t16.shape[0] - 1), axis=0)  # (4, NB, 16)
     lane0 = (f0 - r0 * 4)[..., None]
-    io = jnp.arange(8, dtype=jnp.int32)
-    inwin = (io >= lane0) & (io < lane0 + 4)
-    if largest:
-        fill = jnp.asarray(-jnp.inf, dtype)
-        vals = jnp.max(jnp.where(inwin, got, fill), axis=(0, -1))
-    else:
-        fill = jnp.asarray(jnp.inf, dtype)
-        vals = jnp.min(jnp.where(inwin, got, fill), axis=(0, -1))
-    return vals.reshape(u0.shape)
+    io = jnp.arange(16, dtype=jnp.int32)
+    inwin_z = (io < 8) & (io >= lane0) & (io < lane0 + 4)
+    inwin_e = (io >= 8) & (io >= lane0 + 8) & (io < lane0 + 12)
+    zeta_min = jnp.min(
+        jnp.where(inwin_z, got, jnp.asarray(jnp.inf, dtype)), axis=(0, -1))
+    eta_max = jnp.max(
+        jnp.where(inwin_e, got, jnp.asarray(-jnp.inf, dtype)), axis=(0, -1))
+    return zeta_min.reshape(u0.shape), eta_max.reshape(u0.shape)
 
 
 def _brick_corners_cam(params, pose, bs, dtype, nbi, i_offset):
@@ -283,8 +286,8 @@ def classify_bricks(params, pose, points_cam, normals_cam, cam, bs, dtype,
     cost for nothing.
     """
     h, w_img = points_cam.shape[:2]
-    zflat, zoffs, zdims, eflat = _zeta_mip(points_cam, normals_cam, cam,
-                                           params.delta, dtype, distance)
+    zflat, zoffs, zdims = _zeta_mip(points_cam, normals_cam, cam,
+                                    params.delta, dtype, distance)
     cx_, cy_, cz_ = _brick_corners_cam(params, pose, bs, dtype, nbi, i_offset)
     pz_min = cz_.min(-1)
     pz_max = cz_.max(-1)
@@ -307,19 +310,21 @@ def classify_bricks(params, pose, points_cam, normals_cam, cam, bs, dtype,
     out = (pz_max <= 0) | (
         all_front & ((u1 <= -1) | (u0 >= w_img) | (v1 <= -1) | (v0 >= h))
     )
-    zeta_min = _query_zeta(zflat, zoffs, zdims, u0, u1, v0, v1)
+    # One fused query answers BOTH proofs from one row gather. The bbox is
+    # clamped to the image: for FREE candidates (`inside` required) the
+    # clamp is a no-op; for OCCLUDED, in-image voxels project inside the
+    # clamped bbox (hull property) and off-image voxels are zero-update
+    # regardless. Window widening/padding only degrades FREE/OCCLUDED to
+    # FULL, never the reverse.
+    zeta_min, eta_max = _query_zeta(
+        zflat, zoffs, zdims,
+        jnp.clip(u0, 0, w_img - 1), jnp.clip(u1, 0, w_img - 1),
+        jnp.clip(v0, 0, h - 1), jnp.clip(v1, 0, h - 1))
     free = inside & (pz_max < zeta_min)
-    # OCCLUDED: every voxel provably produces zero update. Unlike FREE this
-    # does NOT require the brick inside the image (off-image voxels are
-    # zero-update too) — only all_front, for the exact hull bbox. The bbox
-    # is clamped to the image for the query: in-image voxels project inside
-    # the clamped bbox (hull property), off-image voxels are zero-update
-    # regardless. Window widening/padding can only RAISE the max ->
-    # OCCLUDED conservatively degrades to FULL, never the reverse.
-    eta_max = _query_zeta(eflat, zoffs, zdims,
-                          jnp.clip(u0, 0, w_img - 1), jnp.clip(u1, 0, w_img - 1),
-                          jnp.clip(v0, 0, h - 1), jnp.clip(v1, 0, h - 1),
-                          largest=True)
+    # OCCLUDED: every voxel provably produces zero update (deep behind
+    # every candidate surface, d < -delta, or over invalid pixels). Unlike
+    # FREE this does NOT require the brick inside the image — only
+    # all_front, for the exact hull bbox.
     occluded = all_front & (pz_min > eta_max)
     return jnp.where(out | occluded, 0,
                      jnp.where(free, 1, 2)).astype(jnp.int32)
