@@ -32,7 +32,7 @@ _Q = 2048  # queries per grid step (VMEM tile: ~2048 * 16 floats = 128 KB)
 
 
 def _gn_kernel(d_ref, inb_ref, f_ref, a_ref, vin_ref, scale_ref,
-               off_ref, A_ref, b_ref):
+               off_ref, o_ref):
     d_raw = d_ref[...]                      # (Q, 8) f32, NaN = unobserved
     inb = inb_ref[...] > 0                  # (Q, 8)
     f = f_ref[...]                          # (Q, 3)
@@ -55,10 +55,16 @@ def _gn_kernel(d_ref, inb_ref, f_ref, a_ref, vin_ref, scale_ref,
     Jm = J * m[:, None]
     rm = value * m
 
-    A_ref[...] = jax.lax.dot_general(       # (6, 6) via MXU
+    A = jax.lax.dot_general(                # (6, 6) via MXU
         Jm, Jm, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)[None]
-    b_ref[...] = (rm[:, None] * Jm).sum(axis=0)[None, :]
+        preferred_element_type=jnp.float32)
+    b = (rm[:, None] * Jm).sum(axis=0)      # (6,)
+    # Mosaic requires tile-aligned (8, 128) output blocks: pack A into
+    # rows 0-5 and b into row 6 of one padded tile
+    out = jnp.zeros((8, 128), jnp.float32)
+    out = out.at[:6, :6].set(A)
+    out = out.at[6, :6].set(b)
+    o_ref[...] = out[None]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -73,7 +79,7 @@ def gn_reduce_pallas(d_raw, inb, f, a, valid_in, scale, interpret=False):
     N = d_raw.shape[0]
     assert N % _Q == 0, N
     G = N // _Q
-    Af, bf = pl.pallas_call(
+    out = pl.pallas_call(
         _gn_kernel,
         grid=(G,),
         in_specs=[
@@ -85,14 +91,8 @@ def gn_reduce_pallas(d_raw, inb, f, a, valid_in, scale, interpret=False):
             pl.BlockSpec((1, 3), lambda g: (0, 0)),
             pl.BlockSpec((8, 3), lambda g: (0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 6, 6), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, 6), lambda g: (g, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((G, 6, 6), jnp.float32),
-            jax.ShapeDtypeStruct((G, 6), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
         interpret=interpret,
     )(
         d_raw.astype(jnp.float32),
@@ -103,7 +103,8 @@ def gn_reduce_pallas(d_raw, inb, f, a, valid_in, scale, interpret=False):
         scale.reshape(1, 3).astype(jnp.float32),
         jnp.asarray(_OFFSETS_NP, jnp.float32),
     )
-    return Af.sum(axis=0), bf.sum(axis=0)
+    tot = out.sum(axis=0)  # (8, 128) per-tile partials
+    return tot[:6, :6], tot[6, :6]
 
 
 def gather_corner_inputs(Dm, pose, points_cam, *, params):
