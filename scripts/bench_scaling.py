@@ -96,7 +96,10 @@ def bench_rays(reps=20):
             )
 
         A, b = iters(pose)
-        jax.block_until_ready(A)
+        _ = float(A[0, 0])  # VALUE fetch: block_until_ready no-ops through
+        # the tunnel, so a block-only warmup leaves the timed call queued
+        # behind the still-running warm execution (measured 50 ms/iter for
+        # the first stride vs its real ~3 ms)
         t0 = time.perf_counter()
         A, b = iters(pose)
         _ = float(A[0, 0])

@@ -176,10 +176,14 @@ class RaycastConfig(NamedTuple):
     # Brick-level empty-space skipping: a per-render L-inf chamfer distance
     # mip over observed 8^3-voxel bricks lets rays LEAP
     # (dist-1) * brick_extent through unobserved space — provably safe
-    # (the leap cannot reach an observed brick) and ~1 cheap extra gather
-    # per step. Same hits/depths as the plain march; only step counts
-    # differ. False = reference-free exhaustive march.
-    empty_skip: bool = True
+    # (the leap cannot reach an observed brick). Same hits/depths as the
+    # plain march; only step counts differ. Default OFF: the TPU A/B
+    # measured it a 38% REGRESSION (896 vs 651 ms/render at 640x480,
+    # BENCHMARKS.md round 2) — rays march in lockstep, so fewer steps only
+    # pay when they shorten the LONGEST ray, while the skip lookup taxes
+    # every ray every step. (The CPU-equivalence "20% fewer steps" never
+    # translated; ledger rule vindicated again.)
+    empty_skip: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -15,12 +15,14 @@ Deliberate TPU-first redesign rather than a port:
   register-resident, no 256x16 table gathers, and no ambiguous-face cases.
   The extracted surface is the same zero crossing; only the triangulation
   differs (~2x triangles).
-* **Two-pass, fixed-capacity.** Marching cubes' variable-size output is
-  hostile to XLA's static shapes. Pass 1 (device) computes per-cell corner
-  min/max/validity with pure SLICES of D and W (zero gathers) and reduces to
-  an active-cell bitmask; the host compacts indices once; pass 2 (device)
-  is a dense vmapped kernel over the padded active list producing a
-  fixed-shape (A, 6, 2) triangle buffer + validity, compacted on the host.
+* **Two-pass, fixed-capacity, device-compacted.** Marching cubes'
+  variable-size output is hostile to XLA's static shapes. Pass 1 (device)
+  computes per-cell corner min/max/validity with pure SLICES of D and W
+  (zero gathers) and reduces to an active-cell bitmask, compacted to
+  indices ON DEVICE (pow2 buckets); pass 2 (device) triangulates the
+  padded active list into a fixed-shape buffer, also compacted on device —
+  only exact-count triangle/color slices and two scalars ever cross
+  host-device (the padded buffers were ~70 MB of transfer per mesh).
 * **Winding by gradient.** Triangle orientation is fixed globally by
   aligning each face normal with the interpolated SDF gradient (+grad points
   outside) instead of case-by-case table ordering.
@@ -209,30 +211,34 @@ def marching_cubes(
     """
     if color_mode not in ("trilinear", "shepard"):
         raise ValueError(f"unknown color_mode: {color_mode!r}")
-    active = np.asarray(_active_cells(grid, params=params))
-    idx = np.argwhere(active).astype(np.int32)  # (A, 3), interior cells
-    if idx.shape[0] == 0:
+    # Active-cell discovery stays ON DEVICE end to end: the old host
+    # argwhere needed the full (m-1)^3 bool mask transferred (16.6 MB at
+    # 256^3 = ~0.7-1.3 s through the ~13-30 MB/s tunnel); now only one
+    # scalar count crosses.
+    active = _active_cells(grid, params=params)
+    n_act = int(jnp.sum(active))
+    if n_act == 0:
         empty = np.zeros((0, 3, 3), np.float32)
         return Mesh(empty, empty.copy() if with_colors else None)
     dropped = 0
-    if max_cells is not None and idx.shape[0] > max_cells:
-        dropped = idx.shape[0] - max_cells
-        idx = idx[:max_cells]
+    n_cells = n_act
+    if max_cells is not None and n_act > max_cells:
+        dropped = n_act - max_cells
+        n_cells = max_cells
 
     # pad to a fixed bucket so recompilation is rare
-    cap = 1 << max(10, int(np.ceil(np.log2(idx.shape[0]))))
-    pad = cap - idx.shape[0]
-    idx_padded = np.concatenate([idx, np.zeros((pad, 3), np.int32)], axis=0)
-    verts, valid = _triangulate_cells(grid, jnp.asarray(idx_padded), params=params)
+    cap = 1 << max(10, int(np.ceil(np.log2(n_cells))))
+    idx_d = _active_cell_indices(active, cap)
+    verts, valid = _triangulate_cells(grid, idx_d, params=params)
 
     # Compact ON DEVICE before any transfer: the padded (cap, 6, 2, 3, 3)
     # buffer is ~56 MB at 256^3 and device->host moves it over the tunnel
     # (~1.3 s — the dominant cost of the old host-compaction path, TPU MC
     # breakdown). Triangle order matches the old boolean-mask compaction
     # (row-major over (cell, tet, tri)).
-    n_tri = int(_count_tris(valid, idx.shape[0]))
+    n_tri = int(_count_tris(valid, n_cells))
     tri_cap = 1 << max(10, int(np.ceil(np.log2(max(n_tri, 2)))))
-    tri_d = _compact_triangles(verts, valid, idx.shape[0], tri_cap)
+    tri_d = _compact_triangles(verts, valid, n_cells, tri_cap)
     colors = None
     if with_colors:
         # color at the pow2 bucket shape (compile cached per bucket), then
@@ -243,6 +249,19 @@ def marching_cubes(
         colors = np.asarray(rgb[:n_tri]).astype(np.float32)
     tri = np.asarray(tri_d[:n_tri]).astype(np.float32)
     return Mesh(tri, colors, dropped_cells=dropped)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _active_cell_indices(active: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """(cap, 3) int32 indices of the first cap active cells in row-major
+    order (= np.argwhere order); padded slots point at cell 0 and are
+    masked downstream via n_cells."""
+    n0, n1, n2 = active.shape
+    flat = jnp.nonzero(active.reshape(-1), size=cap, fill_value=0)[0]
+    i = flat // (n1 * n2)
+    j = (flat // n2) % n1
+    k = flat % n2
+    return jnp.stack([i, j, k], axis=-1).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("n_cells",))
