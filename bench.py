@@ -96,6 +96,19 @@ def build_inputs():
     if _stride:
         cfg = dataclasses.replace(
             cfg, tracking=cfg.tracking._replace(pixel_stride=_stride))
+    # BENCH_SHARE: "SKxSJ" pixel-share override (A/B knob)
+    _share = os.environ.get("BENCH_SHARE")
+    if _share:
+        sk, sj = (int(v) for v in _share.split("x"))
+        cfg = dataclasses.replace(
+            cfg, fusion=cfg.fusion._replace(pixel_share=sk, pixel_share_j=sj))
+    # BENCH_CAP / BENCH_CAP_FREE: brick-cap overrides (A/B knobs)
+    for _env, _field in (("BENCH_CAP", "brick_cap"),
+                         ("BENCH_CAP_FREE", "brick_cap_free")):
+        _v = int(os.environ.get(_env, "0"))
+        if _v:
+            cfg = dataclasses.replace(
+                cfg, fusion=cfg.fusion._replace(**{_field: _v}))
     cam = ros_default_camera()
     scene = make_scene()
 

@@ -52,6 +52,14 @@ if os.environ.get("VARIANTS") == "share":
         "share=4x2": mk_share(4, 2),
         "share=4x4 (preset)": mk_share(4, 4),
     }
+elif os.environ.get("VARIANTS") == "share84":
+    # the last big 512^3 speed lever (fuse 41 vs 56 ms): is 8-along-k
+    # acceptable on realistic data? (radius 4 voxels = 47 mm at 512^3)
+    variants = {
+        "share=4x4 (preset)": mk_share(4, 4),
+        "share=8x4": mk_share(8, 4),
+        "share=8x8": mk_share(8, 8),
+    }
 else:
     variants = {
         "pyr21+sj2 (preset)": mk(),
