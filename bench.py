@@ -109,6 +109,12 @@ def build_inputs():
         if _v:
             cfg = dataclasses.replace(
                 cfg, fusion=cfg.fusion._replace(**{_field: _v}))
+    # BENCH_PYR: tracking-pyramid override, e.g. "2,1" / "4,2,1" / "flat"
+    _pyr = os.environ.get("BENCH_PYR")
+    if _pyr:
+        levels = (None if _pyr == "flat"
+                  else tuple(int(v) for v in _pyr.split(",")))
+        cfg = dataclasses.replace(cfg, pyramid_levels=levels)
     cam = ros_default_camera()
     scene = make_scene()
 

@@ -60,11 +60,11 @@ def _gn_kernel(d_ref, inb_ref, f_ref, a_ref, vin_ref, scale_ref,
         preferred_element_type=jnp.float32)
     b = (rm[:, None] * Jm).sum(axis=0)      # (6,)
     # Mosaic requires tile-aligned (8, 128) output blocks: pack A into
-    # rows 0-5 and b into row 6 of one padded tile
-    out = jnp.zeros((8, 128), jnp.float32)
-    out = out.at[:6, :6].set(A)
-    out = out.at[6, :6].set(b)
-    o_ref[...] = out[None]
+    # rows 0-5 and b into row 6 of one padded tile. jnp.pad, not
+    # .at[].set — in-kernel scatter does not lower on TPU.
+    A_pad = jnp.pad(A, ((0, 2), (0, 122)))
+    b_pad = jnp.pad(b[None, :], ((6, 1), (0, 122)))
+    o_ref[...] = (A_pad + b_pad)[None]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
