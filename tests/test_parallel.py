@@ -275,3 +275,24 @@ def test_runner_distributed_brickmajor(mesh, tmp_path_factory, sdt):
     np.testing.assert_array_equal(np.asarray(r_2._bgrid.D, np.float32),
                                   np.asarray(r_sh._bgrid.D, np.float32))
     assert len(r_2._bgrid.D.sharding.device_set) == mesh.devices.size
+
+
+def test_sharded_marching_cubes_matches_dense(mesh, frame):
+    """Per-slab meshing + concat (reference P3, marching_cubes_sdf.cpp:
+    264-284) must produce exactly the unsharded mesher's triangles (same
+    order: slabs ascend in i, row-major within) and colors."""
+    from tracking_sdf_tpu.render.marching_cubes import (
+        marching_cubes, marching_cubes_sharded)
+
+    pts, normals, rgb = frame
+    cfg = FusionConfig(fuse_color=True)
+    grid = fuse_frame(empty_grid(PARAMS), TRUE_POSE, pts, normals, rgb,
+                      params=PARAMS, cam=CAM, cfg=cfg)
+    ref = marching_cubes(grid, params=PARAMS, with_colors=True)
+    assert ref.num_triangles > 300
+    sh = marching_cubes_sharded(shard_grid(grid, mesh), params=PARAMS,
+                                with_colors=True)
+    assert sh.num_triangles == ref.num_triangles
+    assert sh.dropped_cells == 0
+    np.testing.assert_allclose(sh.vertices, ref.vertices, atol=1e-6)
+    np.testing.assert_allclose(sh.colors, ref.colors, atol=1e-6)

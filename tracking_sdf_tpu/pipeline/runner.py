@@ -521,14 +521,27 @@ class Reconstruction:
 
         color_mode="shepard" reproduces the reference's per-vertex
         interpolate_color exactly (sdf.cpp:377-382)."""
-        from tracking_sdf_tpu.render.marching_cubes import export_ply, marching_cubes
+        from tracking_sdf_tpu.render.marching_cubes import (
+            export_ply, marching_cubes, marching_cubes_sharded)
 
         grid = self.grid
         if self._mesh is not None:
-            grid = jax.device_get(grid)
-            grid = TSDFGrid(*(jnp.asarray(l) for l in grid))
-        mesh = marching_cubes(grid, params=self.config.grid,
-                              with_colors=with_colors, color_mode=color_mode)
+            # per-slab meshing + concat (the reference's P3 structure,
+            # marching_cubes_sdf.cpp:264-284): no full-grid host
+            # materialization; each shard meshes the cells it owns. The
+            # device_put pins the dense view to i-slabs (no-op when the
+            # brick->dense relayout already produced that sharding).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            grid = jax.device_put(
+                grid, NamedSharding(self._mesh, P("d", None, None)))
+            mesh = marching_cubes_sharded(
+                grid, params=self.config.grid, with_colors=with_colors,
+                color_mode=color_mode)
+        else:
+            mesh = marching_cubes(grid, params=self.config.grid,
+                                  with_colors=with_colors,
+                                  color_mode=color_mode)
         export_ply(mesh, path)
         return mesh.num_triangles
 

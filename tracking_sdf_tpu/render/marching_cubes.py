@@ -103,27 +103,34 @@ class Mesh(NamedTuple):
 
 @partial(jax.jit, static_argnames=("params",))
 def _active_cells(grid: TSDFGrid, *, params: GridParams) -> jnp.ndarray:
-    """Pass 1: (m-1)^3 bool — cells with all 8 corners observed AND a sign
-    change. Pure slices, no gathers."""
+    """Pass 1: (shape-1) bool — cells with all 8 corners observed AND a sign
+    change. Pure slices, no gathers. Works on full grids and on i-slab
+    sub-volumes (shapes derive from D, not params)."""
     D, W = grid.D, grid.W
-    shape = tuple(s - 1 for s in D.shape)
+    s0, s1, s2 = (s - 1 for s in D.shape)
+    shape = (s0, s1, s2)
     lo = jnp.full(shape, jnp.inf, D.dtype)
     hi = -lo
     valid = jnp.ones(shape, dtype=bool)
     for dx, dy, dz in _CORNERS:
-        d = D[dx:dx + params.m - 1, dy:dy + params.m - 1, dz:dz + params.m - 1]
-        w = W[dx:dx + params.m - 1, dy:dy + params.m - 1, dz:dz + params.m - 1]
+        d = D[dx:dx + s0, dy:dy + s1, dz:dz + s2]
+        w = W[dx:dx + s0, dy:dy + s1, dz:dz + s2]
         lo = jnp.minimum(lo, d)
         hi = jnp.maximum(hi, d)
         valid = valid & (w > 0)
     return valid & (lo < 0.0) & (hi >= 0.0)
 
 
-@partial(jax.jit, static_argnames=("params",))
+@partial(jax.jit, static_argnames=("params", "i_offset"))
 def _triangulate_cells(
-    grid: TSDFGrid, cells: jnp.ndarray, *, params: GridParams
+    grid: TSDFGrid, cells: jnp.ndarray, *, params: GridParams,
+    i_offset: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pass 2: cells (A, 3) int32 -> (verts (A*6, 2, 3, 3), valid (A*6, 2))."""
+    """Pass 2: cells (A, 3) int32 -> (verts (A*6, 2, 3, 3), valid (A*6, 2)).
+
+    ``cells`` index grid's ARRAYS (which may be an i-slab sub-volume);
+    ``i_offset`` is the slab's global first voxel i, so world positions
+    stay global."""
     from tracking_sdf_tpu.grid.interp import _corner_fetch
 
     corners = cells[:, None, :] + jnp.asarray(_CORNERS)[None, :, :]  # (A, 8, 3)
@@ -132,7 +139,8 @@ def _triangulate_cells(
     # _corner_fetch returns interp._OFFSETS order (k fastest); remap to
     # this module's _CORNERS order (i fastest): offsets idx = 4di+2dj+dk.
     d = _corner_fetch(grid.D, cells)[:, jnp.asarray(_CORNERS_TO_OFFSETS)]
-    pos = voxel_to_world(params, corners.astype(grid.D.dtype))  # (A, 8, 3)
+    goff = jnp.asarray([i_offset, 0, 0], jnp.int32)
+    pos = voxel_to_world(params, (corners + goff).astype(grid.D.dtype))
 
     tets = jnp.asarray(_TETS)  # (6, 4)
     d_t = d[:, tets]  # (A, 6, 4)
@@ -199,6 +207,7 @@ def marching_cubes(
     with_colors: bool = False,
     max_cells: Optional[int] = None,
     color_mode: str = "trilinear",
+    i_offset: int = 0,
 ) -> Mesh:
     """Extract the zero-isosurface triangle mesh (host-compacted).
 
@@ -229,7 +238,8 @@ def marching_cubes(
     # pad to a fixed bucket so recompilation is rare
     cap = 1 << max(10, int(np.ceil(np.log2(n_cells))))
     idx_d = _active_cell_indices(active, cap)
-    verts, valid = _triangulate_cells(grid, idx_d, params=params)
+    verts, valid = _triangulate_cells(grid, idx_d, params=params,
+                                      i_offset=i_offset)
 
     # Compact ON DEVICE before any transfer: the padded (cap, 6, 2, 3, 3)
     # buffer is ~56 MB at 256^3 and device->host moves it over the tunnel
@@ -245,7 +255,8 @@ def marching_cubes(
         # slice to the EXACT count on device (eager slice of a concrete
         # int) before fetching — the tunnel moves ~13-30 MB/s, so the
         # bucket's padding is pure transfer waste
-        rgb = _vertex_colors(grid, tri_d, params=params, color_mode=color_mode)
+        rgb = _vertex_colors(grid, tri_d, params=params,
+                             color_mode=color_mode, i_offset=i_offset)
         colors = np.asarray(rgb[:n_tri]).astype(np.float32)
     tri = np.asarray(tri_d[:n_tri]).astype(np.float32)
     return Mesh(tri, colors, dropped_cells=dropped)
@@ -281,22 +292,87 @@ def _compact_triangles(verts, valid, n_cells: int, tri_cap: int):
     return jnp.where(ok[:, None, None], tri, 0.0)
 
 
-@partial(jax.jit, static_argnames=("params", "color_mode"))
+@partial(jax.jit, static_argnames=("params", "color_mode", "i_offset"))
 def _vertex_colors(grid: TSDFGrid, tri: jnp.ndarray, *, params: GridParams,
-                   color_mode: str) -> jnp.ndarray:
+                   color_mode: str, i_offset: int = 0) -> jnp.ndarray:
     from tracking_sdf_tpu.grid.grid import world_to_voxel
     from tracking_sdf_tpu.grid.interp import shepard_color
 
     color_fn = shepard_color if color_mode == "shepard" else interp_color
     flat = tri.reshape(-1, 3)
+    coords = world_to_voxel(params, flat)
+    if i_offset:
+        coords = coords - jnp.asarray([i_offset, 0, 0], coords.dtype)
     rgb, cvalid = color_fn(
-        grid.R, grid.G, grid.B, grid.Wc, world_to_voxel(params, flat)
+        grid.R, grid.G, grid.B, grid.Wc, coords
     )
     # Vertices with no color observation (Wc = 0 on every corner) keep
     # the grid's 0.4 default grey (sdf.cpp:38-40 init parity) instead of
     # interp_color's 0/0 -> black.
     rgb = jnp.where(cvalid[..., None], rgb, 0.4)
     return rgb.reshape(tri.shape)
+
+
+def marching_cubes_sharded(
+    grid: TSDFGrid,
+    *,
+    params: GridParams,
+    with_colors: bool = False,
+    max_cells: Optional[int] = None,
+    color_mode: str = "trilinear",
+) -> Mesh:
+    """Per-slab meshing of an i-slab-sharded dense grid + concatenation —
+    the reference's voxel-DP meshing structure (per-thread output clouds +
+    concat, marching_cubes_sdf.cpp:264-284) mapped to devices.
+
+    Each shard owns the cells whose BASE voxel it holds; the last owned
+    i-plane's cells need one halo plane from the next shard, so each
+    sub-problem is (slab + 1 plane). No full-grid materialization anywhere:
+    peak host memory is one slab. On multi-host, each process meshes its
+    addressable shards (the trailing halo comes from the next local shard;
+    a cross-host boundary plane is fetched per leaf only if addressable —
+    otherwise that one cell plane is skipped and reported in
+    dropped_cells).
+
+    Triangle order matches the unsharded function (slabs ascend in i;
+    within a slab, row-major) — equality pinned by tests.
+    """
+    shards = sorted(grid.D.addressable_shards, key=lambda s: s.index[0].start)
+    leaves = {name: getattr(grid, name) for name in grid._fields}
+    m = params.m
+    parts = []
+    dropped = 0
+    for si, sh in enumerate(shards):
+        i0 = sh.index[0].start or 0
+        i1 = sh.index[0].stop if sh.index[0].stop is not None else m
+        halo = i1 < m  # last slab's cells end at m-2 with no halo needed
+        sub = {}
+        missing_halo = False
+        for name, leaf in leaves.items():
+            # fetch this slab (and its halo plane) per leaf
+            lsh = sorted(leaf.addressable_shards,
+                         key=lambda s: s.index[0].start or 0)[si]
+            arr = np.asarray(lsh.data)
+            if halo:
+                try:
+                    nxt = sorted(leaf.addressable_shards,
+                                 key=lambda s: s.index[0].start or 0)[si + 1]
+                    arr = np.concatenate([arr, np.asarray(nxt.data)[:1]], 0)
+                except IndexError:  # cross-host boundary: not addressable
+                    missing_halo = True
+            sub[name] = jnp.asarray(arr)
+        if missing_halo:
+            dropped += (m - 1) * (m - 1)  # one skipped cell plane, reported
+        sub_grid = TSDFGrid(**sub)
+        part = marching_cubes(sub_grid, params=params,
+                              with_colors=with_colors, max_cells=max_cells,
+                              color_mode=color_mode, i_offset=int(i0))
+        dropped += part.dropped_cells
+        parts.append(part)
+    tri = np.concatenate([p.vertices for p in parts], axis=0)
+    colors = (np.concatenate([p.colors for p in parts], axis=0)
+              if with_colors else None)
+    return Mesh(tri, colors, dropped_cells=dropped)
 
 
 def export_ply(mesh: Mesh, path: str, binary: bool = True) -> None:
