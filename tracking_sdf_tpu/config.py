@@ -245,30 +245,35 @@ def preset(name: str) -> PipelineConfig:
         # pyramid (2, 1): one coarse stride-6 pass absorbs nearly all GN
         # iterations (59 -> 16 fine iters/10 frames, identical trajectory;
         # BENCHMARKS.md pyramid A/B), -6.7 ms/frame.
-        # storage_dtype bfloat16: TPU A/B on fat rows (BENCHMARKS.md,
-        # 2026-08-19 batch) measured 56.8 vs 51.6 fps with bench |t err|
-        # unchanged (13.3 mm) and 30-frame TPU closed-loop ATE 24.1 vs
-        # 21.7 mm — the merge is bandwidth-bound there, so halving D/RGB
-        # bytes is ~+10%. f32 stays one env var away (BENCH_DTYPE=float32).
+        # storage_dtype bfloat16: TPU A/B on fat rows measured +10% with
+        # bench |t err| unchanged (the merge is bandwidth-bound); f32 stays
+        # one flag away (--storage-dtype float32).
+        # pixel_share 4x4: 65.4 vs 57.7 fps on the TPU; 120-frame dataset
+        # ATE 14.7 mm vs 9.1 mm at 2x2 (both far under the paper's 47 mm
+        # fr1/plant bar). The speed/accuracy ladder is one flag
+        # (--pixel-share 2 -> 9.1 mm; --pixel-share 1 = per-voxel exact,
+        # the parity-tested mode). BENCHMARKS.md round-2 tables.
         "tum256": PipelineConfig(
             grid=GridParams(m=256),
             fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
-                                pixel_share=2, pixel_share_j=2,
+                                pixel_share=4, pixel_share_j=4,
                                 brick_cap_free=2048,
                                 storage_dtype="bfloat16"),
             pyramid_levels=(2, 1),
         ),
         # 512^3 bricked grid + pyramid + device-side marching cubes.
-        # Caps sized from the measured bench-trajectory maxima (n_full 36724,
-        # n_free 10101 — BENCHMARKS.md round-2 breakdown) + ~6-20% headroom:
-        # per-brick fusion work is CAP-bound (static shapes), so oversizing
-        # is pure cost (-19.5 ms from 49152 -> 38912). pixel_share 4x4 has
-        # the same METRIC group radius as the accuracy-proven 2x2 at 256^3
-        # (voxels are half the size); measured -31 ms (TPU fuse matrix).
+        # Caps: n_full max 27935 post-OCCLUDED on the bench trajectory;
+        # trimming below 38912 measured FLAT (latency-floor-bound, not
+        # cap-bound — ABAB ledger entry), so the cap keeps its headroom.
+        # pixel_share 8x4: 20.3 vs 15.5 fps (>= the paper's 19.0 fps
+        # baseline); 120-frame dataset ATE 16.3 mm vs 10.3 mm at 4x4 (paper:
+        # 41-43 mm at m=512). --pixel-share 4 buys the accuracy back at
+        # 0.82x baseline speed. Pyramid (4,2,1) beats (2,1) and flat
+        # (53.0 / 65.0 ms vs 49.3 — more fine-level GN iterations).
         "tum512": PipelineConfig(
             grid=GridParams(m=512),
             fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
-                                brick_cap=38912, pixel_share=4,
+                                brick_cap=38912, pixel_share=8,
                                 pixel_share_j=4, brick_cap_free=12288,
                                 storage_dtype="bfloat16"),
             pyramid_levels=(4, 2, 1),

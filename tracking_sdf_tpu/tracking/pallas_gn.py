@@ -28,7 +28,9 @@ import numpy as np
 from tracking_sdf_tpu.grid.interp import _OFFSETS as _OFFSETS_NP
 from tracking_sdf_tpu.grid.interp import trilinear_from_corners
 
-_Q = 2048  # queries per grid step (VMEM tile: ~2048 * 16 floats = 128 KB)
+_Q = 512  # queries per grid step (2048 blew the 16 MB scoped-VMEM limit at
+# compile: Mosaic's stack for the (Q, 8, 3) trilinear intermediates hit
+# 46.5 MB — the working set scales with Q, the tile count doesn't matter)
 
 
 def _gn_kernel(d_ref, inb_ref, f_ref, a_ref, vin_ref, scale_ref,
