@@ -33,13 +33,15 @@ _Q = 512  # queries per grid step (2048 blew the 16 MB scoped-VMEM limit at
 # 46.5 MB — the working set scales with Q, the tile count doesn't matter)
 
 
-def _gn_kernel(d_ref, inb_ref, f_ref, a_ref, vin_ref, scale_ref,
-               off_ref, o_ref):
+def _gn_kernel(d_ref, inb_ref, f_ref, a_ref, scale_ref, off_ref, o_ref):
     d_raw = d_ref[...]                      # (Q, 8) f32, NaN = unobserved
+    # inb carries BOTH the bounds mask and the per-query validity (folded
+    # in by gn_reduce_pallas: an invalid query = all corners masked ->
+    # ok False). A separate (Q,) operand tripped a Mosaic/XLA 1-D layout
+    # tiling mismatch; folding removes it.
     inb = inb_ref[...] > 0                  # (Q, 8)
     f = f_ref[...]                          # (Q, 3)
     a = a_ref[...]                          # (Q, 3) = R p (rotation arm)
-    vin = vin_ref[...] > 0                  # (Q,)
 
     value, grad, ok = trilinear_from_corners(d_raw, inb, f, jnp.float32,
                                              off=off_ref[...])
@@ -53,7 +55,7 @@ def _gn_kernel(d_ref, inb_ref, f_ref, a_ref, vin_ref, scale_ref,
         [gx, gy, gz, ay * gz - az * gy, az * gx - ax * gz, ax * gy - ay * gx],
         axis=-1,
     )                                       # (Q, 6)
-    m = (vin & ok).astype(jnp.float32)
+    m = ok.astype(jnp.float32)
     Jm = J * m[:, None]
     rm = value * m
 
@@ -89,7 +91,6 @@ def gn_reduce_pallas(d_raw, inb, f, a, valid_in, scale, interpret=False):
             pl.BlockSpec((_Q, 8), lambda g: (g, 0)),
             pl.BlockSpec((_Q, 3), lambda g: (g, 0)),
             pl.BlockSpec((_Q, 3), lambda g: (g, 0)),
-            pl.BlockSpec((_Q,), lambda g: (g,)),
             pl.BlockSpec((1, 3), lambda g: (0, 0)),
             pl.BlockSpec((8, 3), lambda g: (0, 0)),
         ],
@@ -98,10 +99,9 @@ def gn_reduce_pallas(d_raw, inb, f, a, valid_in, scale, interpret=False):
         interpret=interpret,
     )(
         d_raw.astype(jnp.float32),
-        inb.astype(jnp.float32),
+        (inb & valid_in[:, None]).astype(jnp.float32),
         f.astype(jnp.float32),
         a.astype(jnp.float32),
-        valid_in.astype(jnp.float32),
         scale.reshape(1, 3).astype(jnp.float32),
         jnp.asarray(_OFFSETS_NP, jnp.float32),
     )
