@@ -16,6 +16,14 @@ part Pallas can influence.
 The interpolation math is the SAME function the XLA path runs
 (grid.interp.trilinear_from_corners) — parity by construction, pinned by
 tests in interpret mode.
+
+MEASURED VERDICT (BENCHMARKS.md round 2): the corner gather ALONE costs
+>= the full production iteration (2.74 vs 2.66 ms at 34k queries) — XLA
+hides the entire post-gather pipeline in the gather's latency shadow, so
+there is nothing left for a kernel to win; this kernel serializes after
+the gather and loses (3.86 ms). Kept as the documented attempt; the
+production tracker stays on the XLA path, which is at speed-of-light for
+this access pattern (row-issue-rate-bound, not bandwidth-bound).
 """
 from __future__ import annotations
 
