@@ -152,21 +152,31 @@ def _triangulate_cells(
     inside = (d_t < 0.0).astype(jnp.int32)
     case = inside[:, 0] + 2 * inside[:, 1] + 4 * inside[:, 2] + 8 * inside[:, 3]
 
-    tri_table = jnp.asarray(_TRI_TABLE)  # (16, 2, 3)
-    edges = tri_table[case]  # (N, 2, 3) edge ids or -1
+    # Case/edge/vertex selection via ONE-HOT masked sums over STATIC
+    # unrolls (16 cases, 4 tet vertices), not small-table gathers:
+    # tri_table[case] / edge_verts[e] / take_along_axis on width-4 dims
+    # are the "1D-table/3D-index" gather shape that runs ~100x slow on
+    # TPU (CLAUDE.md cost model) and dominated pass 2's 462 ms.
+    tri_np = _TRI_TABLE  # (16, 2, 3) numpy, static
+    onehot = jnp.stack([(case == c) for c in range(16)], axis=-1)  # (N, 16)
+    edges = jnp.einsum(
+        "nc,cte->nte", onehot.astype(jnp.int32), jnp.asarray(tri_np)
+    )  # (N, 2, 3) edge ids, -1 = unused
     valid_tri = edges[:, :, 0] >= 0  # (N, 2)
 
-    edge_verts = jnp.asarray(_EDGES)  # (6, 2)
-    e = jnp.maximum(edges, 0)  # safe index
-    ab = edge_verts[e]  # (N, 2, 3, 2) local tet-vertex ids
-    da = jnp.take_along_axis(d_t[:, None, None, :], ab[..., 0:1], axis=-1)[..., 0]
-    db = jnp.take_along_axis(d_t[:, None, None, :], ab[..., 1:2], axis=-1)[..., 0]
-    pa = jnp.take_along_axis(
-        p_t[:, None, None, :, :], ab[..., 0:1, None].repeat(3, -1), axis=-2
-    )[..., 0, :]
-    pb = jnp.take_along_axis(
-        p_t[:, None, None, :, :], ab[..., 1:2, None].repeat(3, -1), axis=-2
-    )[..., 0, :]
+    # per-edge endpoint ids are static: _EDGES[e] for e in 0..5; select
+    # d/p at endpoints by one-hot over the 4 tet vertices
+    e_sel = jnp.stack([(edges == e) for e in range(6)], axis=-1)  # (N,2,3,6)
+    # av/bv: (N, 2, 3, 4) one-hot over the 4 tet vertices (edge endpoints
+    # are static per edge id: np.eye(4)[_EDGES[:, a_or_b]])
+    av = jnp.einsum("ntes,sv->ntev", e_sel.astype(jnp.float32),
+                    jnp.asarray(np.eye(4, dtype=np.float32)[_EDGES[:, 0]]))
+    bv = jnp.einsum("ntes,sv->ntev", e_sel.astype(jnp.float32),
+                    jnp.asarray(np.eye(4, dtype=np.float32)[_EDGES[:, 1]]))
+    da = jnp.einsum("ntev,nv->nte", av, d_t)
+    db = jnp.einsum("ntev,nv->nte", bv, d_t)
+    pa = jnp.einsum("ntev,nvx->ntex", av, p_t)
+    pb = jnp.einsum("ntev,nvx->ntex", bv, p_t)
     denom = da - db
     mu = jnp.where(jnp.abs(denom) > 1e-12, da / jnp.where(denom == 0, 1.0, denom), 0.5)
     mu = jnp.clip(mu, 0.0, 1.0)
