@@ -52,6 +52,25 @@ if os.environ.get("VARIANTS") == "share":
         "share=4x2": mk_share(4, 2),
         "share=4x4 (preset)": mk_share(4, 4),
     }
+elif os.environ.get("VARIANTS") == "final":
+    # the definitive accuracy rows at the shipped presets
+    variants = {
+        "preset": base,
+        "preset+p2p": mk(pyr=base.pyramid_levels, sj=base.fusion.pixel_share_j,
+                         dist="point_to_point"),
+    }
+elif os.environ.get("VARIANTS") == "weighting":
+    # paper Table II ablation (exponential = shipped code Eq. 31):
+    # the ablation axis exists as FusionConfig.weighting; mirror the
+    # paper's study on the dataset oracle
+    def mk_w(w):
+        return dataclasses.replace(
+            base, fusion=base.fusion._replace(weighting=w))
+    variants = {
+        "exponential (preset)": mk_w("exponential"),
+        "linear": mk_w("linear"),
+        "constant": mk_w("constant"),
+    }
 elif os.environ.get("VARIANTS") == "share84":
     # the last big 512^3 speed lever (fuse 41 vs 56 ms): is 8-along-k
     # acceptable on realistic data? (radius 4 voxels = 47 mm at 512^3)

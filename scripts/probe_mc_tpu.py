@@ -24,7 +24,15 @@ from tracking_sdf_tpu.render.marching_cubes import marching_cubes
 
 def main():
     cfg, cam, poses, PTS, NRM, PTS_S, rgb = B.build_inputs()
-    grid = B._bootstrap(cfg, cam, poses, rgb)
+    if cfg.grid.m >= 512:  # dense bootstrap OOMs HBM at 512^3 (bench.py)
+        from tracking_sdf_tpu.fusion.brickmajor import dense_from_brick_grid
+
+        vdt = (jnp.bfloat16
+               if cfg.fusion.storage_dtype == "bfloat16" else None)
+        bg = B._bootstrap_brickmajor(cfg, cam, poses, rgb, vdt)
+        grid = dense_from_brick_grid(bg, cfg.grid, (8, 8, 8))
+    else:
+        grid = B._bootstrap(cfg, cam, poses, rgb)
 
     for label, kw in [("grey", {}), ("color", {"with_colors": True})]:
         mesh = marching_cubes(grid, params=cfg.grid, **kw)  # compile + warm
