@@ -31,6 +31,9 @@ def main():
                if cfg.fusion.storage_dtype == "bfloat16" else None)
         bg = B._bootstrap_brickmajor(cfg, cam, poses, rgb, vdt)
         grid = dense_from_brick_grid(bg, cfg.grid, (8, 8, 8))
+        jax.block_until_ready(grid.D)
+        del bg  # free the brick copy: dense f32 (3.2 GB) + brick bf16
+        # (2.2 GB) + MC buffers together exhaust HBM at 512^3
     else:
         grid = B._bootstrap(cfg, cam, poses, rgb)
 
