@@ -19,7 +19,8 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import bench as B
-from tracking_sdf_tpu.render.marching_cubes import marching_cubes
+from tracking_sdf_tpu.render.marching_cubes import (
+    marching_cubes, marching_cubes_chunked)
 
 
 def main():
@@ -37,12 +38,13 @@ def main():
     else:
         grid = B._bootstrap(cfg, cam, poses, rgb)
 
+    mc = (marching_cubes_chunked if cfg.grid.m >= 512 else marching_cubes)
     for label, kw in [("grey", {}), ("color", {"with_colors": True})]:
-        mesh = marching_cubes(grid, params=cfg.grid, **kw)  # compile + warm
+        mesh = mc(grid, params=cfg.grid, **kw)  # compile + warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            mesh = marching_cubes(grid, params=cfg.grid, **kw)
+            mesh = mc(grid, params=cfg.grid, **kw)
             best = min(best, time.perf_counter() - t0)
         print(f"marching_cubes {label:6s} {best*1e3:8.1f} ms  "
               f"({mesh.num_triangles} tris, dropped={mesh.dropped_cells})",

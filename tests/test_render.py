@@ -195,3 +195,18 @@ def test_raycast_empty_skip_equivalence():
     s_skip = int(np.asarray(r_skip.steps).sum())
     s_ref = int(np.asarray(r_ref.steps).sum())
     assert s_skip < 0.8 * s_ref, (s_skip, s_ref)
+
+
+def test_marching_cubes_chunked_matches_oneshot():
+    """Slab-chunked meshing (bounded peak HBM for 512^3) == the one-shot
+    mesher, triangles in identical order."""
+    from tracking_sdf_tpu.render.marching_cubes import marching_cubes_chunked
+
+    grid = grid_from_scene(PARAMS, SCENE)
+    ref = marching_cubes(grid, params=PARAMS, with_colors=True)
+    for n in (2, 3, 5):
+        ch = marching_cubes_chunked(grid, params=PARAMS, n_chunks=n,
+                                    with_colors=True)
+        assert ch.num_triangles == ref.num_triangles, n
+        np.testing.assert_allclose(ch.vertices, ref.vertices, atol=1e-6)
+        np.testing.assert_allclose(ch.colors, ref.colors, atol=1e-6)

@@ -522,7 +522,8 @@ class Reconstruction:
         color_mode="shepard" reproduces the reference's per-vertex
         interpolate_color exactly (sdf.cpp:377-382)."""
         from tracking_sdf_tpu.render.marching_cubes import (
-            export_ply, marching_cubes, marching_cubes_sharded)
+            export_ply, marching_cubes, marching_cubes_chunked,
+            marching_cubes_sharded)
 
         grid = self.grid
         if self._mesh is not None:
@@ -538,6 +539,12 @@ class Reconstruction:
             mesh = marching_cubes_sharded(
                 grid, params=self.config.grid, with_colors=with_colors,
                 color_mode=color_mode)
+        elif self.config.grid.m >= 512:
+            # slab-chunked: the one-shot 512^3 buffers next to a live brick
+            # grid exhaust HBM (marching_cubes_chunked docstring)
+            mesh = marching_cubes_chunked(grid, params=self.config.grid,
+                                          with_colors=with_colors,
+                                          color_mode=color_mode)
         else:
             mesh = marching_cubes(grid, params=self.config.grid,
                                   with_colors=with_colors,

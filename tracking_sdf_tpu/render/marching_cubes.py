@@ -323,6 +323,41 @@ def _vertex_colors(grid: TSDFGrid, tri: jnp.ndarray, *, params: GridParams,
     return rgb.reshape(tri.shape)
 
 
+def marching_cubes_chunked(
+    grid: TSDFGrid,
+    *,
+    params: GridParams,
+    n_chunks: int = 4,
+    with_colors: bool = False,
+    max_cells: Optional[int] = None,
+    color_mode: str = "trilinear",
+) -> Mesh:
+    """Single-device meshing in i-slab chunks: bounds peak HBM.
+
+    At 512^3 the one-shot path's active-cell bucket reaches 262144 cells
+    and its (cap*6, 2, 3, 3) triangle buffer alone is ~1.1 GB on top of
+    the 3.2 GB dense grid — RESOURCE_EXHAUSTED next to a live brick grid.
+    Chunking meshes (slab + 1 halo plane) sub-volumes sequentially;
+    triangle order matches the one-shot path (slabs ascend in i)."""
+    m = params.m
+    step = -(-m // n_chunks)
+    parts = []
+    dropped = 0
+    for i0 in range(0, m, step):
+        i1 = min(i0 + step, m)
+        hi = min(i1 + 1, m)  # halo plane for the last owned cell row
+        sub = TSDFGrid(*(leaf[i0:hi] for leaf in grid))
+        part = marching_cubes(sub, params=params, with_colors=with_colors,
+                              max_cells=max_cells, color_mode=color_mode,
+                              i_offset=i0)
+        dropped += part.dropped_cells
+        parts.append(part)
+    tri = np.concatenate([p.vertices for p in parts], axis=0)
+    colors = (np.concatenate([p.colors for p in parts], axis=0)
+              if with_colors else None)
+    return Mesh(tri, colors, dropped_cells=dropped)
+
+
 def marching_cubes_sharded(
     grid: TSDFGrid,
     *,
