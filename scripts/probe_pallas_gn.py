@@ -103,8 +103,6 @@ d_raw, inb, f, a, vin, scale = gather_corner_inputs(Dm, pose0, pts,
                                                     params=params)
 A_x, b_x = gn_reduce_xla(d_raw, inb, f, a, vin, scale)
 A_p, b_p = gn_reduce_pallas(d_raw, inb, f, a, vin, scale)
-import numpy as np
-
 err = float(jnp.max(jnp.abs(A_p - A_x)) / (jnp.max(jnp.abs(A_x)) + 1e-9))
 print(f"pallas-vs-xla max rel err: {err:.2e}", flush=True)
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import argparse
 import sys
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

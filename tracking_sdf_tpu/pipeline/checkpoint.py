@@ -18,7 +18,6 @@ import json
 import os
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

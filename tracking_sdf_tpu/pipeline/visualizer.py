@@ -11,7 +11,6 @@ replacement for the reference's condvar + atomic shutdown flag.
 from __future__ import annotations
 
 import threading
-import time
 from typing import Callable, Optional
 
 

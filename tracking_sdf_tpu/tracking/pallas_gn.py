@@ -31,7 +31,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tracking_sdf_tpu.grid.interp import _OFFSETS as _OFFSETS_NP
 from tracking_sdf_tpu.grid.interp import trilinear_from_corners
