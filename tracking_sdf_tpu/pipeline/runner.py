@@ -440,19 +440,40 @@ class Reconstruction:
         self.stats.append(stat)
         return stat
 
+    def _extract_mesh(self, grid, with_colors: bool, color_mode: str):
+        """Mesh extraction with the layout-appropriate strategy: per-slab
+        for sharded grids (P3), slab-chunked at m >= 512 (bounds peak HBM
+        next to the live brick grid), one-shot otherwise."""
+        from tracking_sdf_tpu.render.marching_cubes import (
+            marching_cubes, marching_cubes_chunked, marching_cubes_sharded)
+
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            grid = jax.device_put(
+                grid, NamedSharding(self._mesh, P("d", None, None)))
+            return marching_cubes_sharded(
+                grid, params=self.config.grid, with_colors=with_colors,
+                color_mode=color_mode)
+        if self.config.grid.m >= 512:
+            return marching_cubes_chunked(
+                grid, params=self.config.grid, with_colors=with_colors,
+                color_mode=color_mode)
+        return marching_cubes(grid, params=self.config.grid,
+                              with_colors=with_colors, color_mode=color_mode)
+
     def start_mesh_publisher(self, path: str, with_colors: bool = True):
         """Start the async mesh export thread (the reference's 1 Hz
         visualization thread, sdf_reconstruction.cpp:97 — race-free here
         because grid snapshots are immutable pytrees). Rate comes from
         config.mesh_hz (0 -> default 1 Hz)."""
         from tracking_sdf_tpu.pipeline.visualizer import MeshPublisher
-        from tracking_sdf_tpu.render.marching_cubes import export_ply, marching_cubes
+        from tracking_sdf_tpu.render.marching_cubes import export_ply
 
         interval = 1.0 / (self.config.mesh_hz or 1.0)
 
         def export(grid):
-            mesh = marching_cubes(grid, params=self.config.grid,
-                                  with_colors=with_colors)
+            mesh = self._extract_mesh(grid, with_colors, "trilinear")
             export_ply(mesh, path)
 
         self._publisher = MeshPublisher(export, interval=interval)
@@ -521,34 +542,9 @@ class Reconstruction:
 
         color_mode="shepard" reproduces the reference's per-vertex
         interpolate_color exactly (sdf.cpp:377-382)."""
-        from tracking_sdf_tpu.render.marching_cubes import (
-            export_ply, marching_cubes, marching_cubes_chunked,
-            marching_cubes_sharded)
+        from tracking_sdf_tpu.render.marching_cubes import export_ply
 
-        grid = self.grid
-        if self._mesh is not None:
-            # per-slab meshing + concat (the reference's P3 structure,
-            # marching_cubes_sdf.cpp:264-284): no full-grid host
-            # materialization; each shard meshes the cells it owns. The
-            # device_put pins the dense view to i-slabs (no-op when the
-            # brick->dense relayout already produced that sharding).
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            grid = jax.device_put(
-                grid, NamedSharding(self._mesh, P("d", None, None)))
-            mesh = marching_cubes_sharded(
-                grid, params=self.config.grid, with_colors=with_colors,
-                color_mode=color_mode)
-        elif self.config.grid.m >= 512:
-            # slab-chunked: the one-shot 512^3 buffers next to a live brick
-            # grid exhaust HBM (marching_cubes_chunked docstring)
-            mesh = marching_cubes_chunked(grid, params=self.config.grid,
-                                          with_colors=with_colors,
-                                          color_mode=color_mode)
-        else:
-            mesh = marching_cubes(grid, params=self.config.grid,
-                                  with_colors=with_colors,
-                                  color_mode=color_mode)
+        mesh = self._extract_mesh(self.grid, with_colors, color_mode)
         export_ply(mesh, path)
         return mesh.num_triangles
 
