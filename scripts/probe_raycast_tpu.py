@@ -33,8 +33,10 @@ def main():
     pose0 = poses[0]
 
     for label, rcfg in [
-        ("skip OFF", RaycastConfig(empty_skip=False)),
-        ("skip ON", RaycastConfig(empty_skip=True)),
+        ("trilinear", RaycastConfig(sample="trilinear")),
+        ("nearest_far", RaycastConfig(sample="nearest_far")),
+        ("nearest+skip", RaycastConfig(sample="nearest_far",
+                                       empty_skip=True)),
     ]:
         @jax.jit
         def run_k(g, pose, rc=rcfg):

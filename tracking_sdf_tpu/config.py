@@ -173,6 +173,21 @@ class RaycastConfig(NamedTuple):
     # The old fixed 0.04 m default made rays outside the observed frustum
     # crawl for the full max_steps budget.
     miss_step: float = 0.0
+    # Far-field sampling mode for the march:
+    #   * "nearest_far" (default): while far from the surface, sample the
+    #     SDF at the NEAREST voxel (1 gather row/ray/step instead of 8)
+    #     and step (phi - L*(sqrt(3)/2)*h) * step_scale — the Lipschitz
+    #     margin (|phi(x) - phi(voxel center)| <= L*h*sqrt(3)/2, L <= 1
+    #     for a TSDF) makes the big steps provably non-crossing. Rays
+    #     freeze once nearest-phi < fine_threshold voxels; a short
+    #     full-batch TRILINEAR phase then finds the exact crossing (the
+    #     Newton refinement at the end is trilinear in both modes).
+    #   * "trilinear": 8-corner interpolation every step (the original).
+    sample: str = "nearest_far"
+    # nearest_far: switch to the trilinear finish when nearest-phi falls
+    # below this many voxel diagonals; budget of the finish phase
+    fine_threshold: float = 3.0
+    fine_steps: int = 12
     # Brick-level empty-space skipping: a per-render L-inf chamfer distance
     # mip over observed 8^3-voxel bricks lets rays LEAP
     # (dist-1) * brick_extent through unobserved space — provably safe

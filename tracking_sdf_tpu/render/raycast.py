@@ -68,6 +68,7 @@ def _ray_box(origin, unit, lo, hi):
     return t_enter, t_exit
 
 
+_ROW_W_RC = 128  # nearest-sample gather row width (fast TPU shape)
 _SKIP_B = 8  # empty-skip mip brick side (voxels); independent of fusion bricks
 _SKIP_K = 8  # chamfer iterations = max leap distance in bricks
 
@@ -215,15 +216,86 @@ def raycast(
 
         return jax.lax.while_loop(cond, body, (jnp.int32(0),) + state0)[1:]
 
+    # ---- far-field nearest-sample march (cfg.sample="nearest_far") --------
+    # One gather row per ray per step instead of 8: |phi(x) - phi(nearest
+    # voxel center)| <= L * (sqrt(3)/2) * h with L <= 1 for a TSDF, so the
+    # margin-reduced step cannot cross the surface. Rays FREEZE when the
+    # nearest phi falls under fine_threshold voxels; a short full-batch
+    # trilinear phase then walks the exact crossing (the final Newton
+    # refinement is trilinear in every mode). Measured 651 -> see
+    # BENCHMARKS.md (the 8-row fetch per step was ~all of the raycast).
+    m_vox = params.m
+    total = m_vox ** 3
+    nearest_ok = cfg.sample == "nearest_far" and total % _ROW_W_RC == 0
+
+    def march_nearest(state0, unit_v, t_lo, t_hi, budget, t_fine, margin):
+        rows = Dm.reshape(total // _ROW_W_RC, _ROW_W_RC)
+
+        def sample_n(t):
+            pos = origin + t[..., None] * unit_v
+            uvw = world_to_voxel(params, pos)
+            n = jnp.clip(jnp.round(uvw), 0, m_vox - 1).astype(jnp.int32)
+            flat = (n[..., 0] * m_vox + n[..., 1]) * m_vox + n[..., 2]
+            r, lane = flat // _ROW_W_RC, flat % _ROW_W_RC
+            got = jnp.take(rows, r, axis=0)
+            io = jnp.arange(_ROW_W_RC, dtype=jnp.int32)
+            # where-select (NaN sentinels — a 0-multiply would poison)
+            phi = jnp.sum(jnp.where(io == lane[..., None], got, 0.0), axis=-1)
+            return phi.astype(t.dtype), uvw
+
+        def cond(state):
+            k, t, near, alive, steps = state
+            return (k < budget) & jnp.any(alive)
+
+        def body(state):
+            k, t, near, alive, steps = state
+            phi, uvw = sample_n(t)
+            ok = jnp.isfinite(phi)
+            near_now = alive & ok & (phi < t_fine)
+            step = jnp.where(ok, jnp.maximum(phi - margin, 0.0)
+                             * cfg.step_scale, miss_step)
+            step = jnp.minimum(step, params.delta)
+            if skip_rows is not None:
+                b = jnp.clip((uvw / _SKIP_B).astype(jnp.int32), 0, nb_skip - 1)
+                flat_b = (b[..., 0] * nb_skip + b[..., 1]) * nb_skip + b[..., 2]
+                s = _skip_lookup(skip_rows, flat_b)
+                leap = (s - 1).astype(step.dtype) * brick_min_ext
+                step = jnp.where(~ok, jnp.maximum(step, leap), step)
+            t_new = jnp.where(alive & ~near_now, t + step, t)
+            t_new = jnp.maximum(t_new, t_lo)
+            oov = t_new > t_hi
+            return (k + 1, t_new, near | near_now,
+                    alive & ~near_now & ~oov,
+                    steps + alive.astype(jnp.int32))
+
+        return jax.lax.while_loop(cond, body, (jnp.int32(0),) + state0)[1:]
+
     hit0 = jnp.zeros((N,), dtype=bool)
     steps0 = jnp.zeros((N,), dtype=jnp.int32)
-    two_phase = N >= 4096 and cfg.max_steps > 20
-    budget_a = 20 if two_phase else cfg.max_steps
-    t_m, hit, alive, steps = march(
-        (t_start_f, hit0, alive0.reshape(N), steps0),
-        unit_f, t_start_f, t_stop_f, budget_a,
-    )
-    dropped = jnp.int32(0)
+    if nearest_ok:
+        h_max = max(params.width, params.height, params.depth) / m_vox
+        t_m, near, aliveN, steps = march_nearest(
+            (t_start_f, jnp.zeros((N,), bool), alive0.reshape(N), steps0),
+            unit_f, t_start_f, t_stop_f, cfg.max_steps,
+            cfg.fine_threshold * h_max, 0.8660254 * h_max,
+        )
+        # trilinear finish on the frozen-near (and any still-alive) rays —
+        # full batch, short budget: they start within ~fine_threshold voxels
+        t_m, hit, alive, steps_f = march(
+            (t_m, hit0, near | aliveN, steps),
+            unit_f, t_start_f, t_stop_f, cfg.fine_steps,
+        )
+        steps = steps_f
+        dropped = jnp.int32(0)
+        two_phase = False
+    else:
+        two_phase = N >= 4096 and cfg.max_steps > 20
+        budget_a = 20 if two_phase else cfg.max_steps
+        t_m, hit, alive, steps = march(
+            (t_start_f, hit0, alive0.reshape(N), steps0),
+            unit_f, t_start_f, t_stop_f, budget_a,
+        )
+        dropped = jnp.int32(0)
     if two_phase:
         K = -(-max(1024, N // 4) // 128) * 128
         idx = jnp.nonzero(alive, size=K, fill_value=N)[0]
