@@ -34,9 +34,14 @@ def main():
 
     for label, rcfg in [
         ("trilinear", RaycastConfig(sample="trilinear")),
-        ("nearest_far", RaycastConfig(sample="nearest_far")),
-        ("nearest+skip", RaycastConfig(sample="nearest_far",
-                                       empty_skip=True)),
+        ("nearest t_fine=3", RaycastConfig(sample="nearest_far")),
+        ("nearest t_fine=2", RaycastConfig(sample="nearest_far",
+                                           fine_threshold=2.0)),
+        ("nearest t_fine=1.5", RaycastConfig(sample="nearest_far",
+                                             fine_threshold=1.5)),
+        ("nearest t1.5 f20", RaycastConfig(sample="nearest_far",
+                                           fine_threshold=1.5,
+                                           fine_steps=20)),
     ]:
         @jax.jit
         def run_k(g, pose, rc=rcfg):

@@ -185,8 +185,13 @@ class RaycastConfig(NamedTuple):
     #   * "trilinear": 8-corner interpolation every step (the original).
     sample: str = "nearest_far"
     # nearest_far: switch to the trilinear finish when nearest-phi falls
-    # below this many voxel diagonals; budget of the finish phase
-    fine_threshold: float = 3.0
+    # below this many voxels; budget of the finish phase. TPU A/B at
+    # 640x480/256^3 (BENCHMARKS.md): nearest 318 ms vs trilinear 652 ms
+    # with 97.1% of the trilinear mode's hit pixels (the deficit is
+    # grazing silhouette rays that exhaust the finish budget; fine_steps
+    # 20 recovers to 98.4% at 467 ms, sample="trilinear" is the exact
+    # 100% mode).
+    fine_threshold: float = 1.5
     fine_steps: int = 12
     # Brick-level empty-space skipping: a per-render L-inf chamfer distance
     # mip over observed 8^3-voxel bricks lets rays LEAP
