@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true",
                    help="run on a generated synthetic orbit instead of a dataset")
     p.add_argument("--frames", type=int, default=None, help="max frames")
+    p.add_argument("--frame-step", type=int, default=1,
+                   help="process every Nth frame (the paper's §V-D "
+                        "robustness study runs every 6th)")
     p.add_argument("--trajectory", default="trajectory.txt",
                    help="output TUM trajectory path ('' disables)")
     p.add_argument("--mesh", help="export marching-cubes PLY to this path at the end")
@@ -110,7 +113,6 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     from tracking_sdf_tpu.config import preset
-    from tracking_sdf_tpu.core.camera import tum_fr1_camera
     from tracking_sdf_tpu.pipeline import Reconstruction, ate_rmse, read_trajectory
 
     cfg = preset(args.preset)
@@ -159,6 +161,8 @@ def main(argv=None) -> int:
         from tracking_sdf_tpu.data.tum import TUMDataset
 
         dataset = TUMDataset(args.dataset, with_rgb=not args.no_color)
+        if args.frame_step > 1:
+            dataset = _SubsampledDataset(dataset, args.frame_step)
         cam = _parse_camera(args.camera)
         init_pose = None
         if cfg.use_groundtruth and dataset.groundtruth is None:
@@ -252,6 +256,31 @@ def main(argv=None) -> int:
         for k, v in summary.items():
             print(f"{k}: {v:.4f}")
     return 0
+
+
+class _SubsampledDataset:
+    """Every-Nth-frame view of a TUMDataset (paper §V-D robustness study:
+    the tracker must survive 6x the inter-frame motion)."""
+
+    def __init__(self, ds, step: int):
+        self._ds = ds
+        self._idx = list(range(0, len(ds), step))
+        self.groundtruth = ds.groundtruth
+
+    def __len__(self):
+        return len(self._idx)
+
+    def __getitem__(self, i):
+        return self._ds[self._idx[i]]
+
+    def __iter__(self):
+        for i in self._idx:
+            yield self._ds[i]
+
+    def stream(self, **kw):
+        # index-subset prefetching isn't plumbed through the native loader;
+        # fall back to the PIL path (correctness identical)
+        return iter(self)
 
 
 def _parse_camera(spec):
