@@ -109,6 +109,11 @@ def build_inputs():
         if _v:
             cfg = dataclasses.replace(
                 cfg, fusion=cfg.fusion._replace(**{_field: _v}))
+    # BENCH_DAMP_DECAY: LM-style per-iteration damping multiplier (A/B knob)
+    _dd = float(os.environ.get("BENCH_DAMP_DECAY", "0"))
+    if _dd:
+        cfg = dataclasses.replace(
+            cfg, tracking=cfg.tracking._replace(damping_decay=_dd))
     # BENCH_PYR: tracking-pyramid override, e.g. "2,1" / "4,2,1" / "flat"
     _pyr = os.environ.get("BENCH_PYR")
     if _pyr:
