@@ -31,10 +31,13 @@ from typing import List
 import numpy as np
 
 
-def _build(width: int, height: int):
+def _build(width: int, height: int, room: bool = False):
     """(scene, cam, pose0). Scene geometry is authored in frame-0 CAMERA
     coordinates (x right, y down, z forward — easy frustum reasoning) and
-    mapped to world with REFERENCE_INITIAL_POSE."""
+    mapped to world with REFERENCE_INITIAL_POSE. ``room=True`` closes the
+    box (side walls + ceiling + near wall inside the grid volume) so that
+    ANY camera orientation sees in-grid geometry — required when replaying
+    real handheld trajectories (--trajectory-file) that look all around."""
     import jax.numpy as jnp
 
     from tracking_sdf_tpu.core.camera import PinholeCamera, tum_fr1_camera
@@ -62,6 +65,13 @@ def _build(width: int, height: int):
         SphereScene(center=tuple(w((0.45, 0.10, 1.60))), radius=0.25),
         SphereScene(center=tuple(w((-0.55, 0.45, 1.05))), radius=0.18),
     ]
+    if room:
+        objects += [
+            box((-2.7, -2.0, -0.5), (-2.5, 1.05, 4.0)),   # left wall
+            box((2.5, -2.0, -0.5), (2.7, 1.05, 4.0)),     # right wall
+            box((-4.0, -1.5, -0.5), (4.0, -1.3, 4.0)),    # ceiling
+            box((-4.0, -2.0, -1.4), (4.0, 1.05, -1.2)),   # behind-camera wall
+        ]
 
     class Scene:
         """Union of the objects; color follows the nearest-hit object."""
@@ -120,10 +130,44 @@ def _trajectory(pose0, n_frames: int) -> List:
     return poses
 
 
+def _trajectory_from_file(pose0, path: str, n_frames: int,
+                          fps: float = 30.0, start_s: float = 0.0):
+    """Resample a real TUM groundtruth trajectory (timestamp tx ty tz qx
+    qy qz qw; e.g. the fr1/plant file the reference bundles) at ``fps``
+    and re-anchor it so frame 0 sits at ``pose0``:
+    T'_k = pose0 ∘ (T_0^-1 ∘ T_k). Real handheld motion — accelerations,
+    tremor, fast rotations — over the synthetic scene: the most realistic
+    motion available without the actual RGB-D frames."""
+    import jax.numpy as jnp
+
+    from tracking_sdf_tpu.core.lie import (
+        Pose, matrix_from_quaternion, pose_compose, pose_inverse)
+
+    rows = [line.split() for line in open(path)
+            if line.strip() and not line.startswith("#")]
+    ts = np.asarray([float(r[0]) for r in rows])
+    tr = np.asarray([[float(v) for v in r[1:4]] for r in rows])
+    qu = np.asarray([[float(v) for v in r[4:8]] for r in rows])
+    t0 = ts[0] + start_s
+    want = t0 + np.arange(n_frames) / fps
+    if want[-1] > ts[-1]:
+        raise SystemExit(
+            f"--trajectory-file spans {ts[-1] - ts[0]:.1f} s; "
+            f"{n_frames} frames at {fps} fps from +{start_s:.1f} s "
+            f"need {want[-1] - ts[0]:.1f} s")
+    idx = np.searchsorted(ts, want)
+    raw = [Pose(matrix_from_quaternion(jnp.asarray(qu[i], jnp.float32)),
+                jnp.asarray(tr[i], jnp.float32)) for i in idx]
+    anchor = pose_compose(pose0, pose_inverse(raw[0]))
+    return [pose_compose(anchor, p) for p in raw]
+
+
 def generate(root: str, n_frames: int = 120, width: int = 640,
              height: int = 480, noise_k: float = 1.5e-3,
              dropout: float = 0.01, seed: int = 0,
-             progress: bool = False) -> dict:
+             progress: bool = False, trajectory_file: str = None,
+             traj_fps: float = 30.0, traj_start: float = 0.0,
+             room: bool = False) -> dict:
     """Render and write the sequence; returns summary stats."""
     import jax
     import jax.numpy as jnp
@@ -132,8 +176,12 @@ def generate(root: str, n_frames: int = 120, width: int = 640,
     from tracking_sdf_tpu.core.lie import quaternion_from_matrix
     from tracking_sdf_tpu.data.tum import write_synthetic_tum
 
-    scene, cam, pose0 = _build(width, height)
-    poses = _trajectory(pose0, n_frames)
+    scene, cam, pose0 = _build(width, height, room=room)
+    if trajectory_file:
+        poses = _trajectory_from_file(pose0, trajectory_file, n_frames,
+                                      traj_fps, traj_start)
+    else:
+        poses = _trajectory(pose0, n_frames)
 
     dirs_cam, _ = pixel_rays(cam)  # (H, W, 3), z == 1 -> t is z-depth
 
@@ -186,13 +234,26 @@ def main(argv=None) -> int:
     p.add_argument("--dropout", type=float, default=0.01,
                    help="random NaN-hole fraction")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--trajectory-file", default=None,
+                   help="replay a real TUM groundtruth trajectory "
+                        "(resampled at --traj-fps, re-anchored to the "
+                        "scene) instead of the synthetic sinusoid path")
+    p.add_argument("--traj-fps", type=float, default=30.0)
+    p.add_argument("--traj-start", type=float, default=0.0,
+                   help="seconds into the trajectory file to start at")
+    p.add_argument("--room", action="store_true",
+                   help="close the room (side/behind walls + ceiling) so "
+                        "any orientation sees in-grid geometry")
     args = p.parse_args(argv)
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # rendering never needs the chip
     stats = generate(args.out, args.frames, args.width, args.height,
-                     args.noise_k, args.dropout, args.seed, progress=True)
+                     args.noise_k, args.dropout, args.seed, progress=True,
+                     trajectory_file=args.trajectory_file,
+                     traj_fps=args.traj_fps, traj_start=args.traj_start,
+                     room=args.room)
     print(f"wrote {stats['frames']} frames to {args.out} "
           f"(min valid-depth fraction {stats['min_valid_frac']:.2f})")
     return 0
