@@ -82,3 +82,29 @@ def test_cli_dataset_eval_end_to_end(sequence, tmp_path, monkeypatch):
     # a broken one diverges to the >= 10 cm scale of the camera motion
     assert out["ate_rmse_m"] is not None and math.isfinite(out["ate_rmse_m"])
     assert out["ate_rmse_m"] < 0.05, out
+
+
+REF_GT = ("/root/reference/src/"
+          "rgbd_dataset_freiburg1_plant-groundtruth.txt")
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REF_GT),
+                    reason="reference groundtruth file not present")
+def test_real_trajectory_replay(tmp_path):
+    """--trajectory-file resamples a real TUM groundtruth (the reference
+    bundles fr1/plant's 100 Hz mocap) and re-anchors frame 0 at the
+    runner's initial pose; the closed room keeps depth valid under real
+    handheld orientations."""
+    root = str(tmp_path / "fr1traj")
+    stats = generate(root, n_frames=6, width=160, height=120,
+                     noise_k=0.0, dropout=0.0, trajectory_file=REF_GT,
+                     traj_fps=10.0, traj_start=1.0, room=True)
+    assert stats["min_valid_frac"] > 0.9
+    ds = TUMDataset(root)
+    assert len(ds) == 6
+    t0, _ = ds[0].gt_pose
+    np.testing.assert_allclose(t0, [0.0, 0.0, 1.0], atol=1e-5)
+    # frames move like the real trajectory: nonzero but bounded motion
+    t5, _ = ds[5].gt_pose
+    d = np.linalg.norm(np.asarray(t5) - np.asarray(t0))
+    assert 1e-4 < d < 0.5, d
