@@ -110,9 +110,11 @@ def test_marching_cubes_shepard_colors():
     rgb, valid = shepard_color(grid.R, grid.G, grid.B, grid.Wc,
                                world_to_voxel(PARAMS, flat))
     rgb = np.where(np.asarray(valid)[..., None], np.asarray(rgb), 0.4)
+    # mesh colors cross host-device as u8 (the PLY quantization, applied
+    # on device) — compare at the quantization step
     np.testing.assert_allclose(
-        mesh_s.colors.reshape(-1, 3), rgb, atol=1e-6)
-    assert np.abs(mesh_s.colors - mesh_t.colors).max() > 1e-4
+        mesh_s.colors.reshape(-1, 3), rgb, atol=1.01 / 255.0)
+    assert np.abs(mesh_s.colors - mesh_t.colors).max() > 1e-3
 
 
 def test_marching_cubes_respects_weight_gate():

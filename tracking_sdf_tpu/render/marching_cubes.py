@@ -264,10 +264,12 @@ def marching_cubes(
         # color at the pow2 bucket shape (compile cached per bucket), then
         # slice to the EXACT count on device (eager slice of a concrete
         # int) before fetching — the tunnel moves ~13-30 MB/s, so the
-        # bucket's padding is pure transfer waste
+        # bucket's padding is pure transfer waste. Colors cross as u8 (4x
+        # fewer bytes): PLY export quantizes to u8 anyway, and the
+        # device-side rounding matches export_ply's exactly.
         rgb = _vertex_colors(grid, tri_d, params=params,
                              color_mode=color_mode, i_offset=i_offset)
-        colors = np.asarray(rgb[:n_tri]).astype(np.float32)
+        colors = (np.asarray(rgb[:n_tri]).astype(np.float32) / 255.0)
     tri = np.asarray(tri_d[:n_tri]).astype(np.float32)
     return Mesh(tri, colors, dropped_cells=dropped)
 
@@ -318,9 +320,11 @@ def _vertex_colors(grid: TSDFGrid, tri: jnp.ndarray, *, params: GridParams,
     )
     # Vertices with no color observation (Wc = 0 on every corner) keep
     # the grid's 0.4 default grey (sdf.cpp:38-40 init parity) instead of
-    # interp_color's 0/0 -> black.
+    # interp_color's 0/0 -> black. Quantize to u8 ON DEVICE — the same
+    # clip+round export_ply applies — so the host transfer is 4x smaller.
     rgb = jnp.where(cvalid[..., None], rgb, 0.4)
-    return rgb.reshape(tri.shape)
+    rgb8 = jnp.clip(rgb * 255.0, 0, 255).astype(jnp.uint8)
+    return rgb8.reshape(tri.shape)
 
 
 def marching_cubes_chunked(

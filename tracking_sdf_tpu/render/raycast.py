@@ -287,7 +287,13 @@ def raycast(
         )
         steps = steps_f
         dropped = jnp.int32(0)
-        two_phase = False
+        # grazing recovery: rays still alive after the finish (skimmed past
+        # a surface and must travel on, ~3% of rays) get a compacted
+        # full-budget trilinear march — without it they read as misses
+        # (97.1% hit coverage, BENCHMARKS.md) for a cost that scales with
+        # the survivor count, not the batch
+        two_phase = N >= 4096
+        budget_a = cfg.fine_steps
     else:
         two_phase = N >= 4096 and cfg.max_steps > 20
         budget_a = 20 if two_phase else cfg.max_steps
