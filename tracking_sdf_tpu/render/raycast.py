@@ -289,21 +289,25 @@ def raycast(
         dropped = jnp.int32(0)
         # grazing recovery: rays still alive after the finish (skimmed past
         # a surface and must travel on, ~3% of rays) get a compacted
-        # full-budget trilinear march — without it they read as misses
-        # (97.1% hit coverage, BENCHMARKS.md) for a cost that scales with
-        # the survivor count, not the batch
+        # trilinear march — without it they read as misses (97.1% hit
+        # coverage, BENCHMARKS.md). The compacted phase costs K x budget
+        # regardless of real survivor count (static shapes), so K is a
+        # tight N/16 (overflow -> reported drops); measured at N/4 it ate
+        # the whole nearest-mode win (568 vs 318 ms).
         two_phase = N >= 4096
-        budget_a = cfg.fine_steps
+        budget_a = cfg.max_steps - cfg.max_steps // 2  # recovery budget
+        k_div = 16
     else:
         two_phase = N >= 4096 and cfg.max_steps > 20
         budget_a = 20 if two_phase else cfg.max_steps
+        k_div = 4
         t_m, hit, alive, steps = march(
             (t_start_f, hit0, alive0.reshape(N), steps0),
             unit_f, t_start_f, t_stop_f, budget_a,
         )
         dropped = jnp.int32(0)
     if two_phase:
-        K = -(-max(1024, N // 4) // 128) * 128
+        K = -(-max(1024, N // k_div) // 128) * 128
         idx = jnp.nonzero(alive, size=K, fill_value=N)[0]
         slot_ok = idx < N
         safe = jnp.where(slot_ok, idx, 0)
