@@ -68,15 +68,12 @@ class FuseStats(NamedTuple):
     overflow_active: jnp.ndarray = jnp.int32(0)
 
 
-def _mip_rows(img, h, w, dtype, largest: bool):
+def _mip_levels(img, h, w, dtype, largest: bool):
     """Min- (largest=False) or max- (largest=True) mip pyramid over _TILE
-    tiles, flattened into the overlapped stride-4 width-8 row table.
-
-    Returns (t8, offsets, dims). Padding uses the reduction's neutral
-    element; pad + wrap cells only ever ADD candidates, so queries stay
-    conservative (a min can only drop, a max can only rise — both degrade
-    FREE/OCCLUDED candidates to FULL, never the reverse).
-    """
+    tiles. Returns the per-level 2-D arrays. Padding uses the reduction's
+    neutral element; pad + wrap cells only ever ADD candidates, so queries
+    stay conservative (a min can only drop, a max can only rise — both
+    degrade FREE/OCCLUDED candidates to FULL, never the reverse)."""
     neutral = jnp.asarray(-jnp.inf if largest else jnp.inf, dtype)
     red = (lambda a, axis: a.max(axis=axis)) if largest \
         else (lambda a, axis: a.min(axis=axis))
@@ -92,19 +89,27 @@ def _mip_rows(img, h, w, dtype, largest: bool):
         lvl = red(lvl.reshape(lvl.shape[0] // 2, 2, lvl.shape[1] // 2, 2),
                   (1, 3))
         levels.append(lvl)
+    return levels, neutral
 
-    dims = [l.shape for l in levels]
-    offsets = np.concatenate([[0], np.cumsum([dh * dw for dh, dw in dims])])
-    flat = jnp.concatenate([l.reshape(-1) for l in levels])
-    # Overlapped stride-4 width-8 row table: row r = flat[4r : 4r+8], so any
-    # 4-contiguous cell run lives in ONE gathered 32-byte row (start lane =
-    # f0 % 4 <= 3, end <= 6). Scalar (width-1) gathers cost the same per ROW
-    # as 32-byte rows on TPU, so the 4x4 window query drops from 16 gathers
-    # per brick to 4.
+
+def _flatten_pair(levels, neutral):
+    """(flat, flat_down): each level flattened row-major, plus the ROW-BELOW
+    companion (cell (v+1, u) of the same level; last row pads neutral).
+    Pairing lets one gathered table row answer TWO window rows."""
+    downs = [jnp.concatenate(
+        [l[1:], jnp.full((1, l.shape[1]), neutral, l.dtype)], axis=0)
+        for l in levels]
+    return (jnp.concatenate([l.reshape(-1) for l in levels]),
+            jnp.concatenate([d.reshape(-1) for d in downs]))
+
+
+def _overlap8(flat, neutral):
+    """Overlapped stride-4 width-8 row table: row r = flat[4r : 4r+8], so
+    any 4-contiguous cell run lives in ONE gathered row (start lane =
+    f0 % 4 <= 3, end <= 6). Wrap cells only ADD candidates — conservative."""
     npad = (-flat.shape[0]) % 4
     fp = jnp.pad(flat, (0, npad), constant_values=neutral).reshape(-1, 4)
-    t8 = jnp.concatenate([fp, jnp.roll(fp, -1, axis=0)], axis=1)  # (ceil/4, 8)
-    return t8, offsets[:-1], dims
+    return jnp.concatenate([fp, jnp.roll(fp, -1, axis=0)], axis=1)
 
 
 def _zeta_mip(points_cam, normals_cam, cam, delta, dtype,
@@ -177,11 +182,19 @@ def _zeta_mip(points_cam, normals_cam, cam, delta, dtype,
             jnp.where(fin, pos_inf, neg_inf),
         )
 
-    zt8, zoffs, zdims = _mip_rows(zeta, h, w, dtype, largest=False)
-    et8, _, _ = _mip_rows(eta, h, w, dtype, largest=True)
-    # side-by-side (rows, 16) table: one row gather serves BOTH queries
-    # (the tables share tiling/offsets; gather cost is per row)
-    return jnp.concatenate([zt8, et8], axis=1), zoffs, zdims
+    zl, zneut = _mip_levels(zeta, h, w, dtype, largest=False)
+    el, eneut = _mip_levels(eta, h, w, dtype, largest=True)
+    dims = [l.shape for l in zl]
+    offsets = np.concatenate([[0], np.cumsum([dh * dw for dh, dw in dims])])
+    zf, zfd = _flatten_pair(zl, zneut)
+    ef, efd = _flatten_pair(el, eneut)
+    # 32-lane table: [zeta | zeta-row-below | eta | eta-row-below] — one
+    # gathered row answers BOTH queries for TWO window rows, so the 4x4
+    # window costs 2 gathers per brick (was 4; originally 16 scalar)
+    t32 = jnp.concatenate([_overlap8(zf, zneut), _overlap8(zfd, zneut),
+                           _overlap8(ef, eneut), _overlap8(efd, eneut)],
+                          axis=1)
+    return t32, offsets[:-1], dims
 
 
 def _query_zeta(t16, offsets, dims, u0, u1, v0, v1):
@@ -211,21 +224,29 @@ def _query_zeta(t16, offsets, dims, u0, u1, v0, v1):
     cell = (_TILE * (2 ** lvl)).astype(dtype)
     cu0 = jnp.clip((u0 / cell).astype(jnp.int32), 0, jnp.maximum(dw - 4, 0))
     cv0 = jnp.clip((v0 / cell).astype(jnp.int32), 0, jnp.maximum(dh - 4, 0))
+    # two gathered rows cover the 4 window rows: each table row carries the
+    # cell run AND its row-below companion. Row-index clamping may re-read
+    # rows, which only ADDS candidates (conservative); coverage: pair 1
+    # covers rows {cv0, cv0+1}, pair 2 {min(cv0+2, dh-1), +1} — their union
+    # contains every valid bbox row <= min(cv0+3, dh-1).
     f0s = []
-    for dv in range(4):
+    for dv in (0, 2):
         cv = jnp.minimum(cv0 + dv, dh - 1)
         f0s.append((offs + cv * dw + cu0).reshape(-1))
-    f0 = jnp.stack(f0s, axis=0)  # (4, NB) — 2D-shaped take = fast path
+    f0 = jnp.stack(f0s, axis=0)  # (2, NB) — 2D-shaped take = fast path
     r0 = f0 // 4
-    got = jnp.take(t16, jnp.minimum(r0, t16.shape[0] - 1), axis=0)  # (4, NB, 16)
+    got = jnp.take(t16, jnp.minimum(r0, t16.shape[0] - 1), axis=0)  # (2, NB, 32)
     lane0 = (f0 - r0 * 4)[..., None]
-    io = jnp.arange(16, dtype=jnp.int32)
-    inwin_z = (io < 8) & (io >= lane0) & (io < lane0 + 4)
-    inwin_e = (io >= 8) & (io >= lane0 + 8) & (io < lane0 + 12)
+    io = jnp.arange(32, dtype=jnp.int32)
+    seg = io // 8  # 0: zeta, 1: zeta-down, 2: eta, 3: eta-down
+    ioseg = io % 8
+    inlane = (ioseg >= lane0) & (ioseg < lane0 + 4)
     zeta_min = jnp.min(
-        jnp.where(inwin_z, got, jnp.asarray(jnp.inf, dtype)), axis=(0, -1))
+        jnp.where(inlane & (seg <= 1), got, jnp.asarray(jnp.inf, dtype)),
+        axis=(0, -1))
     eta_max = jnp.max(
-        jnp.where(inwin_e, got, jnp.asarray(-jnp.inf, dtype)), axis=(0, -1))
+        jnp.where(inlane & (seg >= 2), got, jnp.asarray(-jnp.inf, dtype)),
+        axis=(0, -1))
     return zeta_min.reshape(u0.shape), eta_max.reshape(u0.shape)
 
 
