@@ -197,10 +197,11 @@ def _zeta_mip(points_cam, normals_cam, cam, delta, dtype,
     return t32, offsets[:-1], dims
 
 
-def _query_zeta(t16, offsets, dims, u0, u1, v0, v1):
+def _query_zeta(t32, offsets, dims, u0, u1, v0, v1):
     """Conservative (min of zeta, max of eta) over pixel bbox
-    [u0,u1]x[v0,v1] (inclusive), from the side-by-side (rows, 16) table
-    (zeta lanes 0-7, eta lanes 8-15) in ONE row gather per window row.
+    [u0,u1]x[v0,v1] (inclusive), from the paired 32-lane table
+    ([zeta | zeta-row-below | eta | eta-row-below]) in TWO row gathers
+    per brick.
 
     Uses a 4x4 cell window at the level where 3 cells cover the bbox span —
     over-coverage <= ~1.7x per axis (a 2x2 window at the next-coarser level
@@ -214,7 +215,7 @@ def _query_zeta(t16, offsets, dims, u0, u1, v0, v1):
     neighboring image row / level / the +inf pad), the extra cells can only
     LOWER the min — a FREE brick may conservatively degrade to FULL (exact
     either way), never the reverse."""
-    dtype = t16.dtype
+    dtype = t32.dtype
     span = jnp.maximum(u1 - u0, v1 - v0) / (3.0 * _TILE)
     lvl = jnp.ceil(jnp.log2(jnp.maximum(span, 1.0))).astype(jnp.int32)
     lvl = jnp.clip(lvl, 0, len(dims) - 1)
@@ -235,7 +236,7 @@ def _query_zeta(t16, offsets, dims, u0, u1, v0, v1):
         f0s.append((offs + cv * dw + cu0).reshape(-1))
     f0 = jnp.stack(f0s, axis=0)  # (2, NB) — 2D-shaped take = fast path
     r0 = f0 // 4
-    got = jnp.take(t16, jnp.minimum(r0, t16.shape[0] - 1), axis=0)  # (2, NB, 32)
+    got = jnp.take(t32, jnp.minimum(r0, t32.shape[0] - 1), axis=0)  # (2, NB, 32)
     lane0 = (f0 - r0 * 4)[..., None]
     io = jnp.arange(32, dtype=jnp.int32)
     seg = io // 8  # 0: zeta, 1: zeta-down, 2: eta, 3: eta-down
