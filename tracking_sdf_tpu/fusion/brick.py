@@ -135,8 +135,9 @@ def _zeta_mip(points_cam, normals_cam, cam, delta, dtype,
     else eta = +inf — no occlusion guarantee). Point-to-point: d = z_y -
     z_p exactly, so eta = z_y + delta.
 
-    Returns (t16 (rows, 16) with zeta in lanes 0-7 and eta in lanes 8-15,
-    offsets, dims) — side by side so one row gather serves both queries.
+    Returns (t32 (rows, 32): [zeta | zeta-row-below | eta | eta-row-below],
+    offsets, dims) — one gathered row serves both queries for two window
+    rows, so the 4x4 bbox window costs 2 gathers per brick.
     """
     h, w = points_cam.shape[:2]
     z_y = points_cam[..., 2]
