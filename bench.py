@@ -1,9 +1,11 @@
 """Headline benchmark: fused frames/s/chip on the flagship configuration.
 
 One frame = Gauss-Newton tracking (640x480, pixel stride 3) + full TSDF
-depth+color fusion into the 256^3 grid — the reference's per-frame pipeline
-(sdf_reconstruction.cpp:21-80) at its own configuration (:83-88), using the
-brick-compacted fusion path.
+depth+color fusion into the 256^3 grid (BENCH_PRESET=tum512 for 512^3) —
+the reference's per-frame pipeline (sdf_reconstruction.cpp:21-80) at its
+own configuration (:83-88), on the brick-major fusion path. Also prints
+(stderr) a fuse/track breakdown and an end-to-end line including
+bilateral+normals preprocessing.
 
 The workload is a K-frame camera trajectory with realistic handheld motion
 (~13 mm + ~0.9 deg per frame, TUM fr1-like, with 30% frame-to-frame
