@@ -45,7 +45,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="raycast the final model from the last pose and save "
                         "a depth|normals|color PNG panel to this path")
     p.add_argument("--mesh-every", type=int, default=0,
-                   help="also export every N frames (reference meshes at 1 Hz)")
+                   help="also export every N frames (synchronous)")
+    p.add_argument("--mesh-async",
+                   help="export the mesh to this PLY from an async snapshot "
+                        "thread at config.mesh_hz (default 1 Hz) — the "
+                        "reference's concurrent visualization thread, "
+                        "sdf_reconstruction.cpp:97, race-free here")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="jax.config.update('jax_debug_nans'): fail fast at "
+                        "the op that produced a NaN — the reference's "
+                        "valgrind/memcheck launch analog (sdf.launch.memcheck)")
     p.add_argument("--eval", action="store_true",
                    help="print ATE RMSE vs the dataset's groundtruth.txt")
     p.add_argument("--groundtruth-poses", action="store_true",
@@ -111,6 +120,8 @@ def main(argv=None) -> int:
         # must happen before any backend touch; the env var alone is
         # ignored once the TPU-proxy plugin has pre-registered
         jax.config.update("jax_platforms", "cpu")
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from tracking_sdf_tpu.config import preset
     from tracking_sdf_tpu.pipeline import Reconstruction, ate_rmse, read_trajectory
@@ -189,6 +200,10 @@ def main(argv=None) -> int:
     gt_source = getattr(dataset, "groundtruth", None)
     if args.native_loader and hasattr(dataset, "stream"):
         dataset = dataset.stream()
+
+    if args.mesh_async:
+        recon.start_mesh_publisher(args.mesh_async,
+                                   with_colors=not args.no_color)
 
     profile_cm = None
     if args.profile:
