@@ -80,13 +80,17 @@ elif os.environ.get("VARIANTS") == "share84":
         "share=8x8": mk_share(8, 8),
     }
 else:
+    # deltas off the CURRENT preset (labels derive from it — the preset's
+    # share/pyramid have moved across rounds)
+    _p = f"share={base.fusion.pixel_share}x{base.fusion.pixel_share_j}"
     variants = {
-        "pyr21+sj2 (preset)": mk(),
-        "flat+sj2": mk(pyr=None),
-        "flat+sj1": mk(pyr=None, sj=1),
-        "pyr21+sj1": mk(sj=1),
-        "pyr21+sj2+p2p": mk(dist="point_to_point"),
-        "flat+sj1+p2p": mk(pyr=None, sj=1, dist="point_to_point"),
+        f"preset ({_p})": mk(pyr=base.pyramid_levels,
+                             sj=base.fusion.pixel_share_j),
+        "flat": mk(pyr=None, sj=base.fusion.pixel_share_j),
+        "share 2x2": mk_share(2, 2),
+        "preset+p2p": mk(pyr=base.pyramid_levels,
+                         sj=base.fusion.pixel_share_j,
+                         dist="point_to_point"),
     }
 
 orig_preset = config.preset
