@@ -31,13 +31,18 @@ from typing import List
 import numpy as np
 
 
-def _build(width: int, height: int, room: bool = False):
+def _build(width: int, height: int, room: bool = False,
+           cluster_shift=(0.0, 0.0, 0.0), cluster_scale: float = 1.0):
     """(scene, cam, pose0). Scene geometry is authored in frame-0 CAMERA
     coordinates (x right, y down, z forward — easy frustum reasoning) and
     mapped to world with REFERENCE_INITIAL_POSE. ``room=True`` closes the
     box (side walls + ceiling + near wall inside the grid volume) so that
     ANY camera orientation sees in-grid geometry — required when replaying
-    real handheld trajectories (--trajectory-file) that look all around."""
+    real handheld trajectories (--trajectory-file) that look all around.
+    ``cluster_shift``/``cluster_scale`` move/scale the OBJECT CLUSTER
+    (table, cube, spheres — not the room) in world coords: real orbits
+    circle AROUND their subject, so the cluster must sit at the orbit's
+    look-at center (see _fit_cluster), not ahead of frame 0."""
     import jax.numpy as jnp
 
     from tracking_sdf_tpu.core.camera import PinholeCamera, tum_fr1_camera
@@ -55,15 +60,28 @@ def _build(width: int, height: int, room: bool = False):
         a, b = w(lo), w(hi)
         return CuboidScene(tuple(np.minimum(a, b)), tuple(np.maximum(a, b)))
 
+    sh = np.asarray(cluster_shift, np.float32)
+    sc = float(cluster_scale)
+    ctr = w((0.0, 0.45, 1.6))  # cluster reference point (table center-ish)
+
+    def cbox(lo, hi):  # cluster box: world-shift + scale about ctr
+        a = (w(lo) - ctr) * sc + ctr + sh
+        b = (w(hi) - ctr) * sc + ctr + sh
+        return CuboidScene(tuple(np.minimum(a, b)), tuple(np.maximum(a, b)))
+
+    def csph(c, r):
+        return SphereScene(
+            center=tuple((w(c) - ctr) * sc + ctr + sh), radius=r * sc)
+
     objects = [
         # floor (camera-down y=+0.85) and back wall (z=2.6) bound the room
         box((-4.0, 0.85, -0.5), (4.0, 1.05, 4.0)),
         box((-4.0, -2.0, 2.6), (4.0, 1.05, 2.9)),
         # table with a cube sitting on it
-        box((-0.55, 0.35, 1.30), (0.45, 0.85, 1.95)),
-        box((-0.30, 0.05, 1.45), (0.00, 0.35, 1.75)),
-        SphereScene(center=tuple(w((0.45, 0.10, 1.60))), radius=0.25),
-        SphereScene(center=tuple(w((-0.55, 0.45, 1.05))), radius=0.18),
+        cbox((-0.55, 0.35, 1.30), (0.45, 0.85, 1.95)),
+        cbox((-0.30, 0.05, 1.45), (0.00, 0.35, 1.75)),
+        csph((0.45, 0.10, 1.60), 0.25),
+        csph((-0.55, 0.45, 1.05), 0.18),
     ]
     if room:
         objects += [
@@ -162,12 +180,38 @@ def _trajectory_from_file(pose0, path: str, n_frames: int,
     return [pose_compose(anchor, p) for p in raw]
 
 
+def _fit_cluster(poses, look_dist: float = 1.0, clearance: float = 0.2):
+    """(cluster_shift, cluster_scale) placing the object cluster at the
+    trajectory's median LOOK-AT point with the camera path kept clear.
+
+    A real orbit circles around its subject; anchoring the cluster 1.6 m
+    ahead of frame 0 put it ON the camera's path (measured: the 1200-frame
+    fr1/plant replay collided with the table at ~frame 450 and diverged).
+    The cluster is centered at median(t_k + look_dist * R_k z_k) and shrunk
+    until every camera position keeps ``clearance`` meters from the
+    cluster's bounding sphere."""
+    t = np.stack([np.asarray(p.t) for p in poses])
+    z = np.stack([np.asarray(p.R)[:, 2] for p in poses])
+    target = np.median(t + look_dist * z, axis=0)
+    ctr0 = np.asarray([0.0, -1.6, 1.45], np.float32)  # unshifted center-ish
+    shift = (target - ctr0).astype(np.float32)
+    # cluster bounding radius around its center (table diagonal ~0.75 m)
+    r0 = 0.8
+    scale = 1.0
+    for _ in range(6):
+        d = np.linalg.norm(t - target, axis=1).min()
+        if d >= r0 * scale + clearance:
+            break
+        scale *= 0.85
+    return tuple(shift), scale
+
+
 def generate(root: str, n_frames: int = 120, width: int = 640,
              height: int = 480, noise_k: float = 1.5e-3,
              dropout: float = 0.01, seed: int = 0,
              progress: bool = False, trajectory_file: str = None,
              traj_fps: float = 30.0, traj_start: float = 0.0,
-             room: bool = False) -> dict:
+             room: bool = False, fit_trajectory: bool = False) -> dict:
     """Render and write the sequence; returns summary stats."""
     import jax
     import jax.numpy as jnp
@@ -180,6 +224,14 @@ def generate(root: str, n_frames: int = 120, width: int = 640,
     if trajectory_file:
         poses = _trajectory_from_file(pose0, trajectory_file, n_frames,
                                       traj_fps, traj_start)
+        if fit_trajectory:
+            shift, scale = _fit_cluster(poses)
+            if progress:
+                print(f"  cluster fit: shift {np.round(shift, 2)}, "
+                      f"scale {scale:.2f}", file=sys.stderr)
+            scene, cam, pose0 = _build(width, height, room=room,
+                                       cluster_shift=shift,
+                                       cluster_scale=scale)
     else:
         poses = _trajectory(pose0, n_frames)
 
@@ -244,6 +296,10 @@ def main(argv=None) -> int:
     p.add_argument("--room", action="store_true",
                    help="close the room (side/behind walls + ceiling) so "
                         "any orientation sees in-grid geometry")
+    p.add_argument("--fit-trajectory", action="store_true",
+                   help="center the object cluster at the trajectory's "
+                        "median look-at point and keep the camera path "
+                        "clear of it (real orbits circle their subject)")
     args = p.parse_args(argv)
 
     import jax
@@ -253,7 +309,7 @@ def main(argv=None) -> int:
                      args.noise_k, args.dropout, args.seed, progress=True,
                      trajectory_file=args.trajectory_file,
                      traj_fps=args.traj_fps, traj_start=args.traj_start,
-                     room=args.room)
+                     room=args.room, fit_trajectory=args.fit_trajectory)
     print(f"wrote {stats['frames']} frames to {args.out} "
           f"(min valid-depth fraction {stats['min_valid_frac']:.2f})")
     return 0
