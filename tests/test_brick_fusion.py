@@ -227,6 +227,23 @@ def test_pixel_share_close_to_exact():
         assert ((W1 > 0) != (W2 > 0)).mean() < 0.02
 
 
+def test_factored_share_config_bitwise_inert():
+    """FusionConfig.factored_share (the jit-cache-keyed replacement for the
+    TSDF_FACTORED_SHARE env knob, ADVICE r2) is an HLO-shape A/B only: both
+    variants must produce bitwise-identical grids."""
+    pts, normals, _ = _frame(POSES[0])
+    grids = []
+    for fac in (False, True):
+        cfg = FusionConfig(fuse_color=False, pixel_share=2, pixel_share_j=2,
+                           factored_share=fac)
+        g, _ = fuse_frame_bricked(empty_grid(PARAMS), POSES[0], pts, normals,
+                                  None, params=PARAMS, cam=CAM, cfg=cfg,
+                                  bs=BS, cap=128)
+        grids.append(g)
+    np.testing.assert_array_equal(np.asarray(grids[0].D), np.asarray(grids[1].D))
+    np.testing.assert_array_equal(np.asarray(grids[0].W), np.asarray(grids[1].W))
+
+
 @pytest.mark.parametrize("distance", ["point_to_plane", "point_to_point"])
 def test_bricked_matches_dense_nan_speckle(distance):
     """Fuzz the classification proofs: random camera poses (including views

@@ -156,6 +156,15 @@ class FusionConfig(NamedTuple):
     # image offset than share=4 along k (group radius ~0.7 voxel diagonal
     # vs 1.5 voxels). Validate closed-loop before defaulting (BENCHMARKS.md).
     pixel_share_j: int = 1
+    # Share-mode HLO shape A/B (numerically inert, cross-checked bitwise):
+    # True keeps the shared pixel gather FACTORED (size-1 share dims
+    # broadcast inside the arithmetic) instead of materializing the
+    # explicit per-voxel broadcast. The explicit broadcast measured faster
+    # at every shape tested (BENCHMARKS.md batches C/Y) — this stays a
+    # jit-cache-keyed escape hatch, replacing the trace-time
+    # TSDF_FACTORED_SHARE env read (ADVICE r2: env toggles mid-process
+    # silently kept the stale variant).
+    factored_share: bool = False
 
 
 class RaycastConfig(NamedTuple):

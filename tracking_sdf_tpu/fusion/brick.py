@@ -299,7 +299,16 @@ def classify_bricks(params, pose, points_cam, normals_cam, cam, bs, dtype,
 
     Returns brick_class (nbi, nbj, nbk) int32: 0 = OUT, 1 = FREE, 2 = FULL.
     Shared by the flat-layout (fuse_frame_bricked) and brick-major
-    (fusion.brickmajor) paths; proofs in the module docstring. The FREE
+    (fusion.brickmajor) paths; proofs in the module docstring.
+
+    SHARE-MODE CAVEAT (ADVICE r2): the FREE/OCCLUDED ray-footprint bounds
+    (e_minus/e_plus in _zeta_mip) assume each voxel reads its OWN pixel
+    (du, dv in [0,1)). With pixel_share > 1 a FULL-brick voxel fuses
+    against the group-center pixel up to share/2 pixels away, so the
+    proofs are strictly exact only at share 1 — consistent with share
+    mode itself being a flagged approximation (FusionConfig.pixel_share);
+    FREE/OCCLUDED treatment remains EXACT w.r.t. the share-1 semantics
+    the equivalence tests pin. The FREE
     (zeta min-mip) and OCCLUDED (eta max-mip) proofs depend on the distance
     mode; plain OUT is geometry-only. OCCLUDED bricks — provably zero
     update at every voxel (deep behind every candidate surface, d < -delta,
@@ -493,9 +502,13 @@ def _full_brick_updates(brick_class, pix, pose, params, cam, cfg, bs, cap,
         # REAL kernel ran slower AT 256^3/share 2x2 — probe byte-counting
         # is not a cost model; the explicit broadcast is what XLA schedules
         # best there. At 512^3/share 4x4 the materialize is ~640 MB, so the
-        # balance may flip: TSDF_FACTORED_SHARE=1 is the A/B escape hatch
-        # (numerically inert — cross-checked bit-for-bit on CPU).
-        if os.environ.get("TSDF_FACTORED_SHARE") == "1":
+        # balance may flip: FusionConfig.factored_share is the A/B escape
+        # hatch (numerically inert — cross-checked bit-for-bit on CPU); the
+        # TSDF_FACTORED_SHARE env var remains as a process-START probe knob
+        # only (trace-time read: NOT in the jit cache key, unlike the cfg
+        # field).
+        if (getattr(cfg, "factored_share", False)
+                or os.environ.get("TSDF_FACTORED_SHARE") == "1"):
             g = g.reshape(cap, bi, bj // sj, 1, bk // sk, 1, -1)
             gs = (cap, bi, bj // sj, sj, bk // sk, sk)
             px, py, pz = (a.reshape(gs) for a in (px, py, pz))

@@ -549,14 +549,29 @@ class Reconstruction:
         return mesh.num_triangles
 
     def render(self, pose: Optional[Pose] = None, stride: int = 1, with_color: bool = True):
-        """Raycast a depth/normal/color view of the current model."""
+        """Raycast a depth/normal/color view of the current model.
+
+        Warns when the grazing-recovery compaction capacity overflowed
+        (RenderResult.dropped > 0): those rays are reported as misses in
+        the default sample="nearest_far" mode; sample="trilinear" is the
+        exact 100%-coverage mode."""
         from tracking_sdf_tpu.render.raycast import raycast
 
-        return raycast(
+        result = raycast(
             self.grid, pose if pose is not None else self.pose,
             params=self.config.grid, cam=self.cam, cfg=self.config.raycast,
             stride=stride, with_color=with_color,
         )
+        n_dropped = int(result.dropped)
+        if n_dropped > 0:
+            import warnings
+
+            warnings.warn(
+                f"raycast: {n_dropped} rays exceeded the fine-phase recovery "
+                "capacity and render as misses; use "
+                "RaycastConfig(sample='trilinear') for exact coverage",
+                RuntimeWarning, stacklevel=2)
+        return result
 
     def save_checkpoint(self, path: str) -> None:
         """Snapshot grid + pose + frame counter (reference has none; §5)."""

@@ -90,6 +90,17 @@ _TRI_TABLE[14, 0] = (0, 1, 2)           # v1 v2 v3
 
 
 class Mesh(NamedTuple):
+    """Triangle soup from marching tetrahedra.
+
+    WINDING NOTE (ADVICE r2): triangle winding is normalized against a
+    CELL-CONSTANT central-difference SDF gradient, not the exact trilinear
+    gradient at each triangle centroid. In multi-sheet cells (two surface
+    sheets crossing one cell) the sign can disagree and flip a triangle's
+    winding; measured agreement with the exact gradient is > 99% of
+    triangles on the probe scenes. Geometry (vertex positions) is exact
+    either way — only the orientation convention of rare sliver triangles
+    is approximate."""
+
     vertices: np.ndarray  # (T, 3, 3) float32 world-space triangle vertices
     colors: Optional[np.ndarray]  # (T, 3, 3) float32 in [0,1] or None
     # surface cells beyond max_cells, not triangulated (overflow is
