@@ -32,7 +32,8 @@ import numpy as np
 
 
 def _build(width: int, height: int, room: bool = False,
-           cluster_shift=(0.0, 0.0, 0.0), cluster_scale: float = 1.0):
+           cluster_shift=(0.0, 0.0, 0.0), cluster_scale: float = 1.0,
+           scene_family: str = "tabletop"):
     """(scene, cam, pose0). Scene geometry is authored in frame-0 CAMERA
     coordinates (x right, y down, z forward — easy frustum reasoning) and
     mapped to world with REFERENCE_INITIAL_POSE. ``room=True`` closes the
@@ -42,7 +43,16 @@ def _build(width: int, height: int, room: bool = False,
     ``cluster_shift``/``cluster_scale`` move/scale the OBJECT CLUSTER
     (table, cube, spheres — not the room) in world coords: real orbits
     circle AROUND their subject, so the cluster must sit at the orbit's
-    look-at center (see _fit_cluster), not ahead of frame 0."""
+    look-at center (see _fit_cluster), not ahead of frame 0.
+
+    ``scene_family`` selects the cluster geometry (paper Table I spans 10
+    sequences over different scene types — this is the breadth axis):
+      * "tabletop": table + cube + two spheres (the round-1/2 scene).
+      * "desk": cluttered desk-scale geometry — monitor slab, book stack,
+        keyboard, mugs, small-box clutter (fr1/desk-like surface density).
+      * "plant": thin-structure scene — potted plant with sphere-chain
+        stems and thin-slab leaves (fr1/plant-like: sparse, thin geometry
+        with depth shadows at every stem silhouette)."""
     import jax.numpy as jnp
 
     from tracking_sdf_tpu.core.camera import PinholeCamera, tum_fr1_camera
@@ -73,16 +83,64 @@ def _build(width: int, height: int, room: bool = False,
         return SphereScene(
             center=tuple((w(c) - ctr) * sc + ctr + sh), radius=r * sc)
 
+    def chain(p0, p1, n, r0_, r1_):
+        """n spheres along the segment p0->p1 with radius lerping r0_->r1_
+        (stems/branches: thin structure from exact-intersection prims)."""
+        a, b = np.asarray(p0, np.float32), np.asarray(p1, np.float32)
+        return [csph(tuple(a + (b - a) * (i / max(n - 1, 1))),
+                     r0_ + (r1_ - r0_) * (i / max(n - 1, 1)))
+                for i in range(n)]
+
     objects = [
         # floor (camera-down y=+0.85) and back wall (z=2.6) bound the room
         box((-4.0, 0.85, -0.5), (4.0, 1.05, 4.0)),
         box((-4.0, -2.0, 2.6), (4.0, 1.05, 2.9)),
-        # table with a cube sitting on it
-        cbox((-0.55, 0.35, 1.30), (0.45, 0.85, 1.95)),
-        cbox((-0.30, 0.05, 1.45), (0.00, 0.35, 1.75)),
-        csph((0.45, 0.10, 1.60), 0.25),
-        csph((-0.55, 0.45, 1.05), 0.18),
     ]
+    if scene_family == "tabletop":
+        objects += [
+            # table with a cube sitting on it
+            cbox((-0.55, 0.35, 1.30), (0.45, 0.85, 1.95)),
+            cbox((-0.30, 0.05, 1.45), (0.00, 0.35, 1.75)),
+            csph((0.45, 0.10, 1.60), 0.25),
+            csph((-0.55, 0.45, 1.05), 0.18),
+        ]
+    elif scene_family == "desk":
+        objects += [
+            # desk slab + monitor (slab on a foot), keyboard, book stack,
+            # two mugs, loose small boxes — high surface density, many
+            # depth discontinuities at close range
+            cbox((-0.65, 0.40, 1.25), (0.55, 0.85, 2.00)),   # desk top
+            cbox((-0.45, -0.12, 1.80), (0.15, 0.28, 1.86)),  # monitor panel
+            cbox((-0.20, 0.28, 1.80), (-0.10, 0.40, 1.88)),  # monitor foot
+            cbox((-0.30, 0.355, 1.40), (0.12, 0.40, 1.62)),  # keyboard
+            cbox((0.25, 0.22, 1.70), (0.45, 0.40, 1.92)),    # book stack
+            cbox((0.24, 0.10, 1.72), (0.44, 0.22, 1.90)),    # top book
+            csph((-0.50, 0.34, 1.55), 0.06),                 # mug
+            csph((0.18, 0.34, 1.48), 0.05),                  # mug 2
+            cbox((-0.58, 0.28, 1.78), (-0.46, 0.40, 1.90)),  # box clutter
+            cbox((0.02, 0.30, 1.94), (0.14, 0.40, 2.00)),    # box clutter 2
+            csph((-0.05, 0.30, 1.70), 0.10),                 # ball
+        ]
+    elif scene_family == "plant":
+        # potted plant on a stand: thin sphere-chain stems + thin-slab
+        # leaves. Thin structure = sparse SDF support, grazing silhouettes.
+        objects += [
+            cbox((-0.20, 0.55, 1.45), (0.20, 0.85, 1.85)),   # stand
+            cbox((-0.14, 0.38, 1.51), (0.14, 0.58, 1.79)),   # pot
+        ]
+        top = np.asarray((0.0, 0.40, 1.65), np.float32)
+        objects += chain(top, (0.0, -0.25, 1.65), 9, 0.035, 0.02)  # trunk
+        for (dx, dz, hy) in ((0.28, 0.10, -0.05), (-0.30, 0.05, -0.10),
+                             (0.15, -0.22, -0.15), (-0.12, 0.25, -0.02),
+                             (0.05, 0.28, -0.18), (-0.25, -0.18, -0.12)):
+            tip = (top[0] + dx, hy, top[2] + dz)
+            objects += chain((0.0, 0.15, 1.65), tip, 6, 0.022, 0.012)
+            # leaf slab at the stem tip (axis-aligned thin box)
+            objects.append(cbox(
+                (tip[0] - 0.09, tip[1] - 0.012, tip[2] - 0.07),
+                (tip[0] + 0.09, tip[1] + 0.012, tip[2] + 0.07)))
+    else:
+        raise ValueError(f"unknown scene family: {scene_family!r}")
     if room:
         objects += [
             box((-2.7, -2.0, -0.5), (-2.5, 1.05, 4.0)),   # left wall
@@ -211,7 +269,8 @@ def generate(root: str, n_frames: int = 120, width: int = 640,
              dropout: float = 0.01, seed: int = 0,
              progress: bool = False, trajectory_file: str = None,
              traj_fps: float = 30.0, traj_start: float = 0.0,
-             room: bool = False, fit_trajectory: bool = False) -> dict:
+             room: bool = False, fit_trajectory: bool = False,
+             scene_family: str = "tabletop") -> dict:
     """Render and write the sequence; returns summary stats."""
     import jax
     import jax.numpy as jnp
@@ -220,7 +279,8 @@ def generate(root: str, n_frames: int = 120, width: int = 640,
     from tracking_sdf_tpu.core.lie import quaternion_from_matrix
     from tracking_sdf_tpu.data.tum import write_synthetic_tum
 
-    scene, cam, pose0 = _build(width, height, room=room)
+    scene, cam, pose0 = _build(width, height, room=room,
+                               scene_family=scene_family)
     if trajectory_file:
         poses = _trajectory_from_file(pose0, trajectory_file, n_frames,
                                       traj_fps, traj_start)
@@ -231,7 +291,8 @@ def generate(root: str, n_frames: int = 120, width: int = 640,
                       f"scale {scale:.2f}", file=sys.stderr)
             scene, cam, pose0 = _build(width, height, room=room,
                                        cluster_shift=shift,
-                                       cluster_scale=scale)
+                                       cluster_scale=scale,
+                                       scene_family=scene_family)
     else:
         poses = _trajectory(pose0, n_frames)
 
@@ -300,6 +361,10 @@ def main(argv=None) -> int:
                    help="center the object cluster at the trajectory's "
                         "median look-at point and keep the camera path "
                         "clear of it (real orbits circle their subject)")
+    p.add_argument("--scene", default="tabletop",
+                   choices=("tabletop", "desk", "plant"),
+                   help="object-cluster family: tabletop (default), desk "
+                        "(cluttered close-range), plant (thin structure)")
     args = p.parse_args(argv)
 
     import jax
@@ -309,7 +374,8 @@ def main(argv=None) -> int:
                      args.noise_k, args.dropout, args.seed, progress=True,
                      trajectory_file=args.trajectory_file,
                      traj_fps=args.traj_fps, traj_start=args.traj_start,
-                     room=args.room, fit_trajectory=args.fit_trajectory)
+                     room=args.room, fit_trajectory=args.fit_trajectory,
+                     scene_family=args.scene)
     print(f"wrote {stats['frames']} frames to {args.out} "
           f"(min valid-depth fraction {stats['min_valid_frac']:.2f})")
     return 0
