@@ -365,6 +365,107 @@ def test_brickmajor_matches_dense(distance):
     np.testing.assert_allclose(np.asarray(Dm)[ok], Dm_ref[ok], atol=1e-6)
 
 
+@pytest.mark.parametrize("factor", [2, 3])
+def test_brickmajor_hier_classify_matches_flat(factor):
+    """Hierarchical (super-brick) classification == flat classification ==
+    dense, bit-for-bit on every leaf: the super-level OUT/FREE/OCCLUDED
+    proofs are monotone (classify_compact_hier docstring), so descending
+    only into MIXED supers must not change a single fused voxel. Also pins
+    equal n_full/n_free stats — the classification itself is identical,
+    not merely fuse-equivalent."""
+    from tracking_sdf_tpu.fusion.brickmajor import (
+        brick_grid_from_dense,
+        dense_from_brick_grid,
+        fuse_frame_brickmajor,
+    )
+
+    bs = (8, 8, 8)  # nb = (6, 6, 6): divisible by both factors
+    cfg_flat = FusionConfig(fuse_color=True)
+    cfg_hier = cfg_flat._replace(hier_classify=factor, cap_mixed=256)
+    gd = empty_grid(PARAMS)
+    bg_f = brick_grid_from_dense(empty_grid(PARAMS), bs)
+    bg_h = brick_grid_from_dense(empty_grid(PARAMS), bs)
+    for pose in POSES:
+        pts, normals, rgb = _frame(pose)
+        gd = fuse_frame(gd, pose, pts, normals, rgb,
+                        params=PARAMS, cam=CAM, cfg=cfg_flat)
+        bg_f, _, st_f = fuse_frame_brickmajor(
+            bg_f, pose, pts, normals, rgb, params=PARAMS, cam=CAM,
+            cfg=cfg_flat, bs=bs, cap=256)
+        bg_h, _, st_h = fuse_frame_brickmajor(
+            bg_h, pose, pts, normals, rgb, params=PARAMS, cam=CAM,
+            cfg=cfg_hier, bs=bs, cap=256)
+        assert int(st_h.n_full) == int(st_f.n_full)
+        assert int(st_h.n_free) == int(st_f.n_free)
+        assert int(st_h.overflow) == 0
+        assert int(st_h.overflow_mixed) == 0
+        assert int(st_h.overflow_active) == 0
+    for name, lf, lh in zip(TSDF_FIELDS, bg_f, bg_h):
+        np.testing.assert_array_equal(
+            np.asarray(lf), np.asarray(lh), err_msg=name)
+    gb = dense_from_brick_grid(bg_h, PARAMS, bs)
+    np.testing.assert_allclose(np.asarray(gb.W), np.asarray(gd.W), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb.D), np.asarray(gd.D), atol=1e-5)
+
+
+def test_brickmajor_hier_overflow_mixed_reported():
+    """Mixed super-bricks beyond cap_mixed are dropped for the frame and
+    REPORTED (FuseStats.overflow_mixed) — the reported-never-silent cap
+    contract extends to the hierarchy level."""
+    from tracking_sdf_tpu.fusion.brickmajor import (
+        brick_grid_from_dense,
+        fuse_frame_brickmajor,
+    )
+
+    bs = (8, 8, 8)
+    cfg = FusionConfig(fuse_color=False, hier_classify=2, cap_mixed=2)
+    bg = brick_grid_from_dense(empty_grid(PARAMS), bs)
+    pts, normals, rgb = _frame(POSES[0])
+    bg, _, stats = fuse_frame_brickmajor(
+        bg, POSES[0], pts, normals, None, params=PARAMS, cam=CAM, cfg=cfg,
+        bs=bs, cap=256)
+    assert int(stats.overflow_mixed) > 0
+
+
+def test_brickmajor_share_dither_phases():
+    """share_phase cycles the shared pixel row through the group: each
+    phase is a valid share-mode fuse (close to dense within the share
+    error bound), distinct phases read distinct pixels (grids differ),
+    and phase=None equals the static group-center variant (back-compat
+    for non-dithered share configs)."""
+    from tracking_sdf_tpu.fusion.brickmajor import (
+        brick_grid_from_dense,
+        dense_from_brick_grid,
+        fuse_frame_brickmajor,
+    )
+
+    bs = (8, 8, 16)
+    cfg = FusionConfig(fuse_color=False, pixel_share=2, pixel_share_j=2)
+    pts, normals, _ = _frame(POSES[0])
+    gd = fuse_frame(empty_grid(PARAMS), POSES[0], pts, normals, None,
+                    params=PARAMS, cam=CAM, cfg=FusionConfig(fuse_color=False))
+    outs = []
+    for phase in (None, jnp.int32(0), jnp.int32(1)):
+        bg = brick_grid_from_dense(empty_grid(PARAMS), bs)
+        bg, _, _ = fuse_frame_brickmajor(
+            bg, POSES[0], pts, normals, None, params=PARAMS, cam=CAM,
+            cfg=cfg, bs=bs, cap=256, share_phase=phase)
+        outs.append(dense_from_brick_grid(bg, PARAMS, bs))
+    for g in outs:
+        # share mode may flip masks/weights in a thin boundary band (the
+        # shared pixel's s decides the d >= -delta gate); the bulk must
+        # agree with dense and D error stay within the group footprint
+        w_same = np.isclose(np.asarray(g.W), np.asarray(gd.W), atol=1e-5)
+        assert float(w_same.mean()) > 0.95
+        fused = (np.asarray(gd.W) > 0) & w_same
+        err = np.abs(np.asarray(g.D) - np.asarray(gd.D))[fused]
+        assert float(np.median(err)) < 0.02
+    # phase 0 with stride-5 traversal starts at q=0 = group position (0,0)
+    # != the static center (sj//2, sk//2): different pixels, different D
+    assert not np.allclose(np.asarray(outs[1].D), np.asarray(outs[0].D))
+    assert not np.allclose(np.asarray(outs[2].D), np.asarray(outs[1].D))
+
+
 def test_brickmajor_bfloat16_storage_close_to_dense():
     """bfloat16 VALUE-leaf storage (FusionConfig.storage_dtype): weights
     stay float32 and must match the dense path exactly; D/color carry only

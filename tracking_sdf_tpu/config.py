@@ -165,6 +165,26 @@ class FusionConfig(NamedTuple):
     # TSDF_FACTORED_SHARE env read (ADVICE r2: env toggles mid-process
     # silently kept the stale variant).
     factored_share: bool = False
+    # Hierarchical brick classification for mode="brickmajor" (0/1 = off).
+    # When set to a super-brick factor f (e.g. 4), OUT/FREE/OCCLUDED are
+    # proven at f^3-brick granularity first and only MIXED super-bricks
+    # descend to per-brick proofs — conservative-EXACT (classify_compact_
+    # hier docstring) but the fine classify + id compaction run over
+    # cap_mixed * f^3 slots instead of all NB bricks (~3.4x fewer at
+    # 512^3). cap_mixed bounds descended supers; overflow is reported in
+    # FuseStats.overflow_mixed (never silent). Full-grid fusion only
+    # (SPMD slabs fall back to the flat classifier).
+    hier_classify: int = 0
+    cap_mixed: int = 2048
+    # Temporal share dithering (share mode only): the group's shared pixel
+    # row cycles through all pixel_share_j x pixel_share positions across
+    # frames (fuse_frame_brickmajor's share_phase arg = frame counter)
+    # instead of always reading the group center. The per-frame share bias
+    # then varies over the group footprint and the grid's running weighted
+    # mean averages it out — most of exact fusion's accuracy at ZERO
+    # per-frame cost. Like pixel_share itself this is a flagged
+    # approximation; equivalence tests pin share 1.
+    share_dither: bool = False
 
 
 class RaycastConfig(NamedTuple):
@@ -299,12 +319,18 @@ def preset(name: str) -> PipelineConfig:
         # 41-43 mm at m=512). --pixel-share 4 buys the accuracy back at
         # 0.82x baseline speed. Pyramid (4,2,1) beats (2,1) and flat
         # (53.0 / 65.0 ms vs 49.3 — more fine-level GN iterations).
+        # hier_classify=4: super-brick pruning cuts classify+compact 5.8 ->
+        # 4.4 ms (fuse 34.1 -> 32.7; scripts/probe_hier_classify.py) —
+        # cap_mixed 1536 vs 1044-1094 observed mixed supers (overflow
+        # reported in FuseStats.overflow_mixed). tum256 measured only
+        # ~0.2 ms and would need cap_mixed ~= NB/64 — not worth the cap.
         "tum512": PipelineConfig(
             grid=GridParams(m=512),
             fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
                                 brick_cap=38912, pixel_share=8,
                                 pixel_share_j=4, brick_cap_free=12288,
-                                storage_dtype="bfloat16"),
+                                storage_dtype="bfloat16",
+                                hier_classify=4, cap_mixed=1536),
             pyramid_levels=(4, 2, 1),
         ),
     }

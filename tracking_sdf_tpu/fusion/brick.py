@@ -66,6 +66,10 @@ class FuseStats(NamedTuple):
     # FREE bricks dropped (cap_free too small). Either way: capacity
     # overflow in the merge tail, reported never silent.
     overflow_active: jnp.ndarray = jnp.int32(0)
+    # hierarchical classification (FusionConfig.hier_classify): mixed
+    # super-bricks beyond cap_mixed — their child bricks are DROPPED for
+    # the frame (same reported-never-silent contract as `overflow`)
+    overflow_mixed: jnp.ndarray = jnp.int32(0)
 
 
 def _mip_levels(img, h, w, dtype, largest: bool):
@@ -110,6 +114,39 @@ def _overlap8(flat, neutral):
     npad = (-flat.shape[0]) % 4
     fp = jnp.pad(flat, (0, npad), constant_values=neutral).reshape(-1, 4)
     return jnp.concatenate([fp, jnp.roll(fp, -1, axis=0)], axis=1)
+
+
+def _compact_vals(flags, vals, cap, fill):
+    """Stable compaction: the values of the first ``cap`` set flags, in
+    order, padded with ``fill`` — exactly ``jnp.nonzero(flags, size=cap,
+    fill_value=fill)[0]`` semantics when ``vals = arange`` (including the
+    keep-FIRST-cap behavior on overflow), but ~1.7x faster on TPU.
+
+    XLA lowers nonzero(size) through a full-length sort; this is a
+    two-level cumsum (segment counts + within-segment ranks — both highly
+    parallel on the VPU) plus one scalar scatter, measured 2.6 vs 4.3 ms
+    at N = 262,144 / cap = 38,912 (scripts/probe_compaction.py). The
+    scatter is the remaining cost (~8 ns/row thin-scatter floor), which is
+    why hierarchical classification — shrinking N itself — compounds."""
+    n = flags.shape[0]
+    seg = 128 if n % 128 == 0 else (64 if n % 64 == 0 else 1)
+    f2 = flags.reshape(-1, seg).astype(jnp.int32)
+    within = jnp.cumsum(f2, axis=1) - 1
+    cnt = f2.sum(1)
+    base = jnp.cumsum(cnt) - cnt  # exclusive segment offsets
+    pos = base[:, None] + within
+    # overflow positions (pos >= cap) go to the drop slot `cap`, preserving
+    # nonzero's first-cap-survive semantics
+    tgt = jnp.where((f2 > 0) & (pos < cap), pos, cap)
+    buf = jnp.full((cap + 1,), fill, vals.dtype)
+    return buf.at[tgt.reshape(-1)].set(
+        vals.reshape(-1), mode="drop")[:cap]
+
+
+def _compact_ids(flags, cap, fill):
+    """First-``cap`` indices of set flags (sorted), ``fill``-padded."""
+    return _compact_vals(
+        flags, jnp.arange(flags.shape[0], dtype=jnp.int32), cap, fill)
 
 
 def _zeta_mip(points_cam, normals_cam, cam, delta, dtype,
@@ -293,34 +330,141 @@ def _brick_corners_cam(params, pose, bs, dtype, nbi, i_offset):
     return c[..., 0], c[..., 1], c[..., 2]
 
 
-def classify_bricks(params, pose, points_cam, normals_cam, cam, bs, dtype,
-                    nbi, i_offset, distance="point_to_plane"):
-    """Exact conservative OUT/FREE/FULL brick classification.
+def classify_compact_hier(params, pose, points_cam, normals_cam, cam, bs,
+                          dtype, nbi, i_offset, distance, cap, cap_free,
+                          factor, cap_mixed):
+    """Hierarchical OUT/FREE/FULL classification + FULL/FREE compaction.
 
-    Returns brick_class (nbi, nbj, nbk) int32: 0 = OUT, 1 = FREE, 2 = FULL.
-    Shared by the flat-layout (fuse_frame_bricked) and brick-major
-    (fusion.brickmajor) paths; proofs in the module docstring.
+    Classifies SUPER-bricks of ``factor``^3 fine bricks first, then
+    descends only into MIXED (class-FULL) super-bricks: fine-brick proofs
+    + id compaction run over ``cap_mixed * factor^3`` slots instead of all
+    NB bricks (3.4x fewer at 512^3, where ~73% of super-bricks are provably
+    OUT/OCCLUDED — scripts/probe_classify_breakdown.py).
 
-    SHARE-MODE CAVEAT (ADVICE r2): the FREE/OCCLUDED ray-footprint bounds
-    (e_minus/e_plus in _zeta_mip) assume each voxel reads its OWN pixel
-    (du, dv in [0,1)). With pixel_share > 1 a FULL-brick voxel fuses
-    against the group-center pixel up to share/2 pixels away, so the
-    proofs are strictly exact only at share 1 — consistent with share
-    mode itself being a flagged approximation (FusionConfig.pixel_share);
-    FREE/OCCLUDED treatment remains EXACT w.r.t. the share-1 semantics
-    the equivalence tests pin. The FREE
-    (zeta min-mip) and OCCLUDED (eta max-mip) proofs depend on the distance
-    mode; plain OUT is geometry-only. OCCLUDED bricks — provably zero
-    update at every voxel (deep behind every candidate surface, d < -delta,
-    or over invalid pixels) — fold into class 0: at 512^3 they were 39-40%
-    of all FULL bricks (the shadow volume behind surfaces plus NaN shadows;
-    scripts/probe_512_composition.py), each paying full gather+math+merge
-    cost for nothing.
+    EXACTNESS (same conservative-exact contract as classify_bricks):
+      * super OUT: pz is affine in the voxel index and the corner hull
+        bounds the interior, so every child corner lies within the super's
+        corner extrema -> each child satisfies the same OUT proof.
+      * super OCCLUDED: eta_max over the super's (conservative) window
+        >= eta over every pixel of every child's true bbox, and child
+        pz_min >= super pz_min > eta_max -> every child voxel provably
+        zero-update.
+      * super FREE: zeta_min over the super window <= zeta at every pixel
+        of the super bbox (superset of each child bbox) and child pz_max
+        <= super pz_max < zeta_min -> every child is FREE (exact w = 1,
+        d = +delta update), emitted WITHOUT descent.
+      * MIXED supers descend to the exact same per-fine-brick proofs as
+        classify_bricks (shared zeta/eta mip, identical corner math).
+    Capacity: mixed supers beyond ``cap_mixed`` are dropped and REPORTED
+    (overflow_mixed), as are FREE bricks beyond ``cap_free`` — the
+    reported-never-silent contract of the flat path.
+
+    Returns (full_ids (cap,), fr_ids (cap_free,), n_full (), n_free (),
+    overflow_mixed (), overflow_free ()). ids are global brick ids padded
+    with NB; full_ids order is (mixed-super rank, child) — consumers only
+    require uniqueness + NB padding, not global sortedness.
     """
     h, w_img = points_cam.shape[:2]
-    zflat, zoffs, zdims = _zeta_mip(points_cam, normals_cam, cam,
-                                    params.delta, dtype, distance)
-    cx_, cy_, cz_ = _brick_corners_cam(params, pose, bs, dtype, nbi, i_offset)
+    bi, bj, bk = bs
+    m = params.m
+    nbj, nbk = m // bj, m // bk
+    NB = nbi * nbj * nbk
+    f = factor
+    vol = f * f * f
+    nsi, nsj, nsk = nbi // f, nbj // f, nbk // f
+    NS = nsi * nsj * nsk
+    mip = _zeta_mip(points_cam, normals_cam, cam, params.delta, dtype,
+                    distance)
+
+    # ---- level 1: super-bricks ---------------------------------------------
+    sbs = (bi * f, bj * f, bk * f)
+    scls = classify_bricks(params, pose, points_cam, normals_cam, cam, sbs,
+                           dtype, nsi, i_offset, distance, mip=mip
+                           ).reshape(-1)
+    n_mixed = jnp.sum((scls == 2).astype(jnp.int32))
+    mixed_ids = _compact_ids(scls == 2, cap_mixed, NS)
+    valid_s = mixed_ids < NS
+    ms = jnp.where(valid_s, mixed_ids, 0)
+    si, sj, sk = ms // (nsj * nsk), (ms // nsk) % nsj, ms % nsk
+
+    # ---- level 2: fine bricks within mixed supers (gathered corners) -------
+    # per-axis corner contribution tables at FINE granularity (tiny: nb x 2
+    # x 3 each), gathered per descent slot — same separable construction as
+    # _brick_corners_cam
+    Rt = pose.R.T
+
+    def axis_tab(nb, b, extent, origin, col, off=0):
+        idx = jnp.arange(nb, dtype=dtype) * b + jnp.asarray(off, dtype)
+        lo = (extent / m) * (idx + 0.5) + origin
+        hi = (extent / m) * (idx + b - 0.5) + origin
+        return jnp.stack([lo, hi], axis=-1)[..., None] * Rt[:, col]
+
+    Ax = axis_tab(nbi, bi, params.width, params.origin[0], 0, i_offset)
+    Ay = axis_tab(nbj, bj, params.height, params.origin[1], 1)
+    Az = axis_tab(nbk, bk, params.depth, params.origin[2], 2)
+    base = -jnp.matmul(Rt, pose.t[:, None])[:, 0]
+    la = jnp.arange(f, dtype=jnp.int32)
+    fi = si[:, None] * f + la  # (S, f) fine indices per axis
+    fj = sj[:, None] * f + la
+    fk = sk[:, None] * f + la
+    sel = np.array([[a, b, c] for a in (0, 1) for b in (0, 1) for c in (0, 1)])
+    Axg = jnp.take(Ax, fi, axis=0)[:, :, sel[:, 0], :]  # (S, f, 8, 3)
+    Ayg = jnp.take(Ay, fj, axis=0)[:, :, sel[:, 1], :]
+    Azg = jnp.take(Az, fk, axis=0)[:, :, sel[:, 2], :]
+    c = (Axg[:, :, None, None] + Ayg[:, None, :, None]
+         + Azg[:, None, None, :]) + base  # (S, f, f, f, 8, 3)
+    fcls = _class_from_corners(c[..., 0], c[..., 1], c[..., 2], mip, cam,
+                               (h, w_img))
+    fcls = jnp.where(valid_s[:, None, None, None], fcls, 0)
+    # global fine-brick ids per descent slot
+    gid = (fi[:, :, None, None] * (nbj * nbk)
+           + fj[:, None, :, None] * nbk
+           + fk[:, None, None, :])  # (S, f, f, f)
+    gid = jnp.where(valid_s[:, None, None, None], gid, NB)
+    fflat = fcls.reshape(-1)
+    gflat = gid.reshape(-1)
+
+    n_full = jnp.sum((fflat == 2).astype(jnp.int32))
+    full_ids = _compact_vals(fflat == 2, gflat, cap, NB)
+
+    # ---- FREE ids: fine-FREE within mixed supers + children of FREE supers -
+    n_free_mixed = jnp.sum((fflat == 1).astype(jnp.int32))
+    fr_ids = _compact_vals(fflat == 1, gflat, cap_free, NB)
+    cap_sfree = max(cap_free // vol, 1)
+    n_sf = jnp.sum((scls == 1).astype(jnp.int32))
+    sf_ids = _compact_ids(scls == 1, cap_sfree, NS)
+    valid_sf = sf_ids < NS
+    sfs = jnp.where(valid_sf, sf_ids, 0)
+    sfi = (sfs // (nsj * nsk))[:, None] * f + la
+    sfj = ((sfs // nsk) % nsj)[:, None] * f + la
+    sfk = (sfs % nsk)[:, None] * f + la
+    sf_gid = (sfi[:, :, None, None] * (nbj * nbk)
+              + sfj[:, None, :, None] * nbk
+              + sfk[:, None, None, :]).reshape(cap_sfree, vol)
+    sf_gid = jnp.where(valid_sf[:, None], sf_gid, NB)
+    # append after the compacted mixed-free prefix (contiguous positions)
+    pos = n_free_mixed + jnp.arange(cap_sfree * vol, dtype=jnp.int32)
+    keep = valid_sf[:, None].repeat(vol, 1).reshape(-1) & (pos < cap_free)
+    fr_ids = fr_ids.at[jnp.where(keep, pos, cap_free)].set(
+        sf_gid.reshape(-1), mode="drop")
+    n_sf_kept = jnp.minimum(n_sf, cap_sfree)
+    n_free = n_free_mixed + vol * n_sf
+    overflow_free = (
+        jnp.maximum(n_free_mixed + vol * n_sf_kept - cap_free, 0)
+        + vol * jnp.maximum(n_sf - cap_sfree, 0))
+    overflow_mixed = jnp.maximum(n_mixed - cap_mixed, 0)
+    return full_ids, fr_ids, n_full, n_free, overflow_mixed, overflow_free
+
+
+def _class_from_corners(cx_, cy_, cz_, mip, cam, hw):
+    """OUT/FREE/FULL class from per-brick corner camera coords (..., 8).
+
+    The proof core of classify_bricks, factored out so hierarchical
+    classification can run it on GATHERED fine-brick corners (arbitrary
+    batch shape) with a shared zeta/eta mip. Proof comments live here;
+    classify_bricks retains the public contract."""
+    h, w_img = hw
+    zflat, zoffs, zdims = mip
     pz_min = cz_.min(-1)
     pz_max = cz_.max(-1)
     all_front = pz_min > 0
@@ -360,6 +504,38 @@ def classify_bricks(params, pose, points_cam, normals_cam, cam, bs, dtype,
     occluded = all_front & (pz_min > eta_max)
     return jnp.where(out | occluded, 0,
                      jnp.where(free, 1, 2)).astype(jnp.int32)
+
+
+def classify_bricks(params, pose, points_cam, normals_cam, cam, bs, dtype,
+                    nbi, i_offset, distance="point_to_plane", mip=None):
+    """Exact conservative OUT/FREE/FULL brick classification.
+
+    Returns brick_class (nbi, nbj, nbk) int32: 0 = OUT, 1 = FREE, 2 = FULL.
+    Shared by the flat-layout (fuse_frame_bricked) and brick-major
+    (fusion.brickmajor) paths; proofs in the module docstring.
+
+    SHARE-MODE CAVEAT (ADVICE r2): the FREE/OCCLUDED ray-footprint bounds
+    (e_minus/e_plus in _zeta_mip) assume each voxel reads its OWN pixel
+    (du, dv in [0,1)). With pixel_share > 1 a FULL-brick voxel fuses
+    against the group-center pixel up to share/2 pixels away, so the
+    proofs are strictly exact only at share 1 — consistent with share
+    mode itself being a flagged approximation (FusionConfig.pixel_share);
+    FREE/OCCLUDED treatment remains EXACT w.r.t. the share-1 semantics
+    the equivalence tests pin. The FREE
+    (zeta min-mip) and OCCLUDED (eta max-mip) proofs depend on the distance
+    mode; plain OUT is geometry-only. OCCLUDED bricks — provably zero
+    update at every voxel (deep behind every candidate surface, d < -delta,
+    or over invalid pixels) — fold into class 0: at 512^3 they were 39-40%
+    of all FULL bricks (the shadow volume behind surfaces plus NaN shadows;
+    scripts/probe_512_composition.py), each paying full gather+math+merge
+    cost for nothing.
+    """
+    h, w_img = points_cam.shape[:2]
+    if mip is None:
+        mip = _zeta_mip(points_cam, normals_cam, cam, params.delta, dtype,
+                        distance)
+    cx_, cy_, cz_ = _brick_corners_cam(params, pose, bs, dtype, nbi, i_offset)
+    return _class_from_corners(cx_, cy_, cz_, mip, cam, (h, w_img))
 
 
 def _pixel_table(points_cam, normals_cam, rgb, fuse_color, dtype,
@@ -414,7 +590,8 @@ def _pixel_table(points_cam, normals_cam, rgb, fuse_color, dtype,
 
 
 def _full_brick_updates(brick_class, pix, pose, params, cam, cfg, bs, cap,
-                        dtype, nb3, i_offset, hw, fuse_color):
+                        dtype, nb3, i_offset, hw, fuse_color,
+                        full_ids=None, n_full=None, share_phase=None):
     """Compact the FULL bricks and compute their (w, w*d, ...) update sums.
 
     The heart of brick-compacted fusion: ONE random pixel-row gather per
@@ -433,9 +610,10 @@ def _full_brick_updates(brick_class, pix, pose, params, cam, cfg, bs, cap,
     m = params.m
     NB = nbi * nbj * nbk
 
-    is_full = brick_class.reshape(-1) == 2
-    n_full = jnp.sum(is_full.astype(jnp.int32))
-    full_ids = jnp.nonzero(is_full, size=cap, fill_value=NB)[0]  # sorted
+    if full_ids is None:
+        is_full = brick_class.reshape(-1) == 2
+        n_full = jnp.sum(is_full.astype(jnp.int32))
+        full_ids = _compact_ids(is_full, cap, NB)  # sorted
     valid_brick = full_ids < NB
     fb = jnp.where(valid_brick, full_ids, 0)
     fbi = fb // (nbj * nbk)
@@ -491,7 +669,24 @@ def _full_brick_updates(brick_class, pix, pose, params, cam, cfg, bs, cap,
         # by the same factor. Per-voxel projection, masks, and distance
         # math below stay per-voxel.
         fp = flat_pix.reshape(cap, bi, bj // sj, sj, bk // sk, sk)
-        fp = fp[:, :, :, sj // 2, :, sk // 2]  # (cap, bi, bj/sj, bk/sk)
+        if share_phase is None:
+            fp = fp[:, :, :, sj // 2, :, sk // 2]  # (cap, bi, bj/sj, bk/sk)
+        else:
+            # temporal share DITHERING (FusionConfig.share_dither): the
+            # group's representative voxel cycles through all sj*sk group
+            # positions across frames instead of always reading the group
+            # center. Each frame's bias (reading a neighbor pixel's surface
+            # sample) then varies over the group footprint, and the running
+            # weighted mean in the grid averages it out — recovering most
+            # of the exact path's accuracy at ZERO per-frame cost (same
+            # gather count; phase is a traced scalar, no recompiles).
+            # stride-5 traversal (coprime with the power-of-2 group sizes):
+            # consecutive frames sample well-separated group positions, so
+            # short windows of frames already span the footprint
+            q = (share_phase * 5) % (sj * sk)
+            pj = q // sk
+            pk = q % sk
+            fp = jnp.take(jnp.take(fp, pj, axis=3), pk, axis=4)
         nrow = cap * bi * (bj // sj) * (bk // sk)
         lane = 128 if nrow % 128 == 0 else bk // sk
         g = jnp.take(pix, fp.reshape(nrow // lane, lane), axis=0)

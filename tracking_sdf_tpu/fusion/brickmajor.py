@@ -38,9 +38,11 @@ from tracking_sdf_tpu.core.camera import PinholeCamera
 from tracking_sdf_tpu.core.lie import Pose
 from tracking_sdf_tpu.fusion.brick import (
     FuseStats,
+    _compact_ids,
     _full_brick_updates,
     _pixel_table,
     classify_bricks,
+    classify_compact_hier,
 )
 from tracking_sdf_tpu.grid.grid import TSDFGrid
 from tracking_sdf_tpu.grid.interp import BrickMaskedView
@@ -206,6 +208,7 @@ def fuse_frame_brickmajor(
     emit_dm=True,  # True: flat (m,m,m) | "view": zero-copy BrickMaskedView | False
     i_offset=0,
     nbi_local: Optional[int] = None,  # SPMD slab: local brick count along i
+    share_phase=None,  # traced frame counter for share dithering (see below)
 ) -> Tuple[BrickGrid, Optional[jnp.ndarray], FuseStats]:
     """Fuse one frame into a brick-major grid.
 
@@ -249,12 +252,33 @@ def fuse_frame_brickmajor(
 
     pix = _pixel_table(points_cam, normals_cam, rgb, fuse_color, dtype,
                        cfg.distance)
-    brick_class = classify_bricks(
-        params, pose, points_cam, normals_cam, cam, bs, dtype, nbi,
-        i_offset, cfg.distance)
-    upd, full_ids, valid_brick, n_full, _ = _full_brick_updates(
-        brick_class, pix, pose, params, cam, cfg, bs, cap, dtype,
-        (nbi, nbj, nbk), i_offset, (h, w_img), fuse_color)
+    # hierarchical classification (FusionConfig.hier_classify): super-brick
+    # OUT/FREE/OCCLUDED pruning shrinks the fine classify + compaction
+    # domain ~3-4x at 512^3 (conservative-exact — proofs in
+    # classify_compact_hier). Full-grid only: SPMD slabs (nbi_local) keep
+    # the flat classifier.
+    hier = getattr(cfg, "hier_classify", 0)
+    use_hier = (hier > 1 and nbi_local is None and nbi % hier == 0
+                and nbj % hier == 0 and nbk % hier == 0)
+    ovf_mixed = jnp.int32(0)
+    if use_hier:
+        full_ids, fr_ids, n_full, n_free, ovf_mixed, ovf_free = \
+            classify_compact_hier(
+                params, pose, points_cam, normals_cam, cam, bs, dtype,
+                nbi, i_offset, cfg.distance, cap, cap_free, hier,
+                cfg.cap_mixed)
+        upd, _, valid_brick, _, _ = _full_brick_updates(
+            None, pix, pose, params, cam, cfg, bs, cap, dtype,
+            (nbi, nbj, nbk), i_offset, (h, w_img), fuse_color,
+            full_ids=full_ids, n_full=n_full, share_phase=share_phase)
+    else:
+        brick_class = classify_bricks(
+            params, pose, points_cam, normals_cam, cam, bs, dtype, nbi,
+            i_offset, cfg.distance)
+        upd, full_ids, valid_brick, n_full, _ = _full_brick_updates(
+            brick_class, pix, pose, params, cam, cfg, bs, cap, dtype,
+            (nbi, nbj, nbk), i_offset, (h, w_img), fuse_color,
+            share_phase=share_phase)
     # channels stay unstacked: XLA fuses the per-voxel update math directly
     # into the merge elementwise ops below (no (cap, BV, C) U round-trip)
     row_w = _row_w(BV)
@@ -316,9 +340,10 @@ def fuse_frame_brickmajor(
         Rb, Gb, Bb, Wcb = bgrid.R, bgrid.G, bgrid.B, bgrid.Wc
 
     # ---- FREE merge: w = 1, d = +delta, no pixel data ----------------------
-    is_free = brick_class.reshape(-1) == 1
-    n_free = jnp.sum(is_free.astype(jnp.int32))
-    fr_ids = jnp.nonzero(is_free, size=cap_free, fill_value=NB)[0]
+    if not use_hier:
+        is_free = brick_class.reshape(-1) == 1
+        n_free = jnp.sum(is_free.astype(jnp.int32))
+        fr_ids = _compact_ids(is_free, cap_free, NB)
     valid_f = fr_ids < NB
     rows_fg = expand(jnp.where(valid_f, fr_ids, 0))
     oob_f = NB * R + jnp.arange(cap_free * R, dtype=jnp.int32)
@@ -341,7 +366,9 @@ def fuse_frame_brickmajor(
         n_full=n_full,
         overflow=jnp.maximum(n_full - cap, 0),
         n_free=n_free,
-        overflow_active=jnp.maximum(n_free - cap_free, 0),
+        overflow_active=(ovf_free if use_hier
+                         else jnp.maximum(n_free - cap_free, 0)),
+        overflow_mixed=ovf_mixed,
     )
     if emit_dm == "view":
         if nbi_local is not None:

@@ -301,7 +301,7 @@ def sharded_fuse_frame_bricked(
         return grid_new, stats
 
     gspec = _grid_specs()
-    sspec = FuseStats(P(), P(), P(), P())
+    sspec = FuseStats(P(), P(), P(), P(), P())
     shmapped = jax.shard_map(
         local_fuse,
         mesh=mesh,
@@ -390,7 +390,7 @@ def sharded_fuse_frame_brickmajor(
         return bg, Dm_slab, stats
 
     bspec = BrickGrid(*([P("d", None)] * 6))
-    sspec = FuseStats(P(), P(), P(), P())
+    sspec = FuseStats(P(), P(), P(), P(), P())
     shmapped = jax.shard_map(
         local_fuse,
         mesh=mesh,
