@@ -71,6 +71,18 @@ elif os.environ.get("VARIANTS") == "weighting":
         "linear": mk_w("linear"),
         "constant": mk_w("constant"),
     }
+elif os.environ.get("VARIANTS") == "fast512":
+    # round-3 item 1: candidate accurate-AND-fast 512^3 presets
+    def mk_f(sk, sj, dist="point_to_plane", factored=False):
+        return dataclasses.replace(
+            base, fusion=base.fusion._replace(
+                pixel_share=sk, pixel_share_j=sj, distance=dist,
+                factored_share=factored))
+    variants = {
+        "share=4x4+p2p": mk_f(4, 4, dist="point_to_point"),
+        "share=8x4+p2p": mk_f(8, 4, dist="point_to_point"),
+        "share=4x4": mk_f(4, 4),
+    }
 elif os.environ.get("VARIANTS") == "share84":
     # the last big 512^3 speed lever (fuse 41 vs 56 ms): is 8-along-k
     # acceptable on realistic data? (radius 4 voxels = 47 mm at 512^3)

@@ -427,45 +427,6 @@ def test_brickmajor_hier_overflow_mixed_reported():
     assert int(stats.overflow_mixed) > 0
 
 
-def test_brickmajor_share_dither_phases():
-    """share_phase cycles the shared pixel row through the group: each
-    phase is a valid share-mode fuse (close to dense within the share
-    error bound), distinct phases read distinct pixels (grids differ),
-    and phase=None equals the static group-center variant (back-compat
-    for non-dithered share configs)."""
-    from tracking_sdf_tpu.fusion.brickmajor import (
-        brick_grid_from_dense,
-        dense_from_brick_grid,
-        fuse_frame_brickmajor,
-    )
-
-    bs = (8, 8, 16)
-    cfg = FusionConfig(fuse_color=False, pixel_share=2, pixel_share_j=2)
-    pts, normals, _ = _frame(POSES[0])
-    gd = fuse_frame(empty_grid(PARAMS), POSES[0], pts, normals, None,
-                    params=PARAMS, cam=CAM, cfg=FusionConfig(fuse_color=False))
-    outs = []
-    for phase in (None, jnp.int32(0), jnp.int32(1)):
-        bg = brick_grid_from_dense(empty_grid(PARAMS), bs)
-        bg, _, _ = fuse_frame_brickmajor(
-            bg, POSES[0], pts, normals, None, params=PARAMS, cam=CAM,
-            cfg=cfg, bs=bs, cap=256, share_phase=phase)
-        outs.append(dense_from_brick_grid(bg, PARAMS, bs))
-    for g in outs:
-        # share mode may flip masks/weights in a thin boundary band (the
-        # shared pixel's s decides the d >= -delta gate); the bulk must
-        # agree with dense and D error stay within the group footprint
-        w_same = np.isclose(np.asarray(g.W), np.asarray(gd.W), atol=1e-5)
-        assert float(w_same.mean()) > 0.95
-        fused = (np.asarray(gd.W) > 0) & w_same
-        err = np.abs(np.asarray(g.D) - np.asarray(gd.D))[fused]
-        assert float(np.median(err)) < 0.02
-    # phase 0 with stride-5 traversal starts at q=0 = group position (0,0)
-    # != the static center (sj//2, sk//2): different pixels, different D
-    assert not np.allclose(np.asarray(outs[1].D), np.asarray(outs[0].D))
-    assert not np.allclose(np.asarray(outs[2].D), np.asarray(outs[1].D))
-
-
 def test_brickmajor_bfloat16_storage_close_to_dense():
     """bfloat16 VALUE-leaf storage (FusionConfig.storage_dtype): weights
     stay float32 and must match the dense path exactly; D/color carry only

@@ -30,6 +30,32 @@ def test_bilateral_denoises_and_preserves_holes():
     assert np.median(err_filt) < 0.6 * np.median(err_noisy)
 
 
+def test_bilateral_separable_close_to_full():
+    """The separable approximation must denoise like the full kernel
+    (same contract: holes preserved, noise reduced) and stay close to the
+    full kernel away from edges — the presets A/B it on ATE, this pins
+    the local behavior."""
+    import jax
+
+    from tracking_sdf_tpu.tracking.preprocess import (
+        bilateral_filter_separable,
+    )
+
+    depth = render_scene_depth(SCENE, CAM, POSE)
+    noisy = render_scene_depth(SCENE, CAM, POSE, noise_sigma=0.01,
+                               key=jax.random.PRNGKey(0))
+    full = np.asarray(bilateral_filter(noisy))
+    sep = np.asarray(bilateral_filter_separable(noisy))
+    valid = np.isfinite(np.asarray(depth))
+    assert np.array_equal(np.isfinite(sep), valid)
+    err_noisy = np.abs(np.asarray(noisy) - np.asarray(depth))[valid]
+    err_sep = np.abs(sep - np.asarray(depth))[valid]
+    assert np.median(err_sep) < 0.6 * np.median(err_noisy)
+    # close to the full kernel in the bulk
+    diff = np.abs(sep - full)[valid]
+    assert np.median(diff) < 3e-3
+
+
 def test_normals_match_analytic_sphere():
     depth = render_scene_depth(SCENE, CAM, POSE)
     points = backproject(CAM, depth)

@@ -176,15 +176,6 @@ class FusionConfig(NamedTuple):
     # (SPMD slabs fall back to the flat classifier).
     hier_classify: int = 0
     cap_mixed: int = 2048
-    # Temporal share dithering (share mode only): the group's shared pixel
-    # row cycles through all pixel_share_j x pixel_share positions across
-    # frames (fuse_frame_brickmajor's share_phase arg = frame counter)
-    # instead of always reading the group center. The per-frame share bias
-    # then varies over the group footprint and the grid's running weighted
-    # mean averages it out — most of exact fusion's accuracy at ZERO
-    # per-frame cost. Like pixel_share itself this is a flagged
-    # approximation; equivalence tests pin share 1.
-    share_dither: bool = False
 
 
 class RaycastConfig(NamedTuple):
@@ -245,6 +236,10 @@ class PipelineConfig:
     raycast: RaycastConfig = RaycastConfig()
     use_groundtruth: bool = False  # fusion-only oracle mode (sdf_reconstruction.cpp:51)
     bilateral_filter: bool = True
+    # "full" = the 2-D (2r+1)^2 kernel; "separable" = vertical+horizontal
+    # 1-D passes (~5x cheaper, ATE-equivalent on the dataset oracle — see
+    # preprocess.bilateral_filter_separable)
+    bilateral_mode: str = "full"
     trajectory_path: Optional[str] = "trajectory.txt"
     mesh_hz: float = 0.0  # 0 = no periodic meshing; reference runs 1 Hz async
     # coarse-to-fine pyramid: extra decimation factors (coarsest first,

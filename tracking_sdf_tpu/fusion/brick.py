@@ -591,7 +591,7 @@ def _pixel_table(points_cam, normals_cam, rgb, fuse_color, dtype,
 
 def _full_brick_updates(brick_class, pix, pose, params, cam, cfg, bs, cap,
                         dtype, nb3, i_offset, hw, fuse_color,
-                        full_ids=None, n_full=None, share_phase=None):
+                        full_ids=None, n_full=None):
     """Compact the FULL bricks and compute their (w, w*d, ...) update sums.
 
     The heart of brick-compacted fusion: ONE random pixel-row gather per
@@ -668,25 +668,17 @@ def _full_brick_updates(brick_class, pix, pose, params, cam, cfg, bs, cap,
         # group-CENTER voxel's pixel row; the per-row-bound gather shrinks
         # by the same factor. Per-voxel projection, masks, and distance
         # math below stay per-voxel.
+        # NOTE (negative A/B, BENCHMARKS.md round 3): temporal share
+        # DITHERING — cycling the representative voxel through the group
+        # positions across frames so the running mean averages the bias
+        # out — was implemented and measured WORSE on the 120-frame
+        # dataset oracle (512^3: 16.3 -> 17.1 mm at share 8x4, 10.3 ->
+        # 13.7 mm at 4x4). The tracker reads the grid every frame, so the
+        # larger per-frame bias of non-center positions (up to the full
+        # group radius vs the center's half) hurts more than the long-run
+        # averaging helps. Removed; the group CENTER is the right pick.
         fp = flat_pix.reshape(cap, bi, bj // sj, sj, bk // sk, sk)
-        if share_phase is None:
-            fp = fp[:, :, :, sj // 2, :, sk // 2]  # (cap, bi, bj/sj, bk/sk)
-        else:
-            # temporal share DITHERING (FusionConfig.share_dither): the
-            # group's representative voxel cycles through all sj*sk group
-            # positions across frames instead of always reading the group
-            # center. Each frame's bias (reading a neighbor pixel's surface
-            # sample) then varies over the group footprint, and the running
-            # weighted mean in the grid averages it out — recovering most
-            # of the exact path's accuracy at ZERO per-frame cost (same
-            # gather count; phase is a traced scalar, no recompiles).
-            # stride-5 traversal (coprime with the power-of-2 group sizes):
-            # consecutive frames sample well-separated group positions, so
-            # short windows of frames already span the footprint
-            q = (share_phase * 5) % (sj * sk)
-            pj = q // sk
-            pk = q % sk
-            fp = jnp.take(jnp.take(fp, pj, axis=3), pk, axis=4)
+        fp = fp[:, :, :, sj // 2, :, sk // 2]  # (cap, bi, bj/sj, bk/sk)
         nrow = cap * bi * (bj // sj) * (bk // sk)
         lane = 128 if nrow % 128 == 0 else bk // sk
         g = jnp.take(pix, fp.reshape(nrow // lane, lane), axis=0)

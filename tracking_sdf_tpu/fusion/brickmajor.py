@@ -208,7 +208,6 @@ def fuse_frame_brickmajor(
     emit_dm=True,  # True: flat (m,m,m) | "view": zero-copy BrickMaskedView | False
     i_offset=0,
     nbi_local: Optional[int] = None,  # SPMD slab: local brick count along i
-    share_phase=None,  # traced frame counter for share dithering (see below)
 ) -> Tuple[BrickGrid, Optional[jnp.ndarray], FuseStats]:
     """Fuse one frame into a brick-major grid.
 
@@ -270,15 +269,14 @@ def fuse_frame_brickmajor(
         upd, _, valid_brick, _, _ = _full_brick_updates(
             None, pix, pose, params, cam, cfg, bs, cap, dtype,
             (nbi, nbj, nbk), i_offset, (h, w_img), fuse_color,
-            full_ids=full_ids, n_full=n_full, share_phase=share_phase)
+            full_ids=full_ids, n_full=n_full)
     else:
         brick_class = classify_bricks(
             params, pose, points_cam, normals_cam, cam, bs, dtype, nbi,
             i_offset, cfg.distance)
         upd, full_ids, valid_brick, n_full, _ = _full_brick_updates(
             brick_class, pix, pose, params, cam, cfg, bs, cap, dtype,
-            (nbi, nbj, nbk), i_offset, (h, w_img), fuse_color,
-            share_phase=share_phase)
+            (nbi, nbj, nbk), i_offset, (h, w_img), fuse_color)
     # channels stay unstacked: XLA fuses the per-voxel update math directly
     # into the merge elementwise ops below (no (cap, BV, C) U round-trip)
     row_w = _row_w(BV)

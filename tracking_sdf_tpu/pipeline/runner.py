@@ -80,7 +80,6 @@ class Reconstruction:
         # (config.pose_init="velocity"); None = no velocity estimate yet
         self._pose_prev: Optional[Pose] = None
         self.frame_num = 0
-        self._fuse_count = 0  # share-dither phase (monotone fuse counter)
         self.stats: List[FrameStats] = []
         self._writer = (
             TrajectoryWriter(config.trajectory_path)
@@ -187,22 +186,14 @@ class Reconstruction:
                                        max(256, cap_max // 2), cap_max})
             self._cap_idx = len(self._cap_levels) - 1
 
-            dither = (getattr(config.fusion, "share_dither", False)
-                      and config.fusion.mode == "brickmajor"
-                      and (config.fusion.pixel_share > 1
-                           or config.fusion.pixel_share_j > 1))
-
             def fuse_bm(pose, pts, normals, rgb):
                 cap = self._cap_levels[self._cap_idx]
-                extra = ({"share_phase": jnp.int32(self._fuse_count)}
-                         if dither else {})
-                self._fuse_count += 1
                 self._bgrid, self._dm, stats = _fuse_kernel(
                     self._bgrid, pose, pts, normals, rgb,
                     params=config.grid, cam=cam, cfg=config.fusion,
                     bs=self._bs, cap=cap,
                     cap_free=config.fusion.brick_cap_free or None,
-                    emit_dm="view", **extra,
+                    emit_dm="view",
                 )
                 self.last_fuse_stats = stats
                 need = int(stats.n_full) * 1.3
@@ -356,7 +347,8 @@ class Reconstruction:
         timestamp = float(timestamp) if timestamp is not None else float(self.frame_num)
 
         points, normals = preprocess_frame(
-            jnp.asarray(depth), cam=self.cam, bilateral=cfg.bilateral_filter
+            jnp.asarray(depth), cam=self.cam, bilateral=cfg.bilateral_filter,
+            bilateral_mode=getattr(cfg, "bilateral_mode", "full"),
         )
 
         gn_iters, nvalid, mean_res = 0, 0, 0.0

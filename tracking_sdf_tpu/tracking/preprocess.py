@@ -79,6 +79,48 @@ def _masked_box(img: jnp.ndarray, valid: jnp.ndarray, radius: int):
     return x / jnp.maximum(v, 1e-12), v > 0
 
 
+@partial(jax.jit, static_argnames=("radius", "sigma_spatial", "sigma_range"))
+def bilateral_filter_separable(
+    depth: jnp.ndarray,
+    radius: int = 5,
+    sigma_spatial: float = 3.0,
+    sigma_range: float = 0.03,
+) -> jnp.ndarray:
+    """Separable (vertical-then-horizontal) bilateral approximation.
+
+    2*(2r+1) taps instead of (2r+1)^2 — ~5x cheaper on the VPU at r=5 —
+    with the standard caveat that the two 1-D passes are not exactly the
+    2-D kernel near diagonal edges. For DEPTH smoothing ahead of normal
+    estimation this is well inside the module's stated contract (PCL's
+    FastBilateralFilter is itself a far coarser downsampled approximation;
+    the integration metric is trajectory ATE — A/B'd on the 120-frame
+    dataset oracle before the presets switched). The range weight in pass
+    2 compares against the PASS-1 OUTPUT (the usual separable form).
+    NaN holes stay NaN; NaN neighbors are excluded per-pass."""
+    center_valid = jnp.isfinite(depth)
+    inv2ss = 1.0 / (2.0 * sigma_spatial ** 2)
+    inv2sr = 1.0 / (2.0 * sigma_range ** 2)
+
+    def pass1d(img, axis):
+        d0 = jnp.where(jnp.isfinite(img), img, 0.0)
+        num = jnp.zeros_like(d0)
+        den = jnp.zeros_like(d0)
+        for d in range(-radius, radius + 1):
+            sw = math.exp(-(d * d) * inv2ss)
+            dy, dx = (d, 0) if axis == 0 else (0, d)
+            dn = _shifted(img, dy, dx, jnp.nan)
+            ok = jnp.isfinite(dn)
+            dn0 = jnp.where(ok, dn, 0.0)
+            w = jnp.where(ok, sw * jnp.exp(-((dn0 - d0) ** 2) * inv2sr), 0.0)
+            num = num + w * dn0
+            den = den + w
+        out = num / jnp.maximum(den, 1e-12)
+        return jnp.where(jnp.isfinite(img) & (den > 0), out, jnp.nan)
+
+    out = pass1d(pass1d(depth, 0), 1)
+    return jnp.where(center_valid, out, jnp.nan)
+
+
 @partial(jax.jit, static_argnames=("smoothing_radius", "max_depth_change_factor"))
 def estimate_normals(
     points_cam: jnp.ndarray,  # (H, W, 3) organized camera-frame points
@@ -134,13 +176,16 @@ def preprocess_frame(
     *,
     cam: PinholeCamera,
     bilateral: bool = True,
+    bilateral_mode: str = "full",  # "full" (2-D kernel) | "separable"
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """depth (H, W) -> (points_cam, normals_cam), both (H, W, 3).
 
     The per-frame preprocessing of kinect_callback (sdf_reconstruction.cpp:29-49).
     """
     if bilateral:
-        depth = bilateral_filter(depth)
+        fn = (bilateral_filter_separable if bilateral_mode == "separable"
+              else bilateral_filter)
+        depth = fn(depth)
     points = backproject(cam, depth)
     normals = estimate_normals(points)
     return points, normals
