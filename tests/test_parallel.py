@@ -216,6 +216,57 @@ def test_sharded_brickmajor_fusion_and_masked_tracking(mesh, frame):
                                np.asarray(r_dense.pose.R), atol=5e-5)
 
 
+def test_sharded_brickview_tracking_matches_dense(mesh, frame):
+    """Zero-relayout SPMD tracking (sharded_track_frame_brickmajor) gathers
+    corners straight from the sharded brick-major D rows with one
+    ppermute'd brick-layer halo — and must land on the SAME pose as dense
+    tracking, with the same valid-pixel count. Also pins that
+    emit_dm=False sharded fusion updates the brick rows identically to
+    emit_dm=True (Dm is the only difference)."""
+    from tracking_sdf_tpu.fusion.brickmajor import brick_grid_from_dense
+    from tracking_sdf_tpu.parallel import (
+        shard_brick_grid,
+        sharded_fuse_frame_brickmajor,
+        sharded_track_frame_brickmajor,
+    )
+
+    pts, normals, rgb = frame
+    bs = (2, 8, 16)
+    cfg = FusionConfig(fuse_color=False, brick_shape=bs)
+    g_dense = fuse_frame(empty_grid(PARAMS), TRUE_POSE, pts, normals, None,
+                         params=PARAMS, cam=CAM, cfg=cfg)
+
+    fuse_nodm = sharded_fuse_frame_brickmajor(
+        mesh, params=PARAMS, cam=CAM, cfg=cfg, cap=96, emit_dm=False)
+    bg0 = shard_brick_grid(brick_grid_from_dense(empty_grid(PARAMS), bs), mesh)
+    bg, Dm_none, stats = fuse_nodm(bg0, TRUE_POSE, pts, normals, None)
+    assert Dm_none is None
+    assert int(stats.overflow) == 0
+
+    fuse_dm = sharded_fuse_frame_brickmajor(
+        mesh, params=PARAMS, cam=CAM, cfg=cfg, cap=96, emit_dm=True)
+    bg0b = shard_brick_grid(brick_grid_from_dense(empty_grid(PARAMS), bs), mesh)
+    bg_b, _, _ = fuse_dm(bg0b, TRUE_POSE, pts, normals, None)
+    for a, b in zip(jax.tree.leaves(bg), jax.tree.leaves(bg_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    depth = render_scene_depth(SCENE, CAM, TRUE_POSE)
+    points = strided_points(backproject(CAM, depth), 2)
+    xi = jnp.asarray([0.02, -0.015, 0.02, 0.01, -0.015, 0.01],
+                     dtype=jnp.float32)
+    pose0 = pose_compose(se3_exp(xi), TRUE_POSE)
+    tcfg = TrackingConfig(jacobian="analytic", max_iterations=30)
+    r_dense = track_frame(g_dense, pose0, points, params=PARAMS, cfg=tcfg)
+    track_bv = sharded_track_frame_brickmajor(
+        mesh, params=PARAMS, cfg=tcfg, bs=bs)
+    r_bv = track_bv(bg.D, pose0, points)
+    assert int(r_bv.num_valid) == int(r_dense.num_valid)
+    np.testing.assert_allclose(np.asarray(r_bv.pose.t),
+                               np.asarray(r_dense.pose.t), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(r_bv.pose.R),
+                               np.asarray(r_dense.pose.R), atol=5e-5)
+
+
 @pytest.mark.parametrize("sdt", ["float32", "bfloat16"])
 def test_runner_distributed_brickmajor(mesh, tmp_path_factory, sdt):
     """Full Reconstruction with mesh + mode='brickmajor' (both storage

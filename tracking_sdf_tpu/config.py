@@ -306,14 +306,18 @@ def preset(name: str) -> PipelineConfig:
             pyramid_levels=(2, 1),
         ),
         # 512^3 bricked grid + pyramid + device-side marching cubes.
-        # Caps: n_full max 27935 post-OCCLUDED on the bench trajectory;
-        # trimming below 38912 measured FLAT (latency-floor-bound, not
-        # cap-bound — ABAB ledger entry), so the cap keeps its headroom.
-        # pixel_share 8x4: 20.3 vs 15.5 fps (>= the paper's 19.0 fps
-        # baseline); 120-frame dataset ATE 16.3 mm vs 10.3 mm at 4x4 (paper:
-        # 41-43 mm at m=512). --pixel-share 4 buys the accuracy back at
-        # 0.82x baseline speed. Pyramid (4,2,1) beats (2,1) and flat
-        # (53.0 / 65.0 ms vs 49.3 — more fine-level GN iterations).
+        # Round-3 preset: accuracy AND speed simultaneously (the round-2
+        # preset forced a choice: share 8x4 = fast/51.5 mm endurance vs
+        # share 4x4 p2plane = accurate/0.82x speed).
+        # pixel_share 4x4 + distance point_to_point: 120-frame dataset
+        # oracle ATE 6.1 mm vs 10.9 (8x4+p2p) / 10.3 (4x4 p2plane) /
+        # 16.3 (old 8x4 preset); fuse 41.3 ms with cap 34816 (vs 47.6 at
+        # cap 38912 — at share 4x4 the per-brick cost is 2x the 8x4 one,
+        # so cap trimming is no longer latency-floor-bound; n_full max
+        # 27935 observed on the bench trajectory, ~25% headroom, runner
+        # adapts cap upward on overflow anyway).
+        # scripts/probe_512_share_speed.py + probe_dataset_eval VARIANTS=fast512.
+        # Pyramid (4,2,1) beats (2,1) and flat (53.0 / 65.0 ms vs 49.3).
         # hier_classify=4: super-brick pruning cuts classify+compact 5.8 ->
         # 4.4 ms (fuse 34.1 -> 32.7; scripts/probe_hier_classify.py) —
         # cap_mixed 1536 vs 1044-1094 observed mixed supers (overflow
@@ -322,9 +326,10 @@ def preset(name: str) -> PipelineConfig:
         "tum512": PipelineConfig(
             grid=GridParams(m=512),
             fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
-                                brick_cap=38912, pixel_share=8,
+                                brick_cap=34816, pixel_share=4,
                                 pixel_share_j=4, brick_cap_free=12288,
                                 storage_dtype="bfloat16",
+                                distance="point_to_point",
                                 hier_classify=4, cap_mixed=1536),
             pyramid_levels=(4, 2, 1),
         ),

@@ -229,17 +229,23 @@ class BrickMaskedView:
     one (NB, C, BV) array with D at channel 0) sets pitch = C * BV: the
     same ``rows`` view then addresses D rows through the interleaved
     channels with no copy.
+
+    ``mi`` (i-extent in voxels; default m) supports SLAB-LOCAL views for
+    SPMD tracking (parallel.sharded.sharded_track_frame_brickmajor): the
+    rows hold only this shard's nbi_local brick layers plus one ppermute'd
+    halo layer, addressed by slab-local i in [0, mi). j/k stay global.
     """
 
-    __slots__ = ("rows", "m", "bs", "pitch")
+    __slots__ = ("rows", "m", "bs", "pitch", "mi")
 
     def __init__(self, rows: jnp.ndarray, m: int, bs: Tuple[int, int, int],
-                 pitch: int = 0):
+                 pitch: int = 0, mi: int = 0):
         self.rows = rows
         self.m = m
         self.bs = tuple(bs)
         bi, bj, bk = self.bs
         self.pitch = pitch if pitch else bi * bj * bk
+        self.mi = mi if mi else m
 
     @property
     def dtype(self):
@@ -247,14 +253,14 @@ class BrickMaskedView:
 
     @property
     def shape(self):
-        return (self.m, self.m, self.m)
+        return (self.mi, self.m, self.m)
 
     def tree_flatten(self):
-        return (self.rows,), (self.m, self.bs, self.pitch)
+        return (self.rows,), (self.m, self.bs, self.pitch, self.mi)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux[0], aux[1], aux[2])
+        return cls(children[0], aux[0], aux[1], aux[2], aux[3])
 
 
 def _corner_fetch_brick(view: BrickMaskedView, base: jnp.ndarray) -> jnp.ndarray:
@@ -270,7 +276,7 @@ def _corner_fetch_brick(view: BrickMaskedView, base: jnp.ndarray) -> jnp.ndarray
     m = view.m
     nbj, nbk = m // bj, m // bk
     ci, cj, ck = _corner_indices(base)  # (..., 8) each
-    ci = jnp.clip(ci, 0, m - 1)
+    ci = jnp.clip(ci, 0, view.mi - 1)  # mi < m: slab-local i addressing
     cj = jnp.clip(cj, 0, m - 1)
     ck = jnp.clip(ck, 0, m - 1)
     ib, di = ci // bi, ci % bi

@@ -20,6 +20,7 @@ from tracking_sdf_tpu.parallel.sharded import (
     sharded_fuse_frame_bricked,
     sharded_fuse_frame_brickmajor,
     sharded_track_frame,
+    sharded_track_frame_brickmajor,
     sharded_track_frame_masked,
     make_sharded_step,
 )
@@ -34,6 +35,7 @@ __all__ = [
     "sharded_fuse_frame_bricked",
     "sharded_fuse_frame_brickmajor",
     "sharded_track_frame",
+    "sharded_track_frame_brickmajor",
     "sharded_track_frame_masked",
     "make_sharded_step",
 ]

@@ -227,6 +227,70 @@ def sharded_track_frame_masked(
     return fn
 
 
+def sharded_track_frame_brickmajor(
+    mesh: Mesh,
+    *,
+    params: GridParams,
+    cfg: TrackingConfig = TrackingConfig(),
+    bs: Tuple[int, int, int] = (8, 8, 8),
+):
+    """SPMD tracking STRAIGHT off the sharded brick-major D rows — the
+    zero-relayout distributed analogue of the single-device emit_dm="view"
+    path.
+
+    Each device owns a contiguous slab of brick rows (P('d', None) on every
+    BrickGrid leaf). Tracking needs corners at base_i and base_i+1, so one
+    `lax.ppermute` ships the NEXT shard's first brick LAYER of D rows
+    (nbj*nbk rows = bi extra voxel planes; only the first plane is ever
+    addressed — ownership restricts base_i < i0+slab) and the local
+    (nbi_local+1)-layer extent becomes a slab-local BrickMaskedView
+    (grid/interp.py `mi`). Corner gathers, ownership partition, psum'd
+    normal equations: identical to sharded_track_frame_masked — minus the
+    per-frame slab-dense Dm relayout that path's input costs (the ~700
+    ms/frame SPMD fuse tax at 256^3, BENCHMARKS.md batch C).
+
+    Returns fn(D_rows (NB, BV) sharded P('d', None), pose, points_cam
+    (N, 3) replicated) -> TrackResult (replicated). The D leaf already
+    holds the NaN masked-view encoding (BrickGrid storage invariant)."""
+    if cfg.jacobian != "analytic":
+        raise ValueError("sharded tracking supports jacobian='analytic' only")
+    n_dev = mesh.devices.size
+    if params.m % n_dev != 0:
+        raise ValueError(f"grid m={params.m} not divisible by mesh size {n_dev}")
+    slab = params.m // n_dev
+    bi, bj, bk = bs
+    if slab % bi:
+        raise ValueError(f"slab {slab} not divisible by brick i-extent {bi}")
+    m = params.m
+    nbj, nbk = m // bj, m // bk
+    layer = nbj * nbk  # brick rows per i-layer of bricks
+    from tracking_sdf_tpu.grid.interp import _ROW_W, BrickMaskedView
+
+    def local_step(D_rows, pose, points_cam):
+        n = lax.axis_size("d")
+        perm = [((p + 1) % n, p) for p in range(n)]
+        halo = lax.ppermute(D_rows[:layer], "d", perm)
+        is_last = lax.axis_index("d") == n - 1
+        halo = jnp.where(is_last, jnp.full_like(halo, jnp.nan), halo)
+        ext = jnp.concatenate([D_rows, halo], axis=0)
+        view = BrickMaskedView(ext.reshape(-1, _ROW_W), m, bs, mi=slab + bi)
+        return _local_gn(view, pose, points_cam, slab, params, cfg)
+
+    shmapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("d", None), Pose(P(), P()), P()),
+        out_specs=TrackResult(Pose(P(), P()), P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def fn(D_rows: jnp.ndarray, pose: Pose, points_cam: jnp.ndarray) -> TrackResult:
+        return shmapped(D_rows, pose, points_cam)
+
+    return fn
+
+
 def sharded_fuse_frame(
     mesh: Mesh,
     *,
@@ -357,6 +421,7 @@ def sharded_fuse_frame_brickmajor(
     bs=None,
     cap: Optional[int] = None,
     cap_free: Optional[int] = None,
+    emit_dm: bool = True,
 ):
     """SPMD fusion over BRICK-MAJOR storage — the fastest single-device
     layout, sharded: each device owns a contiguous slab of brick rows
@@ -367,9 +432,11 @@ def sharded_fuse_frame_brickmajor(
 
     Returns fn(bgrid, pose, points, normals, rgb) ->
     (bgrid, Dm_slabbed, stats): Dm_slabbed is the (m, m, m) NaN-masked SDF
-    sharded P('d', None, None) — each device relayouts only its slab
-    (1/n_dev of the single-device relayout cost) — ready for
-    sharded_track_frame_masked. ``cap``/``cap_free`` are PER SHARD
+    sharded P('d', None, None) — each device relayouts only its slab —
+    ready for sharded_track_frame_masked. With ``emit_dm=False`` the
+    relayout is skipped entirely (Dm_slabbed is None): pair with
+    sharded_track_frame_brickmajor, which gathers corners straight from
+    the sharded bgrid.D rows. ``cap``/``cap_free`` are PER SHARD
     (default: brick_cap / n_devices, min 256)."""
     from tracking_sdf_tpu.fusion.brick import FuseStats
     from tracking_sdf_tpu.fusion.brickmajor import BrickGrid, fuse_frame_brickmajor
@@ -384,18 +451,22 @@ def sharded_fuse_frame_brickmajor(
         bg, Dm_slab, stats = fuse_frame_brickmajor(
             bgrid_slab, pose, points, normals, rgb if use_color else None,
             params=params, cam=cam, cfg=cfg, bs=bs, cap=cap,
-            cap_free=cap_free, emit_dm=True, i_offset=i0, nbi_local=nbi_l,
+            cap_free=cap_free, emit_dm=emit_dm, i_offset=i0, nbi_local=nbi_l,
         )
         stats = FuseStats(*(lax.psum(s, "d") for s in stats))
-        return bg, Dm_slab, stats
+        if emit_dm:
+            return bg, Dm_slab, stats
+        return bg, stats
 
     bspec = BrickGrid(*([P("d", None)] * 6))
     sspec = FuseStats(P(), P(), P(), P(), P())
+    out_specs = ((bspec, P("d", None, None), sspec) if emit_dm
+                 else (bspec, sspec))
     shmapped = jax.shard_map(
         local_fuse,
         mesh=mesh,
         in_specs=(bspec, Pose(P(), P()), P(), P(), P()),
-        out_specs=(bspec, P("d", None, None), sspec),
+        out_specs=out_specs,
         check_vma=False,
     )
 
@@ -405,7 +476,8 @@ def sharded_fuse_frame_brickmajor(
             raise ValueError("cfg.fuse_color=True but rgb is None")
         if rgb is None:  # unused placeholder (specs are positional arrays)
             rgb = jnp.zeros(points_cam.shape[:2] + (3,), jnp.float32)
-        return shmapped(bgrid, pose, points_cam, normals_cam, rgb)
+        out = shmapped(bgrid, pose, points_cam, normals_cam, rgb)
+        return out if emit_dm else (out[0], None, out[1])
 
     return fn
 

@@ -92,7 +92,8 @@ class Reconstruction:
         # tracking interpolates from directly (no per-frame relayout).
         self._bgrid = None
         self._dm = None
-        self._track_input = "grid"  # what self._track consumes: grid | dm
+        # what self._track consumes: grid | dm | bgrid_d (sharded brick rows)
+        self._track_input = "grid"
         if mesh is None and config.fusion.mode in ("brickmajor", "packed"):
             self._bs = config.fusion.brick_shape
             if config.fusion.mode == "packed":
@@ -246,42 +247,36 @@ class Reconstruction:
     # ------------------------------------------------------------------ #
 
     def _init_sharded_brickmajor(self, mesh, cam, fcfg) -> None:
-        """Distributed brick-major state: brick-row slabs + masked-slab Dm.
+        """Distributed brick-major state: brick-row slabs, zero relayout.
 
-        Fusion emits the slab-sharded masked Dm (each device relayouts only
-        its own bricks); tracking consumes it via
-        sharded_track_frame_masked (self._track_input = 'dm')."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        Fusion updates only the sharded brick rows (emit_dm=False); tracking
+        gathers corners straight from the sharded bgrid.D leaf via
+        sharded_track_frame_brickmajor (one ppermute'd brick-layer halo) —
+        the distributed analogue of the single-device emit_dm="view" path,
+        eliminating the per-frame slab-dense Dm relayout that cost the
+        1-device SPMD fuse ~700 ms/frame at 256^3 (BENCHMARKS.md batch C)."""
         from tracking_sdf_tpu.fusion.brickmajor import (
             brick_grid_from_dense,
             dense_from_brick_grid,
             empty_brick_grid,
-            masked_dense_D,
         )
         from tracking_sdf_tpu.parallel import (
             shard_brick_grid,
             sharded_fuse_frame_brickmajor,
-            sharded_track_frame_masked,
+            sharded_track_frame_brickmajor,
         )
 
         config = self.config
         bs = self._bs = fcfg.brick_shape
         vdt = jnp.bfloat16 if fcfg.storage_dtype == "bfloat16" else None
-        dm_dtype = vdt or jnp.float32  # ONE Dm dtype (init == fuse output)
-        dm_shard = NamedSharding(mesh, P("d", None, None))
         n_dev = mesh.devices.size
-        m = config.grid.m
         self._bgrid = shard_brick_grid(
             empty_brick_grid(config.grid, bs, value_dtype=vdt), mesh)
         self._bm_to_dense = lambda bg: dense_from_brick_grid(
             bg, config.grid, bs)
         self._bm_from_dense = lambda g: shard_brick_grid(
             brick_grid_from_dense(g, bs, value_dtype=vdt), mesh)
-        self._bm_view = lambda bg: jax.device_put(
-            masked_dense_D(bg, config.grid, bs).astype(dm_dtype), dm_shard)
-        # empty grid == all-NaN Dm: skip the (m, m, m) relayout at init
-        self._dm = jax.device_put(
-            jnp.full((m, m, m), jnp.nan, dtype=dm_dtype), dm_shard)
+        self._dm = None  # tracking reads bgrid.D rows directly
 
         # built lazily keyed on color presence: fuse_color is baked into the
         # shard_map (the single-device path adapts per call the same way)
@@ -296,15 +291,16 @@ class Reconstruction:
                     mesh, params=config.grid, cam=cam, cfg=cfg_k,
                     cap_free=(max(256, fcfg.brick_cap_free // n_dev)
                               if fcfg.brick_cap_free else None),  # per shard
+                    emit_dm=False,
                 )
-            self._bgrid, self._dm, stats = fuse_sh(
+            self._bgrid, _, stats = fuse_sh(
                 self._bgrid, pose, pts, normals, rgb)
             self.last_fuse_stats = stats
 
         self._fuse_bm = fuse_bm
-        self._track = sharded_track_frame_masked(
-            mesh, params=config.grid, cfg=config.tracking)
-        self._track_input = "dm"
+        self._track = sharded_track_frame_brickmajor(
+            mesh, params=config.grid, cfg=config.tracking, bs=bs)
+        self._track_input = "bgrid_d"
 
     @property
     def grid(self) -> TSDFGrid:
@@ -319,7 +315,9 @@ class Reconstruction:
     def grid(self, g: TSDFGrid) -> None:
         if getattr(self, "_bgrid", None) is not None:
             self._bgrid = self._bm_from_dense(g)
-            self._dm = self._bm_view(self._bgrid)
+            # sharded brickmajor tracks off bgrid.D directly (no view cache)
+            if getattr(self, "_bm_view", None) is not None:
+                self._dm = self._bm_view(self._bgrid)
         else:
             self._grid = g
 
@@ -376,7 +374,12 @@ class Reconstruction:
             dm = self._dm if bm else None
             if self._track is not None:
                 pts = points[:: cfg.tracking.pixel_stride, :: cfg.tracking.pixel_stride]
-                target = self._dm if self._track_input == "dm" else self.grid
+                if self._track_input == "bgrid_d":
+                    target = self._bgrid.D
+                elif self._track_input == "dm":
+                    target = self._dm
+                else:
+                    target = self.grid
                 res = self._track(target, pose0, pts.reshape(-1, 3))
             elif cfg.pyramid_levels:
                 from tracking_sdf_tpu.tracking.pyramid import track_frame_pyramid
