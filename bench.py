@@ -364,7 +364,9 @@ def _print_breakdown(cfg, cam, state, poses, PTS, NRM, PTS_S, rgb, frame_ms):
     @jax.jit
     def prep_k(D):
         def body(k, acc):
-            pts, nrm = preprocess_frame(D[k % K], cam=cam, bilateral=True)
+            pts, nrm = preprocess_frame(
+                D[k % K], cam=cam, bilateral=True,
+                bilateral_mode=getattr(cfg, "bilateral_mode", "full"))
             # full reductions force the whole chain (a scalar probe would
             # let XLA slice away most of the work)
             return acc + jnp.nansum(nrm[..., 0]) + jnp.nansum(pts[..., 2])

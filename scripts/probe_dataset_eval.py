@@ -71,6 +71,14 @@ elif os.environ.get("VARIANTS") == "weighting":
         "linear": mk_w("linear"),
         "constant": mk_w("constant"),
     }
+elif os.environ.get("VARIANTS") == "bilateral":
+    # round-3 item 8: separable (2x11-tap) vs full (121-tap) bilateral —
+    # the integration metric is trajectory ATE (module contract)
+    variants = {
+        "bilateral=full": base,
+        "bilateral=separable": dataclasses.replace(
+            base, bilateral_mode="separable"),
+    }
 elif os.environ.get("VARIANTS") == "fast512":
     # round-3 item 1: candidate accurate-AND-fast 512^3 presets
     def mk_f(sk, sj, dist="point_to_plane", factored=False):

@@ -159,6 +159,55 @@ def test_async_mesh_publisher(tmp_path):
     assert os.path.getsize(mesh_path) > 500
 
 
+def test_mesh_publisher_rate_degrade_and_decimate(tmp_path):
+    """(a) An export slower than the requested interval auto-stretches the
+    publisher's effective interval (REPORTED: degraded_cycles + warning),
+    never queues behind the device. (b) mesh_decimate publishes a coarser
+    live mesh (metric D slicing) while the final export stays full-res."""
+    import os
+    import time as _time
+    import warnings as _warnings
+
+    from tracking_sdf_tpu.pipeline.visualizer import MeshPublisher
+
+    # (a) rate degrade: a 0.25 s export against a 0.05 s interval
+    def slow_export(_snap):
+        _time.sleep(0.25)
+
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        pub = MeshPublisher(slow_export, interval=0.05)
+        pub.publish({"x": jnp.zeros(())})
+        _time.sleep(0.8)
+        pub.close(final=False)
+    assert pub.degraded_cycles >= 1
+    assert pub.effective_interval > 0.2
+    assert any("auto" in str(w.message) or "instead" in str(w.message)
+               for w in rec)
+
+    # (b) decimated live publisher: coarser mesh than the final export
+    cfg = PipelineConfig(grid=PARAMS, trajectory_path=None,
+                         bilateral_filter=False, use_groundtruth=True,
+                         mesh_decimate=2, mesh_hz=20.0)
+    recon = Reconstruction(CAM, cfg, initial_pose=TRUE_POSE)
+    live = str(tmp_path / "live2.ply")
+    pub = recon.start_mesh_publisher(live, with_colors=False)
+    for i in range(2):
+        depth = render_scene_depth(SCENE, CAM, TRUE_POSE)
+        recon.process_frame(depth, timestamp=float(i), gt_pose=TRUE_POSE)
+        _time.sleep(0.1)
+    final = str(tmp_path / "final.ply")
+    n_full = recon.export_mesh(final)
+    recon.close()
+    assert pub.errors == 0, pub.last_error
+    assert pub.published >= 1
+    assert os.path.getsize(live) > 200
+    assert n_full > 0
+    # the decimated live mesh must be strictly smaller than the full-res
+    # final export (2x coarser grid -> ~4x fewer surface cells)
+    assert os.path.getsize(live) < os.path.getsize(final)
+
+
 def test_tracking_failure_gate_drops_bad_frames():
     """A garbage frame (all-NaN depth) must not move the pose or touch the
     grid; the next good frame recovers (reference has no such guard)."""

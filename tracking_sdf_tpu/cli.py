@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "thread at config.mesh_hz (default 1 Hz) — the "
                         "reference's concurrent visualization thread, "
                         "sdf_reconstruction.cpp:97, race-free here")
+    p.add_argument("--mesh-hz", type=float, default=0.0,
+                   help="async publisher rate (default 1 Hz; auto-degrades "
+                        "when one export exceeds the interval — reported)")
+    p.add_argument("--mesh-decimate", type=int, default=0,
+                   help="mesh every Nth voxel in the ASYNC publisher only "
+                        "(coarser live mesh, ~N^3 cheaper; final --mesh "
+                        "stays full-res). The 512^3 1 Hz policy knob.")
     p.add_argument("--debug-nans", action="store_true",
                    help="jax.config.update('jax_debug_nans'): fail fast at "
                         "the op that produced a NaN — the reference's "
@@ -155,6 +162,10 @@ def main(argv=None) -> int:
     if args.groundtruth_poses:
         changes["use_groundtruth"] = True
     changes["trajectory_path"] = args.trajectory or None
+    if args.mesh_hz:
+        changes["mesh_hz"] = args.mesh_hz
+    if args.mesh_decimate:
+        changes["mesh_decimate"] = args.mesh_decimate
     cfg = dataclasses.replace(cfg, **changes)
 
     if args.multihost:

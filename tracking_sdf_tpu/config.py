@@ -242,6 +242,13 @@ class PipelineConfig:
     bilateral_mode: str = "full"
     trajectory_path: Optional[str] = "trajectory.txt"
     mesh_hz: float = 0.0  # 0 = no periodic meshing; reference runs 1 Hz async
+    # live-mesh decimation factor for the async publisher: mesh every s-th
+    # voxel (D is metric so slicing preserves the field; the exported mesh
+    # is s-times coarser, the marching-cubes pass ~s^3 cheaper). Final
+    # --mesh exports stay full-resolution. The 512^3 policy: at ~9 s/full
+    # color mesh a 1 Hz publisher is impossible — decimate 2 (~1.2 s) or
+    # let the publisher's rate auto-degrade (reported, visualizer.py).
+    mesh_decimate: int = 1
     # coarse-to-fine pyramid: extra decimation factors (coarsest first,
     # ending at 1) multiplied onto tracking.pixel_stride; None = single level
     pyramid_levels: Optional[Tuple[int, ...]] = None

@@ -432,7 +432,9 @@ class Reconstruction:
             # don't pay it ~50x/s when the publisher consumes one snapshot
             # per interval
             now = time.perf_counter()
-            if now - self._last_publish >= self._publisher.interval:
+            # effective_interval: follows the publisher's auto-degraded rate
+            # so snapshot copies aren't paid for exports that can't keep up
+            if now - self._last_publish >= self._publisher.effective_interval:
                 self._publisher.publish(self.grid)
                 self._last_publish = now
 
@@ -475,9 +477,26 @@ class Reconstruction:
         from tracking_sdf_tpu.render.marching_cubes import export_ply
 
         interval = 1.0 / (self.config.mesh_hz or 1.0)
+        dec = max(1, int(getattr(self.config, "mesh_decimate", 1)))
 
         def export(grid):
-            mesh = self._extract_mesh(grid, with_colors, "trilinear")
+            if dec > 1:
+                # D is metric (meters), so voxel decimation preserves the
+                # field; the live mesh is dec-times coarser and the MC pass
+                # ~dec^3 cheaper (config.mesh_decimate; final --mesh exports
+                # never decimate)
+                from tracking_sdf_tpu.render.marching_cubes import (
+                    marching_cubes,
+                )
+
+                grid = jax.tree.map(lambda a: a[::dec, ::dec, ::dec], grid)
+                params = self.config.grid._replace(
+                    m=self.config.grid.m // dec)
+                mesh = marching_cubes(grid, params=params,
+                                      with_colors=with_colors,
+                                      color_mode="trilinear")
+            else:
+                mesh = self._extract_mesh(grid, with_colors, "trilinear")
             export_ply(mesh, path)
 
         self._publisher = MeshPublisher(export, interval=interval)
