@@ -84,6 +84,41 @@ def test_cli_dataset_eval_end_to_end(sequence, tmp_path, monkeypatch):
     assert out["ate_rmse_m"] < 0.05, out
 
 
+@pytest.mark.parametrize("family", ["desk", "plant"])
+def test_scene_family_tracks_end_to_end(family, tmp_path, monkeypatch):
+    """Scene-breadth CI guard (VERDICT r2 next-item 3): every scene family
+    the big TPU accuracy matrix runs over must track through the full CLI
+    chain — cluttered desk-scale geometry and thin-structure plant — with
+    ATE far under the 96^3 voxel size (the same bar as the tabletop
+    guard above)."""
+    root = str(tmp_path / family)
+    stats = generate(root, n_frames=8, width=160, height=120,
+                     noise_k=1.0e-3, dropout=0.01, seed=5,
+                     scene_family=family)
+    assert stats["min_valid_frac"] > 0.85
+    fx, fy, cx, cy, w, h = stats["camera"]
+    small = PipelineConfig(
+        grid=GridParams(m=96),
+        fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
+                            brick_cap=1728, brick_cap_free=1728,
+                            pixel_share=2, pixel_share_j=2,
+                            storage_dtype="bfloat16"),
+    )
+    monkeypatch.setattr(config, "preset", lambda name: small)
+    traj = str(tmp_path / "traj.txt")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main([
+            "--preset", "tum256", "--dataset", root,
+            "--camera", f"{fx},{fy},{cx},{cy},{w},{h}",
+            "--trajectory", traj, "--eval", "--json", "--cpu",
+        ])
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["frames"] == 8 and out["ate_pairs"] == 8
+    assert out["ate_rmse_m"] < 0.05, (family, out)
+
+
 REF_GT = ("/root/reference/src/"
           "rgbd_dataset_freiburg1_plant-groundtruth.txt")
 
