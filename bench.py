@@ -299,6 +299,27 @@ def _fallback_sequential():
     (the on-device loop's large graph can hit multi-minute remote compiles
     when the compile tunnel is congested)."""
     cfg, cam, poses, PTS, NRM, PTS_S, rgb = build_inputs()
+    if cfg.grid.m >= 512:
+        # dense _frame_fn/_bootstrap OOM HBM at 512^3 (the per-voxel gather
+        # materializes a (m^3, C) pixel buffer at compile) — fall back with
+        # the brickmajor path, which is also what the main path measures
+        from tracking_sdf_tpu.fusion.brickmajor import brick_masked_view
+
+        vdt = (jnp.bfloat16 if cfg.fusion.storage_dtype == "bfloat16"
+               else None)
+        frame = jax.jit(_frame_fn_brickmajor(cfg, cam))
+        bg = _bootstrap_brickmajor(cfg, cam, poses, rgb, vdt)
+        state = (bg, brick_masked_view(bg, cfg.grid, (8, 8, 8)))
+        p2, p1 = poses[0], poses[0]
+        state, res = frame(state, p2, p1, PTS_S[0], PTS[0], NRM[0], rgb)
+        jax.block_until_ready(state[0].D)
+        t0 = time.perf_counter()
+        for k in range(K):
+            state, res = frame(state, p2, p1, PTS_S[k], PTS[k], NRM[k], rgb)
+            p2, p1 = p1, res.pose
+        jax.block_until_ready(state[0].D)
+        _emit(K / (time.perf_counter() - t0))
+        return
     frame = jax.jit(_frame_fn(cfg, cam))
     grid = _bootstrap(cfg, cam, poses, rgb)
     p2, p1 = poses[0], poses[0]
