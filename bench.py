@@ -409,6 +409,42 @@ def _print_breakdown(cfg, cam, state, poses, PTS, NRM, PTS_S, rgb, frame_ms):
           f"{e2e:.1f} ms/frame = {1000.0 / e2e:.1f} fps incl. "
           f"bilateral+normals", file=sys.stderr)
 
+    # ---- FUSED end-to-end: prep+track+fuse in ONE program -----------------
+    # The additive number above pays a per-program HBM-latency floor
+    # (~1.2-1.5 ms/pass measured: bilateral, backproject, normals are all
+    # floor-bound, not compute-bound). The real pipeline can run
+    # preprocessing inside the same XLA program as track+fuse, where its
+    # elementwise passes hide in the tracking gathers' latency shadow —
+    # the TPU analogue of the reference's concurrent preprocessing nodelets
+    # (launch/kinect_normal.launch). Same math, same per-frame semantics.
+    frame = _frame_fn_brickmajor(cfg, cam)
+    stride = cfg.tracking.pixel_stride
+
+    @jax.jit
+    def e2e_k(state, pose_prev2, pose_prev, D, eps):
+        def body(k, carry):
+            state, p2, p1 = carry
+            pts, nrm = preprocess_frame(
+                D[k % K] + eps * (k + 1), cam=cam, bilateral=True,
+                bilateral_mode=getattr(cfg, "bilateral_mode", "full"))
+            pts_s = pts[::stride, ::stride].reshape(-1, 3)
+            state, res = frame(state, p2, p1, pts_s, pts, nrm, rgb)
+            return (state, p1, res.pose)
+        return jax.lax.fori_loop(0, K, body, (state, pose_prev2, pose_prev))
+
+    st = state
+    out = e2e_k(st, poses[0], poses[0], DEPTH, jnp.float32(0.0))
+    _ = float(jax.tree_util.tree_leaves(out[0])[0].ravel()[0])
+    best = float("inf")
+    for rep in range(1, 3):
+        t0 = time.perf_counter()
+        out = e2e_k(out[0], poses[0], poses[0], DEPTH, jnp.float32(rep * 1e-7))
+        _ = float(jax.tree_util.tree_leaves(out[0])[0].ravel()[0])
+        best = min(best, (time.perf_counter() - t0) / K)
+    print(f"# end-to-end FUSED (one program): {best*1e3:.1f} ms/frame = "
+          f"{1000.0 / (best*1e3):.1f} fps incl. bilateral+normals",
+          file=sys.stderr)
+
 
 def main():
     cfg, cam, poses, PTS, NRM, PTS_S, rgb = build_inputs()

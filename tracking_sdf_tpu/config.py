@@ -304,8 +304,14 @@ def preset(name: str) -> PipelineConfig:
         # fr1/plant bar). The speed/accuracy ladder is one flag
         # (--pixel-share 2 -> 9.1 mm; --pixel-share 1 = per-voxel exact,
         # the parity-tested mode). BENCHMARKS.md round-2 tables.
+        # bilateral_mode separable: 120-frame oracle ATE 14.8 vs 14.7 mm
+        # (statistically identical; the reference's own PCL
+        # FastBilateralFilter is a far coarser approximation) at ~5x less
+        # preprocessing VPU work — the e2e lever of VERDICT r2 item 8.
+        # The exact 2-D kernel stays one config field away.
         "tum256": PipelineConfig(
             grid=GridParams(m=256),
+            bilateral_mode="separable",
             fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
                                 pixel_share=4, pixel_share_j=4,
                                 brick_cap_free=2048,
@@ -332,6 +338,7 @@ def preset(name: str) -> PipelineConfig:
         # ~0.2 ms and would need cap_mixed ~= NB/64 — not worth the cap.
         "tum512": PipelineConfig(
             grid=GridParams(m=512),
+            bilateral_mode="separable",
             fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
                                 brick_cap=34816, pixel_share=4,
                                 pixel_share_j=4, brick_cap_free=12288,
