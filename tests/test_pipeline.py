@@ -385,3 +385,68 @@ def test_runner_brickmajor_mode_matches_dense(tmp_path, mode):
     # D lanes only (the packed view's rows interleave all six channels)
     np.testing.assert_array_equal(np.isnan(np.asarray(D2)),
                                   np.isnan(np.asarray(D1)))
+
+
+def test_process_chunk_matches_per_frame(tmp_path):
+    """Chunked device-side processing (N frames in ONE dispatch) must
+    reproduce the per-frame loop: same poses, same rejection flags, same
+    grid. Includes a rejected frame (all-NaN depth) mid-chunk to pin the
+    in-graph failure gate + fusion-no-op + velocity-reset semantics, and
+    a uint16 raw-depth chunk to pin the on-device TUM decode."""
+    import dataclasses
+
+    from tracking_sdf_tpu.config import FusionConfig, PipelineConfig
+
+    cfg = PipelineConfig(
+        grid=PARAMS,
+        fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
+                            brick_cap=512, brick_cap_free=256,
+                            fuse_color=False),
+        pyramid_levels=(2, 1),
+        trajectory_path=None, bilateral_filter=False,
+    )
+    poses = _orbit(7)
+    depths = [render_scene_depth(SCENE, CAM, p) for p in poses]
+    depths[4] = jnp.full_like(depths[4], jnp.nan)  # gate must fire
+
+    r_seq = Reconstruction(CAM, cfg, initial_pose=poses[0])
+    for i, d in enumerate(depths):
+        r_seq.process_frame(d, timestamp=float(i))
+
+    r_chk = Reconstruction(CAM, cfg, initial_pose=poses[0])
+    r_chk.process_frame(depths[0], timestamp=0.0)  # bootstrap frame
+    stats = r_chk.process_chunk(jnp.stack(depths[1:]),
+                                timestamps=[float(i) for i in range(1, 7)])
+    assert len(stats) == 6
+    assert [s.rejected for s in stats] == \
+        [s.rejected for s in r_seq.stats[1:]]
+    assert stats[3].rejected  # the NaN frame
+    np.testing.assert_allclose(np.asarray(r_chk.pose.t),
+                               np.asarray(r_seq.pose.t), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_chk.pose.R),
+                               np.asarray(r_seq.pose.R), atol=1e-5)
+    g1, g2 = r_seq.grid, r_chk.grid
+    np.testing.assert_allclose(np.asarray(g2.W), np.asarray(g1.W),
+                               atol=1e-5)
+    ok = np.asarray(g1.W) > 0
+    np.testing.assert_allclose(np.asarray(g2.D)[ok], np.asarray(g1.D)[ok],
+                               atol=1e-5)
+    # per-frame GN iteration counts match (same math, same schedule)
+    assert [s.gn_iterations for s in stats] == \
+        [s.gn_iterations for s in r_seq.stats[1:]]
+
+    # uint16 raw chunk: on-device TUM decode (v/5000, 0 = NaN hole)
+    r_raw = Reconstruction(CAM, cfg, initial_pose=poses[0])
+    r_raw.process_frame(depths[0], timestamp=0.0)
+    raw = []
+    for d in depths[1:4]:
+        a = np.asarray(d)
+        u = np.where(np.isfinite(a), np.round(a * 5000.0), 0.0)
+        raw.append(u.astype(np.uint16))
+    r_raw.process_chunk(np.stack(raw),
+                        timestamps=[1.0, 2.0, 3.0])
+    # quantization is 0.1 mm — pose must stay with the float path's
+    r_f = Reconstruction(CAM, cfg, initial_pose=poses[0])
+    for i, d in enumerate(depths[:4]):
+        r_f.process_frame(d, timestamp=float(i))
+    assert float(jnp.linalg.norm(r_raw.pose.t - r_f.pose.t)) < 2e-3

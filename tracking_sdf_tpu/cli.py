@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true",
                    help="run on a generated synthetic orbit instead of a dataset")
     p.add_argument("--frames", type=int, default=None, help="max frames")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="batch N frames per device dispatch (brickmajor "
+                        "single-device only): device-rate throughput over "
+                        "high-latency links; frame 0 and odd tails run "
+                        "per-frame")
     p.add_argument("--frame-step", type=int, default=1,
                    help="process every Nth frame (the paper's §V-D "
                         "robustness study runs every 6th)")
@@ -225,7 +230,8 @@ def main(argv=None) -> int:
                   mesh_every=args.mesh_every, mesh_path=args.mesh,
                   checkpoint_every=args.checkpoint_every,
                   checkpoint_path=args.checkpoint,
-                  metrics_log=args.metrics_log, skip_frames=skip)
+                  metrics_log=args.metrics_log, skip_frames=skip,
+                  chunk=args.chunk)
         if args.mesh:
             n_tri = recon.export_mesh(args.mesh)
             print(f"mesh: {n_tri} triangles -> {args.mesh}", file=sys.stderr)

@@ -243,6 +243,7 @@ class Reconstruction:
             self._track = None  # dense path calls track_frame directly
         self.last_fuse_stats = None
         self._publisher = None
+        self._chunk_cache: Dict[Any, Any] = {}  # process_chunk jit cache
 
     # ------------------------------------------------------------------ #
 
@@ -446,6 +447,213 @@ class Reconstruction:
         self.stats.append(stat)
         return stat
 
+    # ------------------------------------------------------------------ #
+    # Chunked device-side processing: N frames per dispatch.
+    #
+    # The per-frame host loop pays one device round trip per frame — tens
+    # of ms to seconds over a high-latency link (the axon tunnel measures
+    # ~250 ms/frame wall against a 14 ms/frame device cost). process_chunk
+    # runs preprocessing + tracking + the failure gate + fusion for a whole
+    # chunk inside ONE jitted lax.fori_loop, exactly the shape bench.py's
+    # on-device loop measures — so dataset/offline throughput matches the
+    # device rate instead of the link rate. No reference counterpart (the
+    # reference is ROS-callback-driven). Semantics match process_frame:
+    # same preprocessing, same pose init rule, same rejection gate (a
+    # rejected frame keeps the pose, skips fusion — implemented by feeding
+    # the fuse an all-NaN frame, the pinned no-op), same cap adaptation
+    # (applied between chunks), same trajectory/stat reporting.
+
+    def _chunk_fn(self, n: int, has_color: bool, raw: bool, cap: int):
+        key = (n, has_color, raw, cap)
+        fn = self._chunk_cache.get(key)
+        if fn is not None:
+            return fn
+        from functools import partial as _partial
+
+        from tracking_sdf_tpu.fusion.brickmajor import (
+            brick_masked_view,
+            fuse_frame_brickmajor,
+        )
+        from tracking_sdf_tpu.tracking.gauss_newton import track_frame
+        from tracking_sdf_tpu.tracking.pyramid import track_frame_pyramid
+
+        cfg = self.config
+        cam = self.cam
+        params, tcfg = cfg.grid, cfg.tracking
+        fcfg = cfg.fusion if has_color else cfg.fusion._replace(
+            fuse_color=False)
+        bs = self._bs
+        levels = cfg.pyramid_levels
+        stride = tcfg.pixel_stride
+        velocity = cfg.pose_init == "velocity"
+        bilateral = cfg.bilateral_filter
+        bmode = getattr(cfg, "bilateral_mode", "full")
+        min_valid = cfg.min_valid_pixels
+        max_res = cfg.max_mean_residual
+        cap_free = cfg.fusion.brick_cap_free or None
+
+        @_partial(jax.jit, donate_argnums=(0,))
+        def chunk(bgrid, pose, prev, have_prev, depths, rgbs):
+            def body(k, carry):
+                bgrid, pose, prev, have_prev, out = carry
+                d = depths[k]
+                if raw:
+                    d16 = d.astype(jnp.float32)
+                    d = jnp.where(d16 > 0, d16 / 5000.0, jnp.nan)
+                pts, nrm = preprocess_frame(
+                    d, cam=cam, bilateral=bilateral, bilateral_mode=bmode)
+                if velocity:
+                    delta = pose_compose(pose_inverse(prev), pose)
+                    pred = pose_compose(pose, delta)
+                    pose0 = Pose(
+                        jnp.where(have_prev, pred.R, pose.R),
+                        jnp.where(have_prev, pred.t, pose.t))
+                else:
+                    pose0 = pose
+                Dm = brick_masked_view(bgrid, params, bs)
+                if levels:
+                    res, _ = track_frame_pyramid(
+                        None, pose0, pts, params=params, cfg=tcfg,
+                        levels=levels, Dm=Dm)
+                else:
+                    pts_s = pts[::stride, ::stride].reshape(-1, 3)
+                    res = track_frame(None, pose0, pts_s, params=params,
+                                      cfg=tcfg, Dm=Dm)
+                finite = (jnp.all(jnp.isfinite(res.pose.t))
+                          & jnp.all(jnp.isfinite(res.pose.R)))
+                rejected = (res.num_valid < min_valid) | ~finite
+                if max_res > 0:
+                    rejected = rejected | (res.mean_abs_residual > max_res)
+                pose_new = Pose(
+                    jnp.where(rejected, pose.R, res.pose.R),
+                    jnp.where(rejected, pose.t, res.pose.t))
+                # rejected -> all-NaN inputs -> fusion is a pinned no-op
+                nanf = jnp.float32(jnp.nan)
+                pts_f = jnp.where(rejected, nanf, pts)
+                nrm_f = jnp.where(rejected, nanf, nrm)
+                if raw and has_color:
+                    rgb_k = rgbs[k].astype(jnp.float32) / 255.0
+                elif has_color:
+                    rgb_k = rgbs[k]
+                else:
+                    rgb_k = None
+                bgrid, _, fstats = fuse_frame_brickmajor(
+                    bgrid, pose_new, pts_f, nrm_f, rgb_k, params=params,
+                    cam=cam, cfg=fcfg, bs=bs, cap=cap, cap_free=cap_free,
+                    emit_dm=False)
+                out = jax.tree.map(
+                    lambda o, s: o.at[k].set(s), out,
+                    (pose_new.R, pose_new.t, res.iterations, res.num_valid,
+                     res.mean_abs_residual, rejected, fstats.n_full,
+                     fstats.overflow + fstats.overflow_active
+                     + fstats.overflow_mixed))
+                return (bgrid, pose_new, pose, ~rejected, out)
+
+            out0 = (
+                jnp.zeros((n, 3, 3), jnp.float32),
+                jnp.zeros((n, 3), jnp.float32),
+                jnp.zeros((n,), jnp.int32),
+                jnp.zeros((n,), jnp.int32),
+                jnp.zeros((n,), jnp.float32),
+                jnp.zeros((n,), bool),
+                jnp.zeros((n,), jnp.int32),
+                jnp.zeros((n,), jnp.int32),
+            )
+            return jax.lax.fori_loop(
+                0, n, body, (bgrid, pose, prev, have_prev, out0))
+
+        self._chunk_cache[key] = chunk
+        return chunk
+
+    def process_chunk(
+        self,
+        depths,  # (N, H, W) float32 meters/NaN, or uint16 (TUM raw /5000)
+        rgbs=None,  # (N, H, W, 3) float32 [0,1] or uint8
+        timestamps=None,  # sequence of N floats
+    ) -> List[FrameStats]:
+        """Process N frames in ONE device dispatch (see the block comment
+        above). Requires: single-device brick-major mode, analytic
+        jacobian, no groundtruth-oracle mode, and at least one frame
+        already fused (frame 0 bootstraps via process_frame).
+
+        Numerics: bit-equivalent to the per-frame loop at a FIXED brick
+        cap (measured 6e-8 m pose delta over a 6-frame dataset). The
+        per-frame loop adapts the cap each frame while a chunk holds one
+        cap throughout; differing scatter paddings reassociate f32 sums,
+        drifting poses by ~1e-4 m over a few frames — the same accepted
+        noise class as the sharded==dense psum tolerance."""
+        cfg = self.config
+        if (self._bgrid is None or self._mesh is not None
+                or cfg.fusion.mode != "brickmajor"
+                or cfg.tracking.jacobian != "analytic"
+                or cfg.use_groundtruth or self.frame_num < 1):
+            raise ValueError(
+                "process_chunk needs single-device mode='brickmajor', "
+                "jacobian='analytic', use_groundtruth=False, and one "
+                "process_frame call first (frame 0 bootstraps the grid)")
+        depths = jnp.asarray(depths)
+        raw = depths.dtype == jnp.uint16
+        n = int(depths.shape[0])
+        has_color = cfg.fusion.fuse_color and rgbs is not None
+        rgbs = jnp.asarray(rgbs) if has_color else jnp.zeros((n, 0))
+        if timestamps is None:
+            timestamps = [float(self.frame_num + 1 + i) for i in range(n)]
+        cap = self._cap_levels[self._cap_idx]
+        fn = self._chunk_fn(n, has_color, raw, cap)
+
+        t0 = time.perf_counter()
+        prev = self._pose_prev if self._pose_prev is not None else self.pose
+        have_prev = self._pose_prev is not None
+        bgrid, pose, prev_out, have_out, out = fn(
+            self._bgrid, self.pose, prev, jnp.bool_(have_prev),
+            depths, rgbs)
+        (Rs, ts, iters, nvalid, mres, rej, n_full, overflow) = out
+        Rs, ts = np.asarray(Rs), np.asarray(ts)
+        iters, nvalid = np.asarray(iters), np.asarray(nvalid)
+        mres, rej = np.asarray(mres), np.asarray(rej)
+        n_full, overflow = np.asarray(n_full), np.asarray(overflow)
+        wall_ms = (time.perf_counter() - t0) * 1e3 / n
+
+        self._bgrid = bgrid
+        self.pose = Pose(jnp.asarray(Rs[-1]), jnp.asarray(ts[-1]))
+        self._pose_prev = (Pose(jnp.asarray(prev_out.R),
+                                jnp.asarray(prev_out.t))
+                           if bool(have_out) else None)
+        if self._bm_view is not None:
+            self._dm = self._bm_view(self._bgrid)
+        stats_out: List[FrameStats] = []
+        for i in range(n):
+            self.frame_num += 1
+            if self._writer is not None and not rej[i]:
+                self._writer.write(
+                    float(timestamps[i]),
+                    Pose(jnp.asarray(Rs[i]), jnp.asarray(ts[i])))
+            stat = FrameStats(
+                index=self.frame_num, timestamp=float(timestamps[i]),
+                track_ms=wall_ms, fuse_ms=0.0,
+                gn_iterations=int(iters[i]), num_valid=int(nvalid[i]),
+                mean_abs_residual=float(mres[i]), rejected=bool(rej[i]))
+            self.stats.append(stat)
+            stats_out.append(stat)
+        if int(overflow.sum()):
+            import warnings
+
+            warnings.warn(
+                f"process_chunk: {int(overflow.sum())} brick-cap overflow "
+                f"drops across the chunk (cap {cap}); cap escalates next "
+                f"chunk", RuntimeWarning, stacklevel=2)
+        # cap adaptation between chunks (same 1.3x policy as per-frame)
+        need = float(n_full.max()) * 1.3 if n else 0.0
+        self._cap_idx = next(
+            (i for i, c in enumerate(self._cap_levels) if c >= need),
+            len(self._cap_levels) - 1)
+        if self._publisher is not None:
+            now = time.perf_counter()
+            if now - self._last_publish >= self._publisher.effective_interval:
+                self._publisher.publish(self.grid)
+                self._last_publish = now
+        return stats_out
+
     def _extract_mesh(self, grid, with_colors: bool, color_mode: str):
         """Mesh extraction with the layout-appropriate strategy: per-slab
         for sharded grids (P3), slab-chunked at m >= 512 (bounds peak HBM
@@ -516,6 +724,7 @@ class Reconstruction:
         checkpoint_path: Optional[str] = None,
         metrics_log: Optional[str] = None,
         skip_frames: int = 0,
+        chunk: int = 0,
     ) -> List[FrameStats]:
         """Consume a TUMDataset (or any iterable of TUMFrame-likes).
 
@@ -523,10 +732,62 @@ class Reconstruction:
         restore (pass ``self.frame_num``). ``metrics_log`` appends one JSON
         line of FrameStats per frame — the machine-readable version of the
         reference's per-phase cout timings (sdf.cpp:306 etc.).
+        ``chunk`` > 1 batches that many frames per device dispatch via
+        process_chunk (frame 0 and tail/odd batches run per-frame) —
+        device-rate throughput over high-latency links.
         """
         import json as _json
 
+        if chunk > 1 and (self._bgrid is None or self._mesh is not None
+                          or self.config.fusion.mode != "brickmajor"
+                          or self.config.tracking.jacobian != "analytic"
+                          or self.config.use_groundtruth):
+            import warnings
+
+            warnings.warn(
+                "chunked processing needs single-device mode='brickmajor' "
+                "+ jacobian='analytic' (and no groundtruth oracle); "
+                "falling back to per-frame", RuntimeWarning, stacklevel=2)
+            chunk = 0
         mf = open(metrics_log, "a") if metrics_log else None
+        pend = []  # (frame, timestamp) buffered for the next chunk
+
+        def emit(stat):
+            if progress:
+                print(
+                    f"frame {stat.index}: track {stat.track_ms:.1f} ms "
+                    f"({stat.gn_iterations} GN iters, {stat.num_valid} px), "
+                    f"fuse {stat.fuse_ms:.1f} ms", flush=True,
+                )
+            if mf is not None:
+                mf.write(_json.dumps(dataclasses.asdict(stat)) + "\n")
+                mf.flush()
+            if mesh_every and stat.index % mesh_every == 0 and mesh_path:
+                self.export_mesh(mesh_path)
+            if (checkpoint_every and checkpoint_path
+                    and stat.index % checkpoint_every == 0):
+                self.save_checkpoint(checkpoint_path)
+
+        def flush_pend(final=False):
+            if not pend:
+                return
+            if final and len(pend) < chunk:
+                # odd tail: per-frame (a fresh chunk-size compile costs
+                # more than the dispatches it would save)
+                for f, t in pend:
+                    emit(self.process_frame(f.depth, f.rgb, timestamp=t))
+                pend.clear()
+                return
+            depths = jnp.stack([jnp.asarray(f.depth) for f, _ in pend])
+            rgbs = None
+            if (self.config.fusion.fuse_color
+                    and all(f.rgb is not None for f, _ in pend)):
+                rgbs = jnp.stack([jnp.asarray(f.rgb) for f, _ in pend])
+            for stat in self.process_chunk(
+                    depths, rgbs, timestamps=[t for _, t in pend]):
+                emit(stat)
+            pend.clear()
+
         try:
             for i, frame in enumerate(dataset):
                 if i < skip_frames:
@@ -537,23 +798,21 @@ class Reconstruction:
                 if getattr(frame, "gt_pose", None) is not None:
                     t, q = frame.gt_pose
                     gt = Pose(matrix_from_quaternion(jnp.asarray(q)), jnp.asarray(t))
+                # gt poses only force the per-frame path when the oracle
+                # mode actually consumes them (tracked mode ignores gt)
+                gt_blocks = gt is not None and self.config.use_groundtruth
+                if chunk > 1 and not gt_blocks and self.frame_num >= 1:
+                    pend.append((frame, frame.timestamp))
+                    if len(pend) == chunk:
+                        flush_pend()
+                    continue
+                # keep frame order if a gt/oracle frame interrupts a chunk
+                flush_pend(final=True)
                 stat = self.process_frame(
                     frame.depth, frame.rgb, timestamp=frame.timestamp, gt_pose=gt
                 )
-                if progress:
-                    print(
-                        f"frame {stat.index}: track {stat.track_ms:.1f} ms "
-                        f"({stat.gn_iterations} GN iters, {stat.num_valid} px), "
-                        f"fuse {stat.fuse_ms:.1f} ms", flush=True,
-                    )
-                if mf is not None:
-                    mf.write(_json.dumps(dataclasses.asdict(stat)) + "\n")
-                    mf.flush()
-                if mesh_every and stat.index % mesh_every == 0 and mesh_path:
-                    self.export_mesh(mesh_path)
-                if (checkpoint_every and checkpoint_path
-                        and stat.index % checkpoint_every == 0):
-                    self.save_checkpoint(checkpoint_path)
+                emit(stat)
+            flush_pend(final=True)
         finally:
             if mf is not None:
                 mf.close()
