@@ -245,10 +245,15 @@ class PipelineConfig:
     # live-mesh decimation factor for the async publisher: mesh every s-th
     # voxel (D is metric so slicing preserves the field; the exported mesh
     # is s-times coarser, the marching-cubes pass ~s^3 cheaper). Final
-    # --mesh exports stay full-resolution. The 512^3 policy: at ~9 s/full
-    # color mesh a 1 Hz publisher is impossible — decimate 2 (~1.2 s) or
-    # let the publisher's rate auto-degrade (reported, visualizer.py).
-    mesh_decimate: int = 1
+    # --mesh exports stay full-resolution. 0 = AUTO (the measured default
+    # policy, BENCHMARKS.md round-3 overlap batch: m<256 -> full-res,
+    # m=256 -> 2, m>=512 -> 4): a 1 Hz decimate-2 publisher at 256^3
+    # costs ~0% of frame throughput where full-res continuous meshing
+    # costs ~58%; at 512^3 full-res color is ~9 s/pass so 1 Hz is
+    # impossible without decimation. Explicit 1 forces full-res live
+    # meshes (the publisher's rate then auto-degrades, reported,
+    # visualizer.py).
+    mesh_decimate: int = 0
     # coarse-to-fine pyramid: extra decimation factors (coarsest first,
     # ending at 1) multiplied onto tracking.pixel_stride; None = single level
     pyramid_levels: Optional[Tuple[int, ...]] = None

@@ -685,7 +685,13 @@ class Reconstruction:
         from tracking_sdf_tpu.render.marching_cubes import export_ply
 
         interval = 1.0 / (self.config.mesh_hz or 1.0)
-        dec = max(1, int(getattr(self.config, "mesh_decimate", 1)))
+        dec = int(getattr(self.config, "mesh_decimate", 0))
+        if dec == 0:  # auto policy (measured: BENCHMARKS.md overlap batch)
+            m = self.config.grid.m
+            dec = 4 if m >= 512 else (2 if m >= 256 else 1)
+        dec = max(1, dec)
+        while self.config.grid.m % dec:
+            dec -= 1
 
         def export(grid):
             if dec > 1:
