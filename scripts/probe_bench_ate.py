@@ -43,10 +43,18 @@ cam = ros_default_camera()
 pose0 = look_at((0.0, -0.8, 0.8), (0.0, 1.2, 0.7))
 xi_base = jnp.asarray([0.008, -0.004, 0.007, 0.007, -0.005, 0.006],
                       jnp.float32)
-poses = [pose0]
-for k in range(1, N):
+# OSCILLATING walk: the exact bench 10-frame leg retraced forward/back
+# so the camera stays in the observed zone for all N frames (the naive
+# 120-frame composition walks ~1.3 m + ~108 deg out of the scene — at
+# frame 60 the view is wall-only/unobservable and ANY tracker diverges;
+# that's scene coverage, not tracking). Per-frame motion magnitude and
+# jitter are identical to the bench's.
+leg = [pose0]
+for k in range(1, 11):
     xi_k = xi_base * (1.0 + 0.3 * (1.0 if k % 2 == 0 else -1.0))
-    poses.append(pose_compose(poses[-1], se3_exp(xi_k)))
+    leg.append(pose_compose(leg[-1], se3_exp(xi_k)))
+cycle = leg + leg[-2::-1]  # 0..10..1 (20 poses per cycle)
+poses = [cycle[k % len(cycle)] for k in range(N)]
 
 cfg = dataclasses.replace(config.preset(PRESET), trajectory_path=None)
 recon = Reconstruction(cam, cfg, initial_pose=pose0)

@@ -47,10 +47,11 @@ def run(root, preset_name, dist):
     config.preset = lambda name: base
     try:
         buf = io.StringIO()
+        chunk = os.environ.get("CHUNK", "30")  # device-rate through the tunnel
         with redirect_stdout(buf):
             rc = cli.main([
                 "--preset", preset_name, "--dataset", root,
-                "--native-loader", "--trajectory",
+                "--native-loader", "--chunk", chunk, "--trajectory",
                 f"/tmp/matrix_{preset_name}.txt", "--eval", "--json",
             ])
         out = json.loads(buf.getvalue().strip().splitlines()[-1])
