@@ -74,5 +74,10 @@ def measure(rc, label, ref_hits=None):
 
 
 ref = measure(RaycastConfig(sample="trilinear"), "trilinear (exact)")
-for fs in (12, 8, 6, 4):
-    measure(RaycastConfig(fine_steps=fs), f"nearest_far fine={fs}", ref)
+if os.environ.get("NEWTON") == "1":
+    for fs in (12, 9, 6):
+        measure(RaycastConfig(fine_mode="newton", fine_steps=fs),
+                f"nearest_far newton n={max(2, fs // 3)}", ref)
+else:
+    for fs in (12, 8, 6, 4):
+        measure(RaycastConfig(fine_steps=fs), f"nearest_far fine={fs}", ref)

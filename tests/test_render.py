@@ -212,3 +212,22 @@ def test_marching_cubes_chunked_matches_oneshot():
         assert ch.num_triangles == ref.num_triangles, n
         np.testing.assert_allclose(ch.vertices, ref.vertices, atol=1e-6)
         np.testing.assert_allclose(ch.colors, ref.colors, atol=1e-6)
+
+
+def test_raycast_newton_finish_matches_exact():
+    """fine_mode='newton' (the round-3 default finish for nearest_far):
+    coverage must be >= the exact trilinear mode's on the fixture, depths
+    must agree sub-voxel on common hits, and no recovery drops."""
+    grid = grid_from_scene(PARAMS, SCENE)
+    r_ref = raycast(grid, POSE, params=PARAMS, cam=CAM,
+                    cfg=RaycastConfig(sample="trilinear"))
+    r_n = raycast(grid, POSE, params=PARAMS, cam=CAM,
+                  cfg=RaycastConfig(fine_mode="newton"))
+    h_ref, h_n = np.asarray(r_ref.hit), np.asarray(r_n.hit)
+    assert int(r_n.dropped) == 0
+    assert h_n.sum() >= 0.999 * h_ref.sum()
+    both = h_ref & h_n
+    dd = np.abs(np.asarray(r_n.depth)[both] - np.asarray(r_ref.depth)[both])
+    vox = PARAMS.width / PARAMS.m
+    assert np.median(dd) < 0.05 * vox
+    assert np.percentile(dd, 99) < 0.5 * vox

@@ -213,6 +213,19 @@ class RaycastConfig(NamedTuple):
     # 100% mode).
     fine_threshold: float = 1.5
     fine_steps: int = 12
+    # nearest_far finish strategy:
+    #   * "march": fine_steps masked sphere-tracing steps (full batch).
+    #   * "newton": fine_steps//3 implicit-function Newton iterations
+    #     (t <- t - phi/(grad.u), the same update as the final
+    #     refinement) — frozen rays sit within ~fine_threshold voxels of
+    #     the crossing, where Newton lands in 2-3 iterations vs the
+    #     march's 12 phi-clipped crawl steps. Grazers (denominator ~ 0)
+    #     fall through to the compacted recovery phase exactly as in
+    #     march mode. TPU A/B (BENCHMARKS.md round 3, 640x480/256^3):
+    #     newton 234.5 ms at 100.3% of the exact mode's hit count with
+    #     ZERO recovery drops vs march's 366.5 ms at 99.97% — the default
+    #     since round 3 ("march" stays one flag away).
+    fine_mode: str = "newton"
     # Brick-level empty-space skipping: a per-render L-inf chamfer distance
     # mip over observed 8^3-voxel bricks lets rays LEAP
     # (dist-1) * brick_extent through unobserved space — provably safe

@@ -279,13 +279,52 @@ def raycast(
             unit_f, t_start_f, t_stop_f, cfg.max_steps,
             cfg.fine_threshold * h_max, 0.8660254 * h_max,
         )
-        # trilinear finish on the frozen-near (and any still-alive) rays —
-        # full batch, short budget: they start within ~fine_threshold voxels
-        t_m, hit, alive, steps_f = march(
-            (t_m, hit0, near | aliveN, steps),
-            unit_f, t_start_f, t_stop_f, cfg.fine_steps,
-        )
-        steps = steps_f
+        if cfg.fine_mode == "newton":
+            # Newton finish: frozen rays are within ~fine_threshold voxels
+            # of the crossing; t <- t - phi/(grad.u) lands in 2-3
+            # iterations where the phi-clipped march crawls ~12 steps (at
+            # full-batch 8-gather cost each). Grazers — tangent rays whose
+            # denominator vanishes or that converge to a non-crossing
+            # minimum — stay un-hit and fall through to the compacted
+            # recovery march below, exactly as in march mode.
+            act0 = near | aliveN
+            n_iter = max(2, cfg.fine_steps // 3)
+
+            def nbody(k, st):
+                t, hit = st
+                pos = origin + t[..., None] * unit_f
+                phi, g_uvw, ok = trilinear_with_grad_nan(
+                    Dm, world_to_voxel(params, pos))
+                scale_v = jnp.asarray(
+                    [params.m / params.width, params.m / params.height,
+                     params.m / params.depth], dtype=g_uvw.dtype)
+                denom = jnp.sum(g_uvw * scale_v * unit_f, axis=-1)
+                hit_now = ok & (jnp.abs(phi) < cfg.hit_epsilon)
+                good = act0 & ok & ~hit & ~hit_now & (jnp.abs(denom) > 1e-6)
+                step = jnp.clip(phi / jnp.where(good, denom, 1.0),
+                                -params.delta, params.delta)
+                t_new = jnp.where(good, t - step, t)
+                t_new = jnp.clip(t_new, t_start_f, t_stop_f)
+                return t_new, hit | (act0 & hit_now)
+
+            t_m, hitN = jax.lax.fori_loop(0, n_iter, nbody, (t_m, hit0))
+            # one final hit test at the converged t (the loop's hit flag
+            # lags the last update by one sample)
+            posF = origin + t_m[..., None] * unit_f
+            phiF, _, okF = trilinear_with_grad_nan(
+                Dm, world_to_voxel(params, posF))
+            hit = hitN | (act0 & okF & (jnp.abs(phiF) < cfg.hit_epsilon))
+            alive = act0 & ~hit
+            steps = steps + n_iter * act0.astype(jnp.int32)
+        else:
+            # trilinear finish on the frozen-near (and any still-alive)
+            # rays — full batch, short budget: they start within
+            # ~fine_threshold voxels
+            t_m, hit, alive, steps_f = march(
+                (t_m, hit0, near | aliveN, steps),
+                unit_f, t_start_f, t_stop_f, cfg.fine_steps,
+            )
+            steps = steps_f
         dropped = jnp.int32(0)
         # grazing recovery: rays still alive after the finish (skimmed past
         # a surface and must travel on, ~3% of rays) get a compacted
