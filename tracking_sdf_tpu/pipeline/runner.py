@@ -598,7 +598,12 @@ class Reconstruction:
         rgbs = jnp.asarray(rgbs) if has_color else jnp.zeros((n, 0))
         if timestamps is None:
             timestamps = [float(self.frame_num + 1 + i) for i in range(n)]
-        cap = self._cap_levels[self._cap_idx]
+        # chunks always run at the MAX cap: per-frame cap adaptation lags
+        # one frame (one frame of reported drops); a chunk would lag a
+        # WHOLE chunk (measured: 2.7k drops over the first desk chunk
+        # before escalation). The 2-3 ms/frame the trim saves is noise
+        # against the link round trips chunking exists to remove.
+        cap = self._cap_levels[-1]
         fn = self._chunk_fn(n, has_color, raw, cap)
 
         t0 = time.perf_counter()
@@ -642,11 +647,6 @@ class Reconstruction:
                 f"process_chunk: {int(overflow.sum())} brick-cap overflow "
                 f"drops across the chunk (cap {cap}); cap escalates next "
                 f"chunk", RuntimeWarning, stacklevel=2)
-        # cap adaptation between chunks (same 1.3x policy as per-frame)
-        need = float(n_full.max()) * 1.3 if n else 0.0
-        self._cap_idx = next(
-            (i for i, c in enumerate(self._cap_levels) if c >= need),
-            len(self._cap_levels) - 1)
         if self._publisher is not None:
             now = time.perf_counter()
             if now - self._last_publish >= self._publisher.effective_interval:
