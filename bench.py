@@ -104,6 +104,11 @@ def build_inputs():
         sk, sj = (int(v) for v in _share.split("x"))
         cfg = dataclasses.replace(
             cfg, fusion=cfg.fusion._replace(pixel_share=sk, pixel_share_j=sj))
+    # BENCH_DISTANCE: fusion distance override (A/B knob)
+    _dist = os.environ.get("BENCH_DISTANCE")
+    if _dist:
+        cfg = dataclasses.replace(
+            cfg, fusion=cfg.fusion._replace(distance=_dist))
     # BENCH_CAP / BENCH_CAP_FREE: brick-cap overrides (A/B knobs)
     for _env, _field in (("BENCH_CAP", "brick_cap"),
                          ("BENCH_CAP_FREE", "brick_cap_free")):

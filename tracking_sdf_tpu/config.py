@@ -327,12 +327,20 @@ def preset(name: str) -> PipelineConfig:
         # FastBilateralFilter is a far coarser approximation) at ~5x less
         # preprocessing VPU work — the e2e lever of VERDICT r2 item 8.
         # The exact 2-D kernel stays one config field away.
+        # distance point_to_point (round 3): faster AND more accurate at
+        # 256^3 too — bench 74.7 vs 72.9 fps (GN 18 vs 46 iters/10
+        # frames), 120-frame oracle 6.5 vs 14.7 mm, endurance 40.4 vs
+        # 45.4 mm, desk 20.6 vs 23.0 (plant ties 15.6/15.0). The
+        # reference ships p2plane (sdf.cpp:272) with p2p present but
+        # commented (sdf.cpp:267); ours is the measured pick, p2plane is
+        # --distance away. BENCHMARKS.md round-3 batches J-K.
         "tum256": PipelineConfig(
             grid=GridParams(m=256),
             bilateral_mode="separable",
             fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
                                 pixel_share=4, pixel_share_j=4,
                                 brick_cap_free=2048,
+                                distance="point_to_point",
                                 storage_dtype="bfloat16"),
             pyramid_levels=(2, 1),
         ),

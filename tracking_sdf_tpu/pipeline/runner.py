@@ -645,8 +645,10 @@ class Reconstruction:
 
             warnings.warn(
                 f"process_chunk: {int(overflow.sum())} brick-cap overflow "
-                f"drops across the chunk (cap {cap}); cap escalates next "
-                f"chunk", RuntimeWarning, stacklevel=2)
+                f"drops across the chunk (cap {cap} = the preset max; "
+                f"peak n_full {int(n_full.max())} — raise "
+                f"FusionConfig.brick_cap to cover it)",
+                RuntimeWarning, stacklevel=2)
         if self._publisher is not None:
             now = time.perf_counter()
             if now - self._last_publish >= self._publisher.effective_interval:
