@@ -176,6 +176,36 @@ bool decode_png(const std::vector<uint8_t>& buf, Image& img) {
 
 constexpr float kDepthScale = 5000.0f;  // TUM: png value / 5000 = meters
 
+// 16-bit gray PNG -> raw uint16 (0 = hole; TUM wire format). The raw path
+// ships 2 B/px instead of 4 B/px floats to the device, which decodes
+// v/5000 -> meters itself (pipeline.runner.process_chunk).
+bool depth_to_u16(const Image& img, uint16_t* out) {
+  if (img.channels != 1 || img.bit_depth != 16) return false;
+  const size_t n = size_t(img.width) * img.height;
+  for (size_t i = 0; i < n; ++i)
+    out[i] = (uint16_t(img.data[2 * i]) << 8) | img.data[2 * i + 1];
+  return true;
+}
+
+// Any 8-bit PNG -> raw uint8 RGB (1 B/channel on the wire; device /255).
+bool rgb_to_u8(const Image& img, uint8_t* out) {
+  if (img.bit_depth != 8) return false;
+  const size_t n = size_t(img.width) * img.height;
+  for (size_t i = 0; i < n; ++i) {
+    const uint8_t* px = &img.data[i * img.channels];
+    uint8_t r, g, b;
+    switch (img.channels) {
+      case 1: case 2: r = g = b = px[0]; break;
+      case 3: case 4: r = px[0]; g = px[1]; b = px[2]; break;
+      default: return false;
+    }
+    out[3 * i] = r;
+    out[3 * i + 1] = g;
+    out[3 * i + 2] = b;
+  }
+  return true;
+}
+
 // 16-bit gray PNG -> float meters (0 -> NaN). Returns false on mismatch.
 bool depth_to_float(const Image& img, float* out) {
   if (img.bit_depth != 16 || img.channels != 1) return false;
@@ -213,8 +243,10 @@ bool rgb_to_float(const Image& img, float* out) {
 struct Frame {
   int index = -1;
   bool ok = false;
-  std::vector<float> depth;  // w*h
-  std::vector<float> rgb;    // 3*w*h or empty
+  std::vector<float> depth;       // w*h (float mode)
+  std::vector<float> rgb;         // 3*w*h or empty (float mode)
+  std::vector<uint16_t> depth16;  // w*h (raw mode)
+  std::vector<uint8_t> rgb8;      // 3*w*h or empty (raw mode)
 };
 
 struct Loader {
@@ -228,6 +260,7 @@ struct Loader {
   std::condition_variable cv_produce, cv_consume;
   std::deque<Frame> ready;        // decoded, ordered by emit logic below
   std::atomic<int> next_to_fetch{0};
+  bool raw = false;  // emit u16/u8 wire buffers instead of floats
   int next_to_emit = 0;
   std::vector<Frame> out_of_order;  // holding area
   bool stop = false;
@@ -238,20 +271,36 @@ struct Loader {
       if (idx >= int(depth_paths.size())) return;
       Frame fr;
       fr.index = idx;
-      fr.depth.resize(size_t(width) * height);
       std::vector<uint8_t> buf;
       Image img;
       fr.ok = read_file(depth_paths[idx].c_str(), buf) && decode_png(buf, img) &&
-              img.width == width && img.height == height &&
-              depth_to_float(img, fr.depth.data());
+              img.width == width && img.height == height;
+      if (fr.ok) {
+        if (raw) {
+          fr.depth16.resize(size_t(width) * height);
+          fr.ok = depth_to_u16(img, fr.depth16.data());
+        } else {
+          fr.depth.resize(size_t(width) * height);
+          fr.ok = depth_to_float(img, fr.depth.data());
+        }
+      }
       if (fr.ok && !rgb_paths[idx].empty()) {
-        fr.rgb.resize(size_t(width) * height * 3);
         std::vector<uint8_t> cbuf;
         Image cimg;
         bool cok = read_file(rgb_paths[idx].c_str(), cbuf) &&
                    decode_png(cbuf, cimg) && cimg.width == width &&
-                   cimg.height == height && rgb_to_float(cimg, fr.rgb.data());
-        if (!cok) fr.rgb.clear();
+                   cimg.height == height;
+        if (cok) {
+          if (raw) {
+            fr.rgb8.resize(size_t(width) * height * 3);
+            cok = rgb_to_u8(cimg, fr.rgb8.data());
+            if (!cok) fr.rgb8.clear();
+          } else {
+            fr.rgb.resize(size_t(width) * height * 3);
+            cok = rgb_to_float(cimg, fr.rgb.data());
+            if (!cok) fr.rgb.clear();
+          }
+        }
       }
       std::unique_lock<std::mutex> lk(mu);
       cv_produce.wait(lk, [&] {
@@ -334,6 +383,15 @@ void* tsdf_loader_open(const char** depth_paths, const char** rgb_paths,
   return ld;
 }
 
+// Raw-mode open: identical to tsdf_loader_open but frames emit u16 depth /
+// u8 rgb wire buffers (consume with tsdf_loader_next_raw).
+void* tsdf_loader_open_raw(const char** depth_paths, const char** rgb_paths,
+                           int n, int prefetch, int threads) {
+  void* h = tsdf_loader_open(depth_paths, rgb_paths, n, prefetch, threads);
+  if (h) static_cast<Loader*>(h)->raw = true;
+  return h;
+}
+
 void tsdf_loader_dims(void* handle, int* w, int* h) {
   auto* ld = static_cast<Loader*>(handle);
   *w = ld->width;
@@ -365,6 +423,31 @@ int tsdf_loader_next(void* handle, float* depth_out, float* rgb_out) {
       for (size_t i = 0; i < n; ++i) rgb_out[i] = -1.0f;
     }
   }
+  return fr.index;
+}
+
+// Raw-mode consume: depth_out w*h uint16 (0 = hole), rgb_out 3*w*h uint8
+// (0xFF fill + return-code semantics identical to tsdf_loader_next; a
+// frame with no color writes 0 to *has_rgb and leaves rgb_out untouched).
+int tsdf_loader_next_raw(void* handle, uint16_t* depth_out, uint8_t* rgb_out,
+                         int* has_rgb) {
+  auto* ld = static_cast<Loader*>(handle);
+  std::unique_lock<std::mutex> lk(ld->mu);
+  if (ld->next_to_emit >= int(ld->depth_paths.size())) return -1;
+  ld->cv_consume.wait(lk, [&] { return !ld->ready.empty() || ld->stop; });
+  if (ld->stop) return -1;
+  Frame fr = std::move(ld->ready.front());
+  ld->ready.pop_front();
+  ld->next_to_emit++;
+  ld->cv_produce.notify_all();
+  lk.unlock();
+
+  if (!fr.ok) return -2;
+  std::memcpy(depth_out, fr.depth16.data(),
+              fr.depth16.size() * sizeof(uint16_t));
+  if (has_rgb) *has_rgb = fr.rgb8.empty() ? 0 : 1;
+  if (rgb_out && !fr.rgb8.empty())
+    std::memcpy(rgb_out, fr.rgb8.data(), fr.rgb8.size());
   return fr.index;
 }
 

@@ -110,3 +110,64 @@ def test_corrupt_png_rejected_not_crash(tmp_path):
         p.write_bytes(data)
         with pytest.raises(Exception):
             native.decode_depth(str(p))
+
+
+def test_prefetching_loader_raw_mode(seq):
+    """raw=True yields the exact TUM wire bytes: depth uint16 (PIL u16
+    roundtrip bit-exact, 0 = the NaN holes), rgb uint8 (PIL u8 roundtrip),
+    in order."""
+    from PIL import Image
+
+    root, depths, rgbs = seq
+    dp = _listing(root, "depth.txt")
+    rp = _listing(root, "rgb.txt")
+    with native.PrefetchingLoader(dp, rp, raw=True) as ld:
+        got = list(ld)
+    assert [i for i, _, _ in got] == list(range(len(dp)))
+    for (i, d16, r8), dpath, rpath in zip(got, dp, rp):
+        assert d16.dtype == np.uint16 and r8.dtype == np.uint8
+        ref16 = np.asarray(Image.open(dpath)).astype(np.uint16)
+        np.testing.assert_array_equal(d16, ref16)
+        # holes (NaN in the float fixture) are exactly the 0 pixels
+        np.testing.assert_array_equal(d16 == 0, np.isnan(depths[i]))
+        ref8 = np.asarray(Image.open(rpath).convert("RGB"))
+        np.testing.assert_array_equal(r8, ref8)
+
+
+def test_stream_raw_through_runner_chunks(tmp_path):
+    """TUMDataset.stream(raw=True) -> run(chunk=N): the full wire path
+    (u16/u8 host buffers, on-device decode) must land on the same pose as
+    the float-wire path. Needs a TRACKABLE scene (the random-noise `seq`
+    fixture amplifies ulp-level decode-placement reassociation
+    chaotically): a smooth sinusoidal depth surface with texture."""
+    import jax.numpy as jnp
+
+    from tracking_sdf_tpu.config import FusionConfig, GridParams, PipelineConfig
+    from tracking_sdf_tpu.core.camera import PinholeCamera
+    from tracking_sdf_tpu.data.tum import TUMDataset
+    from tracking_sdf_tpu.pipeline.runner import Reconstruction
+
+    root = str(tmp_path / "raw_seq")
+    ys, xs = np.mgrid[0:48, 0:64]
+    depths, rgbs = [], []
+    for i in range(6):
+        d = 1.0 + 0.3 * np.sin(xs / 10.0 + 0.05 * i) + 0.2 * np.cos(ys / 7.0)
+        depths.append(d.astype(np.float32))
+        rgbs.append((0.5 + 0.3 * np.sin(xs / 5.0))[..., None]
+                    .repeat(3, -1).astype(np.float32))
+    write_synthetic_tum(root, depths, rgbs)
+
+    cfg = PipelineConfig(
+        grid=GridParams(m=48),
+        fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
+                            brick_cap=216, brick_cap_free=216),
+        trajectory_path=None, bilateral_filter=False)
+    cam = PinholeCamera(fx=48.0, fy=48.0, cx=31.5, cy=23.5,
+                        width=64, height=48)
+    r_raw = Reconstruction(cam, cfg)
+    r_raw.run(TUMDataset(root).stream(raw=True), chunk=3)
+    r_f32 = Reconstruction(cam, cfg)
+    r_f32.run(TUMDataset(root).stream(), chunk=3)
+    assert r_raw.frame_num == r_f32.frame_num == 6
+    d = float(jnp.linalg.norm(r_raw.pose.t - r_f32.pose.t))
+    assert d < 1e-5, d

@@ -215,7 +215,9 @@ def main(argv=None) -> int:
     # would silently skip --eval
     gt_source = getattr(dataset, "groundtruth", None)
     if args.native_loader and hasattr(dataset, "stream"):
-        dataset = dataset.stream()
+        # chunked runs take the raw u16/u8 wire path (6x fewer
+        # host->device bytes; decoded on-device by process_chunk)
+        dataset = dataset.stream(raw=args.chunk > 1)
 
     if args.mesh_async:
         recon.start_mesh_publisher(args.mesh_async,

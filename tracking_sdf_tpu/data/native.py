@@ -68,6 +68,13 @@ def load_library(build_if_missing: bool = True):
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.tsdf_loader_open_raw.restype = ctypes.c_void_p
+        lib.tsdf_loader_open_raw.argtypes = lib.tsdf_loader_open.argtypes
+        lib.tsdf_loader_next_raw.restype = ctypes.c_int
+        lib.tsdf_loader_next_raw.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
+        ]
         lib.tsdf_loader_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
@@ -114,7 +121,11 @@ def decode_rgb(path: str) -> np.ndarray:
 
 
 class PrefetchingLoader:
-    """Ordered iterator over (index, depth, rgb|None) with native prefetch."""
+    """Ordered iterator over (index, depth, rgb|None) with native prefetch.
+
+    ``raw=True`` yields the TUM wire formats — depth uint16 (0 = hole),
+    rgb uint8 — instead of decoded float32: 6x fewer bytes for consumers
+    that decode on-device (pipeline.runner.process_chunk)."""
 
     def __init__(
         self,
@@ -122,6 +133,7 @@ class PrefetchingLoader:
         rgb_paths: Optional[List[Optional[str]]] = None,
         prefetch: int = 8,
         threads: int = 0,
+        raw: bool = False,
     ):
         self._lib = load_library()
         if self._lib is None:
@@ -134,7 +146,10 @@ class PrefetchingLoader:
             *[(p.encode() if p else None) for p in rp_list]
         )
         self._has_rgb = any(p is not None for p in rp_list)
-        self._handle = self._lib.tsdf_loader_open(dp, rp, n, prefetch, threads)
+        self._raw = raw
+        opener = (self._lib.tsdf_loader_open_raw if raw
+                  else self._lib.tsdf_loader_open)
+        self._handle = opener(dp, rp, n, prefetch, threads)
         if not self._handle:
             raise RuntimeError("tsdf_loader_open failed (first frame unreadable?)")
         w = ctypes.c_int()
@@ -143,6 +158,9 @@ class PrefetchingLoader:
         self.width, self.height = w.value, h.value
 
     def __iter__(self) -> Iterator[Tuple[int, np.ndarray, Optional[np.ndarray]]]:
+        if self._raw:
+            yield from self._iter_raw()
+            return
         while True:
             depth = np.empty((self.height, self.width), np.float32)
             rgb = np.empty((self.height, self.width, 3), np.float32)
@@ -157,6 +175,23 @@ class PrefetchingLoader:
                 continue  # skip undecodable frame, like the reference drops bad msgs
             has_rgb = self._has_rgb and rgb.ravel()[0] != -1.0
             yield rc, depth, (rgb if has_rgb else None)
+
+    def _iter_raw(self):
+        while True:
+            depth = np.empty((self.height, self.width), np.uint16)
+            rgb = np.empty((self.height, self.width, 3), np.uint8)
+            has = ctypes.c_int()
+            rc = self._lib.tsdf_loader_next_raw(
+                self._handle,
+                depth.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.byref(has),
+            )
+            if rc == -1:
+                return
+            if rc == -2:
+                continue
+            yield rc, depth, (rgb if has.value else None)
 
     def close(self) -> None:
         if self._handle:

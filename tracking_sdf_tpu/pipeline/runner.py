@@ -345,6 +345,16 @@ class Reconstruction:
         self.frame_num += 1
         timestamp = float(timestamp) if timestamp is not None else float(self.frame_num)
 
+        # TUM wire formats (native raw stream / process_chunk input):
+        # convert on host — the per-frame path is link-bound anyway
+        depth = np.asarray(depth)
+        if depth.dtype == np.uint16:
+            d = depth.astype(np.float32) / 5000.0
+            d[depth == 0] = np.nan
+            depth = d
+        if rgb is not None and np.asarray(rgb).dtype == np.uint8:
+            rgb = np.asarray(rgb).astype(np.float32) / 255.0
+
         points, normals = preprocess_frame(
             jnp.asarray(depth), cam=self.cam, bilateral=cfg.bilateral_filter,
             bilateral_mode=getattr(cfg, "bilateral_mode", "full"),
