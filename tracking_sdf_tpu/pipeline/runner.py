@@ -782,8 +782,12 @@ class Reconstruction:
                 mf.flush()
             if mesh_every and stat.index % mesh_every == 0 and mesh_path:
                 self.export_mesh(mesh_path)
+            # chunked runs emit stats after the chunk: only the LATEST
+            # frame's stat triggers a save (mid-chunk indices would save
+            # the same end-of-chunk state repeatedly)
             if (checkpoint_every and checkpoint_path
-                    and stat.index % checkpoint_every == 0):
+                    and stat.index % checkpoint_every == 0
+                    and stat.index == self.frame_num):
                 self.save_checkpoint(checkpoint_path)
 
         def flush_pend(final=False):
