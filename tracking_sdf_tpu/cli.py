@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-color", action="store_true", help="skip color fusion")
     p.add_argument("--no-bilateral", action="store_true")
     p.add_argument("--pixel-stride", type=int, default=None)
+    p.add_argument("--brick-cap", type=int, default=0,
+                   help="override FusionConfig.brick_cap (FULL-brick "
+                        "capacity per frame; overflow is reported, wider "
+                        "scenes than the preset's sizing may want more)")
     p.add_argument("--pixel-share", type=int, default=None,
                    help="approximate fast fusion: k-voxel groups of this "
                         "size share one gathered pixel (1 = exact)")
@@ -145,6 +149,8 @@ def main(argv=None) -> int:
         fusion = fusion._replace(fuse_color=False)
     if args.pixel_share:
         fusion = fusion._replace(pixel_share=args.pixel_share)
+    if args.brick_cap:
+        fusion = fusion._replace(brick_cap=args.brick_cap)
     if args.fusion_mode:
         switched = args.fusion_mode != cfg.fusion.mode
         fusion = fusion._replace(mode=args.fusion_mode)
