@@ -104,6 +104,11 @@ def build_inputs():
         sk, sj = (int(v) for v in _share.split("x"))
         cfg = dataclasses.replace(
             cfg, fusion=cfg.fusion._replace(pixel_share=sk, pixel_share_j=sj))
+    # BENCH_COLOR_EVERY: temporal color cadence override (A/B knob)
+    _ce = int(os.environ.get("BENCH_COLOR_EVERY", "0"))
+    if _ce:
+        cfg = dataclasses.replace(
+            cfg, fusion=cfg.fusion._replace(color_every=_ce))
     # BENCH_DISTANCE: fusion distance override (A/B knob)
     _dist = os.environ.get("BENCH_DISTANCE")
     if _dist:
@@ -251,7 +256,9 @@ def _frame_fn_brickmajor(cfg, cam):
     fcfg = cfg.fusion._replace(mode="bricked")
     bs = (8, 8, 8)
 
-    def frame(state, pose_prev2, pose_prev, pts_s, pts, nrm, rgb):
+    ce = getattr(cfg.fusion, "color_every", 1)
+
+    def frame(state, pose_prev2, pose_prev, pts_s, pts, nrm, rgb, k=None):
         bgrid, Dm = state
         if cfg.pyramid_levels:
             res, _ = track_frame_pyramid(
@@ -260,11 +267,23 @@ def _frame_fn_brickmajor(cfg, cam):
         else:
             res = track_frame(None, pose_prev, pts_s, params=params,
                               cfg=tcfg, Dm=Dm)
-        bgrid, Dm, _ = fuse_frame_brickmajor(
-            bgrid, res.pose, pts, nrm, rgb, params=params, cam=cam,
-            cfg=fcfg, bs=bs, cap=fcfg.brick_cap,
-            cap_free=fcfg.brick_cap_free or None,
-            emit_dm="view")
+
+        def fuse_with(rgb_arg, fc):
+            def f(bg):
+                return fuse_frame_brickmajor(
+                    bg, res.pose, pts, nrm, rgb_arg, params=params,
+                    cam=cam, cfg=fcfg._replace(fuse_color=fc), bs=bs,
+                    cap=fcfg.brick_cap, cap_free=fcfg.brick_cap_free or None,
+                    emit_dm="view")
+            return f
+
+        if ce > 1 and k is not None:
+            # temporal color cadence (FusionConfig.color_every)
+            bgrid, Dm, _ = jax.lax.cond(
+                k % ce == 0, fuse_with(rgb, True), fuse_with(None, False),
+                bgrid)
+        else:
+            bgrid, Dm, _ = fuse_with(rgb, True)(bgrid)
         return (bgrid, Dm), res
     return frame
 
@@ -371,9 +390,12 @@ def _print_breakdown(cfg, cam, state, poses, PTS, NRM, PTS_S, rgb, frame_ms):
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / K)
     fuse_ms = best * 1e3
+    ce = getattr(cfg.fusion, "color_every", 1)
+    note = (f" (fuse row = color-ON cost; preset fuses color every "
+            f"{ce} frames)" if ce > 1 else "")
     print(f"# breakdown: fuse {fuse_ms:.1f} ms + "
-          f"track ~{frame_ms - fuse_ms:.1f} ms = {frame_ms:.1f} ms/frame",
-          file=sys.stderr)
+          f"track ~{frame_ms - fuse_ms:.1f} ms = {frame_ms:.1f} ms/frame"
+          f"{note}", file=sys.stderr)
 
     # ---- end-to-end: + bilateral filter + normal estimation ---------------
     # The reference's per-frame callback includes preprocessing
@@ -433,7 +455,7 @@ def _print_breakdown(cfg, cam, state, poses, PTS, NRM, PTS_S, rgb, frame_ms):
                 D[k % K] + eps * (k + 1), cam=cam, bilateral=True,
                 bilateral_mode=getattr(cfg, "bilateral_mode", "full"))
             pts_s = pts[::stride, ::stride].reshape(-1, 3)
-            state, res = frame(state, p2, p1, pts_s, pts, nrm, rgb)
+            state, res = frame(state, p2, p1, pts_s, pts, nrm, rgb, k=k)
             return (state, p1, res.pose)
         return jax.lax.fori_loop(0, K, body, (state, pose_prev2, pose_prev))
 
@@ -489,7 +511,8 @@ def main():
     def run_k(state, pose_prev2, pose_prev):
         def body(k, carry):
             state, p2, p1, iters = carry
-            state, res = frame(state, p2, p1, PTS_S[k], PTS[k], NRM[k], rgb)
+            state, res = frame(state, p2, p1, PTS_S[k], PTS[k], NRM[k], rgb,
+                               k=k)
             return (state, p1, res.pose, iters + res.iterations)
         return jax.lax.fori_loop(
             0, K, body, (state, pose_prev2, pose_prev, jnp.int32(0)))

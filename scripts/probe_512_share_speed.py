@@ -66,6 +66,16 @@ def fuse_loop(cfg_ab, label):
 
 
 base = fu._replace(hier_classify=4, cap_mixed=1536)
+if os.environ.get("COMPOSE") == "1":
+    # round-3: composition of the shipped 42.4 ms (share 4x4 p2p preset)
+    fuse_loop(base, "preset (share4x4 p2p color)")
+    fuse_loop(base._replace(fuse_color=False), "color OFF")
+    fuse_loop(base._replace(pixel_share=1, pixel_share_j=1),
+              "share 1x1 (exact rows)")
+    fuse_loop(base._replace(hier_classify=0), "hier OFF")
+    globals()['cap_free'] = 4096
+    fuse_loop(base, "cap_free 4096")
+    raise SystemExit
 for sk, sj in ((8, 4), (4, 4)):
     for factored in (False, True):
         c = base._replace(pixel_share=sk, pixel_share_j=sj,

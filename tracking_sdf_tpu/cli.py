@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-color", action="store_true", help="skip color fusion")
     p.add_argument("--no-bilateral", action="store_true")
     p.add_argument("--pixel-stride", type=int, default=None)
+    p.add_argument("--color-every", type=int, default=0,
+                   help="fuse COLOR on every Nth frame only (geometry "
+                        "fuses every frame; 1 = reference cadence). "
+                        "Presets pick the measured default.")
     p.add_argument("--brick-cap", type=int, default=0,
                    help="override FusionConfig.brick_cap (FULL-brick "
                         "capacity per frame; overflow is reported, wider "
@@ -151,6 +155,8 @@ def main(argv=None) -> int:
         fusion = fusion._replace(pixel_share=args.pixel_share)
     if args.brick_cap:
         fusion = fusion._replace(brick_cap=args.brick_cap)
+    if args.color_every:
+        fusion = fusion._replace(color_every=args.color_every)
     if args.fusion_mode:
         switched = args.fusion_mode != cfg.fusion.mode
         fusion = fusion._replace(mode=args.fusion_mode)

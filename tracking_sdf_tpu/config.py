@@ -150,6 +150,14 @@ class FusionConfig(NamedTuple):
     # Quantization is ~delta/256 per store (~0.4 mm at delta=0.1) —
     # validate ATE closed-loop before defaulting (BENCHMARKS.md).
     storage_dtype: str = "float32"
+    # Temporal color subsampling: fuse COLOR only on every Nth frame
+    # (geometry fuses every frame — tracking reads only D/W, so pose
+    # accuracy is untouched; the color running mean just averages fewer
+    # samples of a slowly-varying signal). Color is 15.2 of the 40.8 ms
+    # 512^3 fuse (round-3 composition probe) — color_every=2 reclaims
+    # ~7.6 ms/frame. 1 = reference-exact cadence (sdf.cpp:294-304 fuses
+    # color every frame); flagged approximation like pixel_share.
+    color_every: int = 1
     # Same idea along the j (grid-y) axis, multiplicative with pixel_share:
     # a (pixel_share_j x pixel_share) voxel group shares one gathered row.
     # 2x2 halves the gather again vs k-only share=2 at a smaller worst-case
@@ -362,6 +370,12 @@ def preset(name: str) -> PipelineConfig:
         # cap_mixed 1536 vs 1044-1094 observed mixed supers (overflow
         # reported in FuseStats.overflow_mixed). tum256 measured only
         # ~0.2 ms and would need cap_mixed ~= NB/64 — not worth the cap.
+        # color_every=2 (round 3): color fusion is 15.2 of the 40.8 ms
+        # 512^3 fuse; fusing it every 2nd frame lifts the headline 20.4 ->
+        # 24.4 fps (1.29x) with invisible color cost (desk-dataset A/B:
+        # 99.8% colored-voxel coverage, mean |drgb| 0.04/255 vs
+        # every-frame). Geometry/tracking are untouched (D/W fuse every
+        # frame). --color-every 1 restores the reference cadence.
         "tum512": PipelineConfig(
             grid=GridParams(m=512),
             bilateral_mode="separable",
@@ -370,6 +384,7 @@ def preset(name: str) -> PipelineConfig:
                                 pixel_share_j=4, brick_cap_free=12288,
                                 storage_dtype="bfloat16",
                                 distance="point_to_point",
+                                color_every=2,
                                 hier_classify=4, cap_mixed=1536),
             pyramid_levels=(4, 2, 1),
         ),

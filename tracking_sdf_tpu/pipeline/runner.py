@@ -429,6 +429,12 @@ class Reconstruction:
         t0 = time.perf_counter()
         if not rejected:
             rgb_j = jnp.asarray(rgb) if rgb is not None else None
+            # temporal color subsampling (FusionConfig.color_every): color
+            # fuses on every Nth frame only; rgb=None selects the no-color
+            # program (same grid structure, color leaves untouched)
+            ce = getattr(cfg.fusion, "color_every", 1)
+            if ce > 1 and rgb_j is not None and self.frame_num % ce:
+                rgb_j = None
             if self._bgrid is not None:
                 self._fuse_bm(self.pose, points, normals, rgb_j)
                 jax.block_until_ready(self._bgrid)
@@ -503,7 +509,7 @@ class Reconstruction:
         cap_free = cfg.fusion.brick_cap_free or None
 
         @_partial(jax.jit, donate_argnums=(0,))
-        def chunk(bgrid, pose, prev, have_prev, depths, rgbs):
+        def chunk(bgrid, pose, prev, have_prev, depths, rgbs, off):
             def body(k, carry):
                 bgrid, pose, prev, have_prev, out = carry
                 d = depths[k]
@@ -547,10 +553,27 @@ class Reconstruction:
                     rgb_k = rgbs[k]
                 else:
                     rgb_k = None
-                bgrid, _, fstats = fuse_frame_brickmajor(
-                    bgrid, pose_new, pts_f, nrm_f, rgb_k, params=params,
-                    cam=cam, cfg=fcfg, bs=bs, cap=cap, cap_free=cap_free,
-                    emit_dm=False)
+
+                def fuse_with(rgb_arg, fc):
+                    def f(bg):
+                        return fuse_frame_brickmajor(
+                            bg, pose_new, pts_f, nrm_f, rgb_arg,
+                            params=params, cam=cam,
+                            cfg=fcfg._replace(fuse_color=fc), bs=bs,
+                            cap=cap, cap_free=cap_free, emit_dm=False)
+                    return f
+
+                ce = getattr(fcfg, "color_every", 1)
+                if has_color and ce > 1:
+                    # temporal color subsampling: the absolute frame index
+                    # (chunk start 'off' + k) picks the color cadence
+                    bgrid, _, fstats = jax.lax.cond(
+                        (off + k) % ce == 0,
+                        fuse_with(rgb_k, True),
+                        fuse_with(None, False),
+                        bgrid)
+                else:
+                    bgrid, _, fstats = fuse_with(rgb_k, has_color)(bgrid)
                 out = jax.tree.map(
                     lambda o, s: o.at[k].set(s), out,
                     (pose_new.R, pose_new.t, res.iterations, res.num_valid,
@@ -621,7 +644,7 @@ class Reconstruction:
         have_prev = self._pose_prev is not None
         bgrid, pose, prev_out, have_out, out = fn(
             self._bgrid, self.pose, prev, jnp.bool_(have_prev),
-            depths, rgbs)
+            depths, rgbs, jnp.int32(self.frame_num + 1))
         (Rs, ts, iters, nvalid, mres, rej, n_full, overflow) = out
         Rs, ts = np.asarray(Rs), np.asarray(ts)
         iters, nvalid = np.asarray(iters), np.asarray(nvalid)
