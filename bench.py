@@ -256,9 +256,11 @@ def _frame_fn_brickmajor(cfg, cam):
     fcfg = cfg.fusion._replace(mode="bricked")
     bs = (8, 8, 8)
 
-    ce = getattr(cfg.fusion, "color_every", 1)
-
-    def frame(state, pose_prev2, pose_prev, pts_s, pts, nrm, rgb, k=None):
+    def frame(state, pose_prev2, pose_prev, pts_s, pts, nrm, rgb,
+              color_on=True):
+        """color_on is a PYTHON static (no lax.cond — a cond color gate
+        measured +4 ms/frame at 256^3): the K-loop unrolls the
+        color_every cadence into static on/off frames."""
         bgrid, Dm = state
         if cfg.pyramid_levels:
             res, _ = track_frame_pyramid(
@@ -267,23 +269,12 @@ def _frame_fn_brickmajor(cfg, cam):
         else:
             res = track_frame(None, pose_prev, pts_s, params=params,
                               cfg=tcfg, Dm=Dm)
-
-        def fuse_with(rgb_arg, fc):
-            def f(bg):
-                return fuse_frame_brickmajor(
-                    bg, res.pose, pts, nrm, rgb_arg, params=params,
-                    cam=cam, cfg=fcfg._replace(fuse_color=fc), bs=bs,
-                    cap=fcfg.brick_cap, cap_free=fcfg.brick_cap_free or None,
-                    emit_dm="view")
-            return f
-
-        if ce > 1 and k is not None:
-            # temporal color cadence (FusionConfig.color_every)
-            bgrid, Dm, _ = jax.lax.cond(
-                k % ce == 0, fuse_with(rgb, True), fuse_with(None, False),
-                bgrid)
-        else:
-            bgrid, Dm, _ = fuse_with(rgb, True)(bgrid)
+        bgrid, Dm, _ = fuse_frame_brickmajor(
+            bgrid, res.pose, pts, nrm, rgb if color_on else None,
+            params=params, cam=cam,
+            cfg=fcfg._replace(fuse_color=bool(color_on)), bs=bs,
+            cap=fcfg.brick_cap, cap_free=fcfg.brick_cap_free or None,
+            emit_dm="view")
         return (bgrid, Dm), res
     return frame
 
@@ -447,17 +438,25 @@ def _print_breakdown(cfg, cam, state, poses, PTS, NRM, PTS_S, rgb, frame_ms):
     frame = _frame_fn_brickmajor(cfg, cam)
     stride = cfg.tracking.pixel_stride
 
+    ce_e = getattr(cfg.fusion, "color_every", 1)
+    ce_e = ce_e if ce_e > 1 and K % ce_e == 0 else 1
+
     @jax.jit
     def e2e_k(state, pose_prev2, pose_prev, D, eps):
-        def body(k, carry):
+        def body(j, carry):
             state, p2, p1 = carry
-            pts, nrm = preprocess_frame(
-                D[k % K] + eps * (k + 1), cam=cam, bilateral=True,
-                bilateral_mode=getattr(cfg, "bilateral_mode", "full"))
-            pts_s = pts[::stride, ::stride].reshape(-1, 3)
-            state, res = frame(state, p2, p1, pts_s, pts, nrm, rgb, k=k)
-            return (state, p1, res.pose)
-        return jax.lax.fori_loop(0, K, body, (state, pose_prev2, pose_prev))
+            for r in range(ce_e):
+                k = j * ce_e + r
+                pts, nrm = preprocess_frame(
+                    D[k % K] + eps * (k + 1), cam=cam, bilateral=True,
+                    bilateral_mode=getattr(cfg, "bilateral_mode", "full"))
+                pts_s = pts[::stride, ::stride].reshape(-1, 3)
+                state, res = frame(state, p2, p1, pts_s, pts, nrm, rgb,
+                                   color_on=(r == 0))
+                p2, p1 = p1, res.pose
+            return (state, p2, p1)
+        return jax.lax.fori_loop(0, K // ce_e, body,
+                                 (state, pose_prev2, pose_prev))
 
     st = state
     out = e2e_k(st, poses[0], poses[0], DEPTH, jnp.float32(0.0))
@@ -507,15 +506,25 @@ def main():
         frame = _frame_fn(cfg, cam)
         state0 = _bootstrap(cfg, cam, poses, rgb)
 
+    # color_every cadence: statically unroll ce frames per loop iteration
+    # (frame 0 of each group fuses color) — python-static on/off, no
+    # lax.cond (a cond gate measured +4 ms/frame at 256^3)
+    ce = getattr(cfg.fusion, "color_every", 1)
+    ce = ce if ce > 1 and K % ce == 0 else 1
+
     @jax.jit
     def run_k(state, pose_prev2, pose_prev):
-        def body(k, carry):
+        def body(j, carry):
             state, p2, p1, iters = carry
-            state, res = frame(state, p2, p1, PTS_S[k], PTS[k], NRM[k], rgb,
-                               k=k)
-            return (state, p1, res.pose, iters + res.iterations)
+            for r in range(ce):
+                k = j * ce + r
+                state, res = frame(state, p2, p1, PTS_S[k], PTS[k], NRM[k],
+                                   rgb, color_on=(r == 0))
+                p2, p1 = p1, res.pose
+                iters = iters + res.iterations
+            return (state, p2, p1, iters)
         return jax.lax.fori_loop(
-            0, K, body, (state, pose_prev2, pose_prev, jnp.int32(0)))
+            0, K // ce, body, (state, pose_prev2, pose_prev, jnp.int32(0)))
 
     jax.block_until_ready(jax.tree_util.tree_leaves(state0)[0])
     state, _, pose_out, iters = run_k(state0, poses[0], poses[0])  # compile+warm

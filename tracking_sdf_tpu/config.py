@@ -342,6 +342,10 @@ def preset(name: str) -> PipelineConfig:
         # reference ships p2plane (sdf.cpp:272) with p2p present but
         # commented (sdf.cpp:267); ours is the measured pick, p2plane is
         # --distance away. BENCHMARKS.md round-3 batches J-K.
+        # color_every=2 (round 3): bench 78.4 vs 75.5 fps with invisible
+        # color cost (see the tum512 note below; the cadence must be
+        # statically unrolled — a lax.cond gate costs ~4 ms/frame at this
+        # scale, measured). --color-every 1 restores reference cadence.
         "tum256": PipelineConfig(
             grid=GridParams(m=256),
             bilateral_mode="separable",
@@ -349,6 +353,7 @@ def preset(name: str) -> PipelineConfig:
                                 pixel_share=4, pixel_share_j=4,
                                 brick_cap_free=2048,
                                 distance="point_to_point",
+                                color_every=2,
                                 storage_dtype="bfloat16"),
             pyramid_levels=(2, 1),
         ),
