@@ -126,6 +126,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="call jax.distributed.initialize() first so "
                         "jax.devices() spans all hosts; combine with "
                         "--distributed to shard over the full pod slice")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of the jax.distributed coordinator for "
+                        "--multihost (with --num-processes/--process-id); "
+                        "omit to auto-detect from the cluster environment "
+                        "(TPU pod metadata / SLURM)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total process count for --multihost --coordinator")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's rank for --multihost --coordinator")
     return p
 
 
@@ -142,6 +151,18 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+
+    if args.multihost:
+        # before ANY backend touch — importing the pipeline below builds
+        # module-level jnp constants (runner.REFERENCE_INITIAL_POSE),
+        # which initializes XLA and makes a later initialize() raise
+        if args.coordinator:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id)
+        else:
+            jax.distributed.initialize()
 
     from tracking_sdf_tpu.config import preset
     from tracking_sdf_tpu.pipeline import Reconstruction, ate_rmse, read_trajectory
@@ -184,9 +205,6 @@ def main(argv=None) -> int:
     if args.mesh_decimate:
         changes["mesh_decimate"] = args.mesh_decimate
     cfg = dataclasses.replace(cfg, **changes)
-
-    if args.multihost:
-        jax.distributed.initialize()
 
     mesh = None
     if args.distributed:

@@ -38,6 +38,22 @@ def grid_sharding(mesh: Mesh, axis_name: str = "d") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name, None, None))
 
 
+def put_sharded(x, s: NamedSharding):
+    """`jax.device_put(x, s)`, multi-PROCESS-safe.
+
+    Cross-process device_put runs a value-equality check across ranks
+    (dispatch.py multihost_utils.assert_equal) that is NaN-hostile — the
+    NaN-masked D leaves (brickmajor storage invariant) always fail it.
+    When `s` spans other processes, build the global array from the local
+    value instead (every rank passes the same deterministic value — the
+    same contract device_put's check enforces, minus the NaN false
+    positive)."""
+    if all(d.process_index == jax.process_index() for d in s.device_set):
+        return jax.device_put(x, s)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -45,4 +61,4 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_grid(grid: TSDFGrid, mesh: Mesh, axis_name: str = "d") -> TSDFGrid:
     """Place every grid leaf slab-sharded on the mesh."""
     s = grid_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, s), grid)
+    return jax.tree.map(lambda x: put_sharded(x, s), grid)

@@ -408,8 +408,10 @@ def shard_brick_grid(bgrid, mesh: Mesh, axis_name: str = "d"):
     across n devices is exactly an i-slab of bricks per device (requires
     nbi %% n == 0 — checked by sharded_fuse_frame_brickmajor)."""
     from jax.sharding import NamedSharding
+
+    from tracking_sdf_tpu.parallel.mesh import put_sharded
     s = NamedSharding(mesh, P(axis_name, None))
-    return jax.tree.map(lambda x: jax.device_put(x, s), bgrid)
+    return jax.tree.map(lambda x: put_sharded(x, s), bgrid)
 
 
 def sharded_fuse_frame_brickmajor(

@@ -373,6 +373,52 @@ def marching_cubes_chunked(
     return Mesh(tri, colors, dropped_cells=dropped)
 
 
+def _cross_host_halo_planes(grid: TSDFGrid) -> dict:
+    """Slab-boundary i-planes that cross a PROCESS boundary, fetched once
+    via a collective gather: {global_i: {leaf_name: (1, m, m) np.ndarray}}.
+
+    The set of needed planes is derived from the GLOBAL sharding (not local
+    addressability), so every process computes the same set and executes
+    the same jitted collective program — the symmetric-participation rule
+    of multi-process jax. Single-process (fully-addressable) grids return
+    {} and pay nothing. The fetch itself is one jnp.take of a handful of
+    (m, m) planes per leaf with a replicated out_sharding — XLA inserts
+    the all-gather (over DCN on a real multi-host pod; ~24 KB/plane at
+    m=64 test scale, 1 MB at 512)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    D = grid.D
+    if D.is_fully_addressable:
+        return {}
+    sh = D.sharding
+    if not isinstance(sh, NamedSharding):
+        return {}
+    m = D.shape[0]
+    # slab (start, stop) -> set of owning process ids
+    bounds: dict = {}
+    for dev, idx in sh.devices_indices_map(D.shape).items():
+        start = idx[0].start or 0
+        stop = idx[0].stop if idx[0].stop is not None else m
+        bounds.setdefault((start, stop), set()).add(dev.process_index)
+    by_start = {s0: procs for (s0, s1), procs in bounds.items()}
+    needed = sorted({
+        s1 for (s0, s1), procs in bounds.items()
+        if s1 < m and not (by_start.get(s1, set()) & procs)
+    })
+    if not needed:
+        return {}
+    idx = jnp.asarray(needed, jnp.int32)
+    rep = NamedSharding(sh.mesh, P())
+    fetch = jax.jit(lambda leaf: jnp.take(leaf, idx, axis=0),
+                    out_shardings=rep)
+    out: dict = {i: {} for i in needed}
+    for name in grid._fields:
+        planes = np.asarray(fetch(getattr(grid, name)))
+        for j, i in enumerate(needed):
+            out[i][name] = planes[j:j + 1]
+    return out
+
+
 def marching_cubes_sharded(
     grid: TSDFGrid,
     *,
@@ -389,14 +435,17 @@ def marching_cubes_sharded(
     i-plane's cells need one halo plane from the next shard, so each
     sub-problem is (slab + 1 plane). No full-grid materialization anywhere:
     peak host memory is one slab. On multi-host, each process meshes its
-    addressable shards (the trailing halo comes from the next local shard;
-    a cross-host boundary plane is fetched per leaf only if addressable —
-    otherwise that one cell plane is skipped and reported in
-    dropped_cells).
+    addressable shards; boundary planes owned by ANOTHER process are
+    fetched up front by one collective gather (_cross_host_halo_planes),
+    so sharded meshing is exact across process boundaries — the
+    process-local result is this process's slabs' triangles, in global
+    slab order (concatenate across processes by process id for the full
+    mesh; see tests/test_multiprocess.py).
 
     Triangle order matches the unsharded function (slabs ascend in i;
     within a slab, row-major) — equality pinned by tests.
     """
+    halo_planes = _cross_host_halo_planes(grid)
     shards = sorted(grid.D.addressable_shards, key=lambda s: s.index[0].start)
     leaves = {name: getattr(grid, name) for name in grid._fields}
     m = params.m
@@ -407,22 +456,19 @@ def marching_cubes_sharded(
         i1 = sh.index[0].stop if sh.index[0].stop is not None else m
         halo = i1 < m  # last slab's cells end at m-2 with no halo needed
         sub = {}
-        missing_halo = False
         for name, leaf in leaves.items():
             # fetch this slab (and its halo plane) per leaf
             lsh = sorted(leaf.addressable_shards,
                          key=lambda s: s.index[0].start or 0)[si]
             arr = np.asarray(lsh.data)
             if halo:
-                try:
+                if i1 in halo_planes:  # cross-process boundary, prefetched
+                    arr = np.concatenate([arr, halo_planes[i1][name]], 0)
+                else:
                     nxt = sorted(leaf.addressable_shards,
                                  key=lambda s: s.index[0].start or 0)[si + 1]
                     arr = np.concatenate([arr, np.asarray(nxt.data)[:1]], 0)
-                except IndexError:  # cross-host boundary: not addressable
-                    missing_halo = True
             sub[name] = jnp.asarray(arr)
-        if missing_halo:
-            dropped += (m - 1) * (m - 1)  # one skipped cell plane, reported
         sub_grid = TSDFGrid(**sub)
         part = marching_cubes(sub_grid, params=params,
                               with_colors=with_colors, max_cells=max_cells,
