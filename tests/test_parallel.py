@@ -216,6 +216,49 @@ def test_sharded_brickmajor_fusion_and_masked_tracking(mesh, frame):
                                np.asarray(r_dense.pose.R), atol=5e-5)
 
 
+def test_sharded_brickmajor_hier_classify_matches_dense(mesh, frame):
+    """Per-SLAB hierarchical classification (round 4: the SPMD path now
+    runs the super-brick OUT/FREE/OCCLUDED pruning too) must stay
+    conservative-exact: sharded hier fusion == dense fusion, and == the
+    sharded flat-classify result bitwise."""
+    from tracking_sdf_tpu.fusion.brickmajor import (
+        brick_grid_from_dense, dense_from_brick_grid)
+    from tracking_sdf_tpu.parallel import (
+        shard_brick_grid, sharded_fuse_frame_brickmajor)
+
+    pts, normals, rgb = frame
+    bs = (2, 8, 16)  # slab 6 voxels -> nbi_local=3; factor 3 divides 3/6/3
+    base = FusionConfig(fuse_color=False, brick_shape=bs)
+    out = {}
+    for key, cfg in (("flat", base),
+                     ("hier", base._replace(hier_classify=3, cap_mixed=64))):
+        fuse_sh = sharded_fuse_frame_brickmajor(
+            mesh, params=PARAMS, cam=CAM, cfg=cfg, cap=96, emit_dm=False)
+        bg0 = shard_brick_grid(
+            brick_grid_from_dense(empty_grid(PARAMS), bs), mesh)
+        bg, _, stats = fuse_sh(bg0, TRUE_POSE, pts, normals, None)
+        assert int(stats.overflow) == 0
+        assert int(stats.overflow_active) == 0
+        assert int(stats.overflow_mixed) == 0
+        assert int(stats.n_full) > 0
+        out[key] = (dense_from_brick_grid(bg, PARAMS, bs), stats)
+    # hier == flat bitwise (same proofs, same per-voxel math)
+    for name in ("D", "W"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out["hier"][0], name)),
+            np.asarray(getattr(out["flat"][0], name)), err_msg=name)
+    assert int(out["hier"][1].n_full) == int(out["flat"][1].n_full)
+    # and == dense
+    g_dense = fuse_frame(empty_grid(PARAMS), TRUE_POSE, pts, normals, None,
+                         params=PARAMS, cam=CAM,
+                         cfg=FusionConfig(fuse_color=False))
+    np.testing.assert_allclose(np.asarray(out["hier"][0].W),
+                               np.asarray(g_dense.W), atol=1e-5)
+    okm = np.asarray(g_dense.W) > 0
+    np.testing.assert_allclose(np.asarray(out["hier"][0].D)[okm],
+                               np.asarray(g_dense.D)[okm], atol=1e-5)
+
+
 def test_sharded_brickview_tracking_matches_dense(mesh, frame):
     """Zero-relayout SPMD tracking (sharded_track_frame_brickmajor) gathers
     corners straight from the sharded brick-major D rows with one
@@ -326,6 +369,56 @@ def test_runner_distributed_brickmajor(mesh, tmp_path_factory, sdt):
     np.testing.assert_array_equal(np.asarray(r_2._bgrid.D, np.float32),
                                   np.asarray(r_sh._bgrid.D, np.float32))
     assert len(r_2._bgrid.D.sharding.device_set) == mesh.devices.size
+
+
+def test_sharded_process_chunk_matches_per_frame(mesh):
+    """SPMD chunked processing (round 4): N frames per dispatch with the
+    shard-mapped fuse/track inside ONE jitted fori_loop — must land on the
+    same trajectory and grid as the per-frame sharded loop (the same
+    fixed-cap reassociation tolerance as the single-device chunk test).
+    color_every=2 exercises the lax.cond color-cadence gate around the
+    shard_maps."""
+    from tracking_sdf_tpu.config import PipelineConfig
+    from tracking_sdf_tpu.pipeline import Reconstruction
+
+    fcfg = FusionConfig(mode="brickmajor", brick_shape=(2, 8, 16),
+                        brick_cap=768, fuse_color=True, color_every=2)
+    cfg = PipelineConfig(
+        grid=PARAMS, tracking=TrackingConfig(max_iterations=20),
+        fusion=fcfg, trajectory_path=None, bilateral_filter=False)
+    r_pf = Reconstruction(CAM, cfg, initial_pose=TRUE_POSE, mesh=mesh)
+    r_ch = Reconstruction(CAM, cfg, initial_pose=TRUE_POSE, mesh=mesh)
+    frames = []
+    for i in range(5):
+        ang = 0.05 * i
+        eye = (1.5 * np.sin(ang), -1.5 * np.cos(ang), 0.25)
+        depth = render_scene_depth(SCENE, CAM, look_at(eye, (0.0, 0.0, 0.0)))
+        rgb = np.full(depth.shape + (3,), 0.5, np.float32)
+        frames.append((np.asarray(depth), rgb))
+    # frame 0 bootstraps both runners identically
+    r_pf.process_frame(frames[0][0], frames[0][1], timestamp=0.0)
+    r_ch.process_frame(frames[0][0], frames[0][1], timestamp=0.0)
+    for i, (d, c) in enumerate(frames[1:], start=1):
+        r_pf.process_frame(d, c, timestamp=float(i))
+    stats = r_ch.process_chunk(
+        np.stack([d for d, _ in frames[1:]]),
+        np.stack([c for _, c in frames[1:]]),
+        timestamps=[float(i) for i in range(1, 5)])
+    assert len(stats) == 4 and not any(s.rejected for s in stats)
+    assert r_ch.frame_num == r_pf.frame_num == 5
+    np.testing.assert_allclose(np.asarray(r_ch.pose.t),
+                               np.asarray(r_pf.pose.t), atol=2e-4)
+    g_pf, g_ch = r_pf.grid, r_ch.grid
+    np.testing.assert_allclose(np.asarray(g_ch.W), np.asarray(g_pf.W),
+                               atol=1e-3)
+    okc = np.asarray(g_pf.W) > 0
+    np.testing.assert_allclose(np.asarray(g_ch.D)[okc],
+                               np.asarray(g_pf.D)[okc], atol=2e-3)
+    # color fused on the cadence frames only, identically in both paths
+    np.testing.assert_allclose(np.asarray(g_ch.Wc), np.asarray(g_pf.Wc),
+                               atol=1e-3)
+    r_pf.close()
+    r_ch.close()
 
 
 def test_sharded_marching_cubes_matches_dense(mesh, frame):

@@ -180,8 +180,9 @@ class FusionConfig(NamedTuple):
     # hier docstring) but the fine classify + id compaction run over
     # cap_mixed * f^3 slots instead of all NB bricks (~3.4x fewer at
     # 512^3). cap_mixed bounds descended supers; overflow is reported in
-    # FuseStats.overflow_mixed (never silent). Full-grid fusion only
-    # (SPMD slabs fall back to the flat classifier).
+    # FuseStats.overflow_mixed (never silent). Runs on SPMD slabs too
+    # (slab-local super-brick proofs) when the slab's brick count divides
+    # the factor; otherwise that shard falls back to the flat classifier.
     hier_classify: int = 0
     cap_mixed: int = 2048
 

@@ -254,10 +254,13 @@ def fuse_frame_brickmajor(
     # hierarchical classification (FusionConfig.hier_classify): super-brick
     # OUT/FREE/OCCLUDED pruning shrinks the fine classify + compaction
     # domain ~3-4x at 512^3 (conservative-exact — proofs in
-    # classify_compact_hier). Full-grid only: SPMD slabs (nbi_local) keep
-    # the flat classifier.
+    # classify_compact_hier). SPMD slabs run it too (round 4): the
+    # super-brick proofs are slab-local — classify_compact_hier
+    # parametrizes on (nbi, i_offset), both already threaded through —
+    # requiring only that the slab's brick count divides the super factor.
+    # cap_mixed stays the full-grid value per shard (conservative).
     hier = getattr(cfg, "hier_classify", 0)
-    use_hier = (hier > 1 and nbi_local is None and nbi % hier == 0
+    use_hier = (hier > 1 and nbi % hier == 0
                 and nbj % hier == 0 and nbk % hier == 0)
     ovf_mixed = jnp.int32(0)
     if use_hier:

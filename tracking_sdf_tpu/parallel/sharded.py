@@ -233,10 +233,12 @@ def sharded_track_frame_brickmajor(
     params: GridParams,
     cfg: TrackingConfig = TrackingConfig(),
     bs: Tuple[int, int, int] = (8, 8, 8),
+    jit: bool = True,
 ):
     """SPMD tracking STRAIGHT off the sharded brick-major D rows — the
     zero-relayout distributed analogue of the single-device emit_dm="view"
-    path.
+    path. ``jit=False`` returns the untraced callable for composition into
+    a larger program (the sharded chunk loop).
 
     Each device owns a contiguous slab of brick rows (P('d', None) on every
     BrickGrid leaf). Tracking needs corners at base_i and base_i+1, so one
@@ -284,11 +286,10 @@ def sharded_track_frame_brickmajor(
         check_vma=False,
     )
 
-    @jax.jit
     def fn(D_rows: jnp.ndarray, pose: Pose, points_cam: jnp.ndarray) -> TrackResult:
         return shmapped(D_rows, pose, points_cam)
 
-    return fn
+    return jax.jit(fn) if jit else fn
 
 
 def sharded_fuse_frame(
@@ -424,6 +425,7 @@ def sharded_fuse_frame_brickmajor(
     cap: Optional[int] = None,
     cap_free: Optional[int] = None,
     emit_dm: bool = True,
+    jit: bool = True,
 ):
     """SPMD fusion over BRICK-MAJOR storage — the fastest single-device
     layout, sharded: each device owns a contiguous slab of brick rows
@@ -472,7 +474,6 @@ def sharded_fuse_frame_brickmajor(
         check_vma=False,
     )
 
-    @partial(jax.jit, donate_argnums=(0,))
     def fn(bgrid: BrickGrid, pose, points_cam, normals_cam, rgb=None):
         if use_color and rgb is None:
             raise ValueError("cfg.fuse_color=True but rgb is None")
@@ -481,7 +482,7 @@ def sharded_fuse_frame_brickmajor(
         out = shmapped(bgrid, pose, points_cam, normals_cam, rgb)
         return out if emit_dm else (out[0], None, out[1])
 
-    return fn
+    return partial(jax.jit, donate_argnums=(0,))(fn) if jit else fn
 
 
 def make_sharded_step(
