@@ -434,6 +434,12 @@ def test_process_chunk_matches_per_frame(tmp_path):
     # per-frame GN iteration counts match (same math, same schedule)
     assert [s.gn_iterations for s in stats] == \
         [s.gn_iterations for s in r_seq.stats[1:]]
+    # phase split restored (round 4): chunked stats carry a measured
+    # fuse_ms (calibrated on-device loop) and an iteration-weighted
+    # track_ms, not the old track=wall/n, fuse=0 placeholder
+    assert all(s.fuse_ms > 0 for s in stats if not s.rejected)
+    assert all(s.fuse_ms == 0 for s in stats if s.rejected)
+    assert all(s.track_ms > 0 for s in stats)
 
     # uint16 raw chunk: on-device TUM decode (v/5000, 0 = NaN hole)
     r_raw = Reconstruction(CAM, cfg, initial_pose=poses[0])

@@ -149,8 +149,32 @@ def _compact_ids(flags, cap, fill):
         flags, jnp.arange(flags.shape[0], dtype=jnp.int32), cap, fill)
 
 
+def share_classify_margin(params: GridParams, cfg: FusionConfig) -> float:
+    """World-space distance margin making the FREE/OCCLUDED proofs exact
+    under pixel-share semantics (FusionConfig.share_safe_classify).
+
+    With share, a group voxel v fuses against the group CENTER c's pixel:
+    its distance differs from the center's by (v - c)·n (point-to-plane;
+    for point-to-point the camera-z offset, <= |v - c|). |v - c| is
+    bounded by the group's world radius — (share/2) voxels along grid k
+    (world z) x (share_j/2) along grid j (world y) — so widening delta by
+    margin * ||n|| (p2plane; plain margin for p2p) in the zeta/eta mips
+    restores the share-1 proof chain exactly. 0.0 when share is 1 or the
+    flag is off (bounds unchanged)."""
+    if not getattr(cfg, "share_safe_classify", False):
+        return 0.0
+    sk = max(cfg.pixel_share, 1)
+    sj = max(getattr(cfg, "pixel_share_j", 1), 1)
+    if sk <= 1 and sj <= 1:
+        return 0.0
+    vs = params.voxel_size
+    dk = 0.5 * sk * vs[2]
+    dj = 0.5 * sj * vs[1]
+    return float((dk * dk + dj * dj) ** 0.5)
+
+
 def _zeta_mip(points_cam, normals_cam, cam, delta, dtype,
-              distance="point_to_plane"):
+              distance="point_to_plane", share_margin=0.0):
     """Conservative free-space AND occluded-space depth mips.
 
     zeta (min-mip): the camera-z at which the pixel's fusion distance falls
@@ -190,11 +214,14 @@ def _zeta_mip(points_cam, normals_cam, cam, delta, dtype,
         & jnp.isfinite(n[..., 1])
         & jnp.isfinite(n[..., 2])
     )
+    # share_safe_classify: delta widened by the share-group world radius
+    # (x ||n|| for point-to-plane below) — see share_classify_margin
     if distance == "point_to_point":
         # d = z_y - z_p (sdf.h:169-172, canonical sign): no ray or normal
         # dependence at all, so the proofs are plain per-pixel bounds.
-        zeta = jnp.where(fin, z_y - delta, neg_inf)
-        eta = jnp.where(fin, z_y + delta, neg_inf)
+        d_eff = delta + share_margin
+        zeta = jnp.where(fin, z_y - d_eff, neg_inf)
+        eta = jnp.where(fin, z_y + d_eff, neg_inf)
     else:
         # unit-z ray r = ((u-cx)/fx, (v-cy)/fy, 1)
         v = jnp.arange(h, dtype=dtype)[:, None]
@@ -213,10 +240,16 @@ def _zeta_mip(points_cam, normals_cam, cam, delta, dtype,
             jnp.maximum(n[..., 0], 0.0) / cam.fx
             + jnp.maximum(n[..., 1], 0.0) / cam.fy
         )
-        zeta = jnp.where(ok, (z_y * a - delta) / (a + e_minus), neg_inf)
+        if share_margin:
+            nrm2 = jnp.sqrt(jnp.sum(
+                jnp.where(fin[..., None], n * n, 0.0), axis=-1))
+            d_eff = delta + share_margin * nrm2
+        else:
+            d_eff = delta
+        zeta = jnp.where(ok, (z_y * a - d_eff) / (a + e_minus), neg_inf)
         eta = jnp.where(
             fin & (rn < 0) & (a > e_plus),
-            (z_y * a + delta) / jnp.maximum(a - e_plus, 1e-9),
+            (z_y * a + d_eff) / jnp.maximum(a - e_plus, 1e-9),
             jnp.where(fin, pos_inf, neg_inf),
         )
 
@@ -332,7 +365,7 @@ def _brick_corners_cam(params, pose, bs, dtype, nbi, i_offset):
 
 def classify_compact_hier(params, pose, points_cam, normals_cam, cam, bs,
                           dtype, nbi, i_offset, distance, cap, cap_free,
-                          factor, cap_mixed):
+                          factor, cap_mixed, share_margin=0.0):
     """Hierarchical OUT/FREE/FULL classification + FULL/FREE compaction.
 
     Classifies SUPER-bricks of ``factor``^3 fine bricks first, then
@@ -374,7 +407,7 @@ def classify_compact_hier(params, pose, points_cam, normals_cam, cam, bs,
     nsi, nsj, nsk = nbi // f, nbj // f, nbk // f
     NS = nsi * nsj * nsk
     mip = _zeta_mip(points_cam, normals_cam, cam, params.delta, dtype,
-                    distance)
+                    distance, share_margin)
 
     # ---- level 1: super-bricks ---------------------------------------------
     sbs = (bi * f, bj * f, bk * f)
@@ -507,7 +540,8 @@ def _class_from_corners(cx_, cy_, cz_, mip, cam, hw):
 
 
 def classify_bricks(params, pose, points_cam, normals_cam, cam, bs, dtype,
-                    nbi, i_offset, distance="point_to_plane", mip=None):
+                    nbi, i_offset, distance="point_to_plane", mip=None,
+                    share_margin=0.0):
     """Exact conservative OUT/FREE/FULL brick classification.
 
     Returns brick_class (nbi, nbj, nbk) int32: 0 = OUT, 1 = FREE, 2 = FULL.
@@ -517,11 +551,16 @@ def classify_bricks(params, pose, points_cam, normals_cam, cam, bs, dtype,
     SHARE-MODE CAVEAT (ADVICE r2): the FREE/OCCLUDED ray-footprint bounds
     (e_minus/e_plus in _zeta_mip) assume each voxel reads its OWN pixel
     (du, dv in [0,1)). With pixel_share > 1 a FULL-brick voxel fuses
-    against the group-center pixel up to share/2 pixels away, so the
+    against the group-center pixel up to share/2 voxels away, so the
     proofs are strictly exact only at share 1 — consistent with share
     mode itself being a flagged approximation (FusionConfig.pixel_share);
     FREE/OCCLUDED treatment remains EXACT w.r.t. the share-1 semantics
-    the equivalence tests pin. The FREE
+    the equivalence tests pin. ``share_margin`` (round 4,
+    FusionConfig.share_safe_classify -> share_classify_margin) closes the
+    gap exactly: widening delta by the group's world radius x ||n||
+    bounds the share-induced distance shift (v-c)·n, restoring the proof
+    chain under share semantics (pinned by
+    tests/test_brick_fusion.py::test_share_safe_classification). The FREE
     (zeta min-mip) and OCCLUDED (eta max-mip) proofs depend on the distance
     mode; plain OUT is geometry-only. OCCLUDED bricks — provably zero
     update at every voxel (deep behind every candidate surface, d < -delta,
@@ -533,7 +572,7 @@ def classify_bricks(params, pose, points_cam, normals_cam, cam, bs, dtype,
     h, w_img = points_cam.shape[:2]
     if mip is None:
         mip = _zeta_mip(points_cam, normals_cam, cam, params.delta, dtype,
-                        distance)
+                        distance, share_margin)
     cx_, cy_, cz_ = _brick_corners_cam(params, pose, bs, dtype, nbi, i_offset)
     return _class_from_corners(cx_, cy_, cz_, mip, cam, (h, w_img))
 
@@ -804,7 +843,8 @@ def fuse_frame_bricked(
     # ---- brick classification: 0 = OUT, 1 = FREE, 2 = FULL -----------------
     brick_class = classify_bricks(
         params, pose, points_cam, normals_cam, cam, bs, dtype, nbi,
-        i_offset, cfg.distance)
+        i_offset, cfg.distance,
+        share_margin=share_classify_margin(params, cfg))
 
     upd, full_ids, valid_brick, n_full, (vi, vj, fbk) = _full_brick_updates(
         brick_class, pix, pose, params, cam, cfg, bs, cap, dtype,

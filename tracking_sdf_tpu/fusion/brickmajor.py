@@ -43,6 +43,7 @@ from tracking_sdf_tpu.fusion.brick import (
     _pixel_table,
     classify_bricks,
     classify_compact_hier,
+    share_classify_margin,
 )
 from tracking_sdf_tpu.grid.grid import TSDFGrid
 from tracking_sdf_tpu.grid.interp import BrickMaskedView
@@ -263,12 +264,13 @@ def fuse_frame_brickmajor(
     use_hier = (hier > 1 and nbi % hier == 0
                 and nbj % hier == 0 and nbk % hier == 0)
     ovf_mixed = jnp.int32(0)
+    share_m = share_classify_margin(params, cfg)
     if use_hier:
         full_ids, fr_ids, n_full, n_free, ovf_mixed, ovf_free = \
             classify_compact_hier(
                 params, pose, points_cam, normals_cam, cam, bs, dtype,
                 nbi, i_offset, cfg.distance, cap, cap_free, hier,
-                cfg.cap_mixed)
+                cfg.cap_mixed, share_margin=share_m)
         upd, _, valid_brick, _, _ = _full_brick_updates(
             None, pix, pose, params, cam, cfg, bs, cap, dtype,
             (nbi, nbj, nbk), i_offset, (h, w_img), fuse_color,
@@ -276,7 +278,7 @@ def fuse_frame_brickmajor(
     else:
         brick_class = classify_bricks(
             params, pose, points_cam, normals_cam, cam, bs, dtype, nbi,
-            i_offset, cfg.distance)
+            i_offset, cfg.distance, share_margin=share_m)
         upd, full_ids, valid_brick, n_full, _ = _full_brick_updates(
             brick_class, pix, pose, params, cam, cfg, bs, cap, dtype,
             (nbi, nbj, nbk), i_offset, (h, w_img), fuse_color)

@@ -46,6 +46,7 @@ from tracking_sdf_tpu.fusion.brick import (
     _full_brick_updates,
     _pixel_table,
     classify_bricks,
+    share_classify_margin,
 )
 from tracking_sdf_tpu.fusion.brickmajor import _from_rows, _to_rows
 from tracking_sdf_tpu.grid.grid import TSDFGrid
@@ -163,7 +164,8 @@ def fuse_frame_packed(
                        cfg.distance)
     brick_class = classify_bricks(
         params, pose, points_cam, normals_cam, cam, bs, dtype, nbi,
-        i_offset, cfg.distance)
+        i_offset, cfg.distance,
+        share_margin=share_classify_margin(params, cfg))
     upd, full_ids, valid_brick, n_full, _ = _full_brick_updates(
         brick_class, pix, pose, params, cam, cfg, bs, cap, dtype,
         (nbi, nbj, nbk), i_offset, (h, w_img), fuse_color)
