@@ -56,7 +56,7 @@ int paeth(int a, int b, int c) {
   return c;
 }
 
-bool read_file(const char* path, std::vector<uint8_t>& out) {
+bool read_file_once(const char* path, std::vector<uint8_t>& out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
   std::fseek(f, 0, SEEK_END);
@@ -66,6 +66,18 @@ bool read_file(const char* path, std::vector<uint8_t>& out) {
   size_t got = std::fread(out.data(), 1, size_t(n), f);
   std::fclose(f);
   return got == size_t(n);
+}
+
+// fopen/fread can fail TRANSIENTLY under fd pressure (EMFILE with many
+// concurrent processes — observed as rare silently-colorless frames in
+// parallel test runs). Retry with backoff; a persistent failure is then a
+// real one and is REPORTED by the caller, never silent.
+bool read_file(const char* path, std::vector<uint8_t>& out) {
+  for (int attempt = 0; attempt < 4; ++attempt) {
+    if (read_file_once(path, out)) return true;
+    std::this_thread::sleep_for(std::chrono::milliseconds(2 << attempt));
+  }
+  return false;
 }
 
 // Decode a PNG byte stream into unfiltered raw scanlines.
@@ -290,6 +302,13 @@ struct Loader {
         bool cok = read_file(rgb_paths[idx].c_str(), cbuf) &&
                    decode_png(cbuf, cimg) && cimg.width == width &&
                    cimg.height == height;
+        if (!cok) {
+          // never drop color silently: the consumer sees rgb=None and the
+          // operator sees why
+          std::fprintf(stderr,
+                       "tsdf_native: rgb read/decode failed after retries, "
+                       "frame %d: %s\n", idx, rgb_paths[idx].c_str());
+        }
         if (cok) {
           if (raw) {
             fr.rgb8.resize(size_t(width) * height * 3);

@@ -782,3 +782,43 @@ def test_share_safe_classification(monkeypatch):
     # path on provably-free bricks -> bitwise equality
     np.testing.assert_array_equal(np.asarray(g_safe.W), np.asarray(g_oracle.W))
     np.testing.assert_array_equal(np.asarray(g_safe.D), np.asarray(g_oracle.D))
+
+
+def test_free_fold_bitwise_identical():
+    """free_fold (round 4): folding the FREE rows into the FULL D/W pass
+    must not change a single bit — same per-row arithmetic, disjoint id
+    sets, only the scatter batching differs."""
+    from tracking_sdf_tpu.fusion.brickmajor import (
+        empty_brick_grid, fuse_frame_brickmajor)
+
+    bs = (8, 8, 16)
+    # wall-only head-on frames: guarantees FREE bricks at this brick size
+    # (see test_free_bricks_classified_and_exact_on_wall_scene)
+    wall_poses = [look_at((0.0, -1.5, 0.0), (0.0, 1.0, 0.0)),
+                  look_at((0.06, -1.44, 0.03), (0.0, 1.0, 0.0))]
+    frames = []
+    for pose in wall_poses:
+        depth = render_scene_depth(WALL, CAM, pose)
+        pts = backproject(CAM, depth)
+        rgb = jnp.full(pts.shape, 0.6, jnp.float32)
+        frames.append((pose, pts, estimate_normals(pts), rgb))
+    for hier in (0, 2):
+        cfg = FusionConfig(mode="brickmajor", brick_shape=bs,
+                           fuse_color=True, hier_classify=hier,
+                           cap_mixed=64)
+        out = {}
+        for fold in (False, True):
+            bg = empty_brick_grid(PARAMS, bs)
+            for pose, pts, normals, rgb in frames:
+                bg, _, stats = fuse_frame_brickmajor(
+                    bg, pose, pts, normals, rgb, params=PARAMS, cam=CAM,
+                    cfg=cfg._replace(free_fold=fold), bs=bs, cap=220,
+                    cap_free=128, emit_dm=False)
+                assert int(stats.overflow) == 0
+            assert int(stats.n_free) > 0  # fold actually has FREE rows
+            out[fold] = bg
+        for name in out[False]._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(out[True], name), np.float32),
+                np.asarray(getattr(out[False], name), np.float32),
+                err_msg=f"hier={hier} {name}")

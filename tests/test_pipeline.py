@@ -517,3 +517,60 @@ def test_color_every_subsampling():
                                atol=1e-5)) < 1e-4
     assert np.mean(~np.isclose(np.asarray(g3.W), np.asarray(g2.W),
                                atol=1e-5)) < 1e-4
+
+
+def test_realtime_pacer_drop_semantics():
+    """RealtimePacer: queue-size-1 paced arrival (sdf_reconstruction.cpp:89
+    semantics). A consumer slower than the sensor gets the NEWEST arrived
+    frame (stale ones counted dropped); a fast consumer blocks for the
+    next arrival and drops nothing."""
+    import time as _time
+
+    from tracking_sdf_tpu.pipeline import RealtimePacer
+
+    data = list(range(60))
+    # slow consumer: ~3 frame periods of work per frame at 200 Hz
+    pacer = RealtimePacer(data, hz=200.0)
+    seen = []
+    for item in pacer:
+        seen.append(item)
+        _time.sleep(3 / 200.0)
+    assert seen[-1] == 59  # the newest frame is always reachable
+    assert seen == sorted(seen)  # monotone, no reordering
+    assert pacer.dropped > 0
+    assert pacer.dropped + pacer.yielded == len(data)
+    # fast consumer: paces to the arrival clock, zero drops
+    pacer2 = RealtimePacer(data[:10], hz=500.0)
+    t0 = _time.perf_counter()
+    out = list(pacer2)
+    wall = _time.perf_counter() - t0
+    assert out == data[:10]
+    assert pacer2.dropped == 0
+    assert wall >= 9 / 500.0  # waited for arrivals
+
+
+def test_realtime_cli_end_to_end(tmp_path):
+    """--realtime paced replay through the full CLI: still tracks (ATE
+    gate) while reporting drop counts in the JSON summary."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "tracking_sdf_tpu.cli", "--cpu",
+         "--preset", "synthetic64", "--synthetic", "--frames", "8",
+         "--realtime", "120", "--trajectory", str(tmp_path / "t.txt"),
+         "--eval", "--json"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=500)
+    assert r.returncode == 0, r.stderr[-3000:]
+    s = json.loads(r.stdout.splitlines()[-1])
+    # CPU frames take >> 1/120 s: the pacer must have dropped stale frames
+    assert s["realtime_dropped"] > 0
+    assert s["realtime_yielded"] + s["realtime_dropped"] == 8
+    assert s["frames"] == s["realtime_yielded"]
+    # and tracking survived the larger inter-frame motion
+    assert s["ate_rmse_m"] is not None and s["ate_rmse_m"] < 0.08

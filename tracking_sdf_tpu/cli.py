@@ -43,6 +43,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frame-step", type=int, default=1,
                    help="process every Nth frame (the paper's §V-D "
                         "robustness study runs every 6th)")
+    p.add_argument("--realtime", type=float, default=0.0, metavar="HZ",
+                   help="paced replay at HZ frames/s wall-clock with the "
+                        "reference's queue-size-1 drop-stale-when-behind "
+                        "semantics (sdf_reconstruction.cpp:89): when "
+                        "processing lags the sensor, every frame but the "
+                        "newest is dropped and the tracker must bridge the "
+                        "gap. Drops are reported. Incompatible with --chunk.")
     p.add_argument("--trajectory", default="trajectory.txt",
                    help="output TUM trajectory path ('' disables)")
     p.add_argument("--mesh", help="export marching-cubes PLY to this path at the end")
@@ -251,7 +258,16 @@ def main(argv=None) -> int:
     # generator has no .groundtruth and is exhausted after run(), which
     # would silently skip --eval
     gt_source = getattr(dataset, "groundtruth", None)
-    if args.native_loader and hasattr(dataset, "stream"):
+    pacer = None
+    if args.realtime:
+        if args.chunk > 1:
+            print("warning: --realtime is arrival-driven per-frame; "
+                  "ignoring --chunk", file=sys.stderr)
+            args.chunk = 0
+        from tracking_sdf_tpu.pipeline import RealtimePacer
+
+        dataset = pacer = RealtimePacer(dataset, hz=args.realtime)
+    elif args.native_loader and hasattr(dataset, "stream"):
         # chunked runs take the raw u16/u8 wire path (6x fewer
         # host->device bytes; decoded on-device by process_chunk)
         dataset = dataset.stream(raw=args.chunk > 1)
@@ -286,6 +302,12 @@ def main(argv=None) -> int:
         recon.close()
 
     summary = recon.summary()
+    if pacer is not None:
+        summary["realtime_dropped"] = float(pacer.dropped)
+        summary["realtime_yielded"] = float(pacer.yielded)
+        print(f"realtime: {pacer.yielded} frames processed, "
+              f"{pacer.dropped} dropped stale at {args.realtime:g} Hz",
+              file=sys.stderr)
     if args.eval and args.trajectory:
         gt = gt_source
         if gt is None:

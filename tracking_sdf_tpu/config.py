@@ -194,6 +194,12 @@ class FusionConfig(NamedTuple):
     # radius/delta (~9% wider band at the tum512 preset). Default off =
     # the share-1-exact bounds (the documented approximation).
     share_safe_classify: bool = False
+    # brickmajor merge-tail shape (round 4): fold the FREE-brick rows into
+    # the FULL pass's D/W gather/merge/scatter — one combined row pass
+    # instead of two serialized ones. Bitwise-identical arithmetic (a FREE
+    # brick's update IS (w=1, d=+delta) per voxel; FULL/FREE id sets are
+    # disjoint). A/B knob for the 512^3 merge-tail study.
+    free_fold: bool = False
 
 
 class RaycastConfig(NamedTuple):
@@ -359,11 +365,14 @@ def preset(name: str) -> PipelineConfig:
         "tum256": PipelineConfig(
             grid=GridParams(m=256),
             bilateral_mode="separable",
+        # free_fold (round 4): FREE rows merged in the FULL D/W pass —
+        # bitwise-identical, one fewer gather/scatter pair per frame
+        # (512^3 A/B: -1.7 ms/frame; same direction expected here).
             fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
                                 pixel_share=4, pixel_share_j=4,
                                 brick_cap_free=2048,
                                 distance="point_to_point",
-                                color_every=2,
+                                color_every=2, free_fold=True,
                                 storage_dtype="bfloat16"),
             pyramid_levels=(2, 1),
         ),
@@ -399,7 +408,7 @@ def preset(name: str) -> PipelineConfig:
                                 pixel_share_j=4, brick_cap_free=12288,
                                 storage_dtype="bfloat16",
                                 distance="point_to_point",
-                                color_every=2,
+                                color_every=2, free_fold=True,
                                 hier_classify=4, cap_mixed=1536),
             pyramid_levels=(4, 2, 1),
         ),

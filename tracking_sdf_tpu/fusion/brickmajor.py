@@ -307,12 +307,46 @@ def fuse_frame_brickmajor(
         return tab.at[rows_s].set(new.astype(tab.dtype), mode="drop",
                                   unique_indices=True)
 
-    Dold = jnp.take(bgrid.D, rows_g, axis=0).astype(dtype)  # (cap, BV)
+    # FREE ids (needed up front when folding them into the FULL pass)
+    if not use_hier:
+        is_free = brick_class.reshape(-1) == 1
+        n_free = jnp.sum(is_free.astype(jnp.int32))
+        fr_ids = _compact_ids(is_free, cap_free, NB)
+    valid_f = fr_ids < NB
+
+    # free_fold (round 4): merge FREE rows in the SAME D/W
+    # gather/merge/scatter pass as the FULL rows — a FREE brick's update
+    # is exactly (w_add = 1, wd_add = delta) per voxel, the identical
+    # running-mean arithmetic, and the FULL/FREE id sets are disjoint
+    # (class 2 vs 1), so one combined pass is valid. Removes the second
+    # D/W row-pass per frame AND its serialization on the FULL scatter.
+    fold = getattr(cfg, "free_fold", False)
+    w_add = ch[0]
+    wd_add = ch[1]
+    if fold:
+        ones_f = jnp.ones((cap_free * R, row_w), dtype)
+        w_add = jnp.concatenate([w_add, ones_f], axis=0)
+        wd_add = jnp.concatenate(
+            [wd_add, jnp.full_like(ones_f, params.delta)], axis=0)
+        rows_fg0 = expand(jnp.where(valid_f, fr_ids, 0))
+        rows_g = jnp.concatenate([rows_g, rows_fg0], axis=0)
+        oob_all = NB * R + jnp.arange((cap + cap_free) * R, dtype=jnp.int32)
+        valid_all = jnp.concatenate(
+            [jnp.repeat(valid_brick, R), jnp.repeat(valid_f, R)])
+        ids_all = jnp.concatenate([expand(full_ids), expand(fr_ids)])
+        rows_s_dw = jnp.where(valid_all, ids_all, oob_all).astype(jnp.int32)
+    else:
+        rows_s_dw = rows_s
+
+    def sset_dw(tab, new):
+        return tab.at[rows_s_dw].set(new.astype(tab.dtype), mode="drop",
+                                     unique_indices=True)
+
+    Dold = jnp.take(bgrid.D, rows_g, axis=0).astype(dtype)  # (cap[+capf], BV)
     Wold = jnp.take(bgrid.W, rows_g, axis=0).astype(dtype)
     # storage invariant: Dold is NaN where Wold <= 0 — sanitize before the
     # Wold * Dold product (0 * NaN = NaN), keep NaN where nothing fused
     Dold_s = jnp.where(Wold > 0, Dold, 0.0)
-    w_add = ch[0]
     # denominator = UNCAPPED sum; clamp only the stored weight (dividing
     # by the clamped weight diverges at saturation — see fusion/fuse.py)
     W_sum = Wold + w_add
@@ -320,9 +354,12 @@ def fuse_frame_brickmajor(
              else jnp.minimum(W_sum, cfg.max_weight))
     has = w_add > 0
     D_new = jnp.where(
-        has, (Wold * Dold_s + ch[1]) / jnp.where(has, W_sum, 1.0), Dold)
-    Db = sset(bgrid.D, D_new)
-    Wb = sset(bgrid.W, W_new)
+        has, (Wold * Dold_s + wd_add) / jnp.where(has, W_sum, 1.0), Dold)
+    Db = sset_dw(bgrid.D, D_new)
+    Wb = sset_dw(bgrid.W, W_new)
+    if fold:
+        # color still addresses FULL rows only — restore the FULL-row slices
+        rows_g = rows_g[:cap * R]
 
     if fuse_color:
         Rold = jnp.take(bgrid.R, rows_g, axis=0).astype(dtype)
@@ -343,26 +380,23 @@ def fuse_frame_brickmajor(
         Rb, Gb, Bb, Wcb = bgrid.R, bgrid.G, bgrid.B, bgrid.Wc
 
     # ---- FREE merge: w = 1, d = +delta, no pixel data ----------------------
-    if not use_hier:
-        is_free = brick_class.reshape(-1) == 1
-        n_free = jnp.sum(is_free.astype(jnp.int32))
-        fr_ids = _compact_ids(is_free, cap_free, NB)
-    valid_f = fr_ids < NB
-    rows_fg = expand(jnp.where(valid_f, fr_ids, 0))
-    oob_f = NB * R + jnp.arange(cap_free * R, dtype=jnp.int32)
-    rows_fs = jnp.where(jnp.repeat(valid_f, R), expand(fr_ids), oob_f
-                        ).astype(jnp.int32)
-    Dof = jnp.take(Db, rows_fg, axis=0).astype(dtype)
-    Wof = jnp.take(Wb, rows_fg, axis=0).astype(dtype)
-    Dof_s = jnp.where(Wof > 0, Dof, 0.0)  # storage invariant (see FULL merge)
-    W_sumf = Wof + 1.0
-    W_nf = (W_sumf if cfg.max_weight is None
-            else jnp.minimum(W_sumf, cfg.max_weight))
-    D_nf = (Wof * Dof_s + jnp.asarray(params.delta, dtype)) / W_sumf
-    Db = Db.at[rows_fs].set(D_nf.astype(Db.dtype), mode="drop",
-                            unique_indices=True)
-    Wb = Wb.at[rows_fs].set(W_nf.astype(Wb.dtype), mode="drop",
-                            unique_indices=True)
+    # (folded into the combined D/W pass above when cfg.free_fold)
+    if not fold:
+        rows_fg = expand(jnp.where(valid_f, fr_ids, 0))
+        oob_f = NB * R + jnp.arange(cap_free * R, dtype=jnp.int32)
+        rows_fs = jnp.where(jnp.repeat(valid_f, R), expand(fr_ids), oob_f
+                            ).astype(jnp.int32)
+        Dof = jnp.take(Db, rows_fg, axis=0).astype(dtype)
+        Wof = jnp.take(Wb, rows_fg, axis=0).astype(dtype)
+        Dof_s = jnp.where(Wof > 0, Dof, 0.0)  # storage invariant (FULL merge)
+        W_sumf = Wof + 1.0
+        W_nf = (W_sumf if cfg.max_weight is None
+                else jnp.minimum(W_sumf, cfg.max_weight))
+        D_nf = (Wof * Dof_s + jnp.asarray(params.delta, dtype)) / W_sumf
+        Db = Db.at[rows_fs].set(D_nf.astype(Db.dtype), mode="drop",
+                                unique_indices=True)
+        Wb = Wb.at[rows_fs].set(W_nf.astype(Wb.dtype), mode="drop",
+                                unique_indices=True)
 
     out = BrickGrid(D=Db, W=Wb, R=Rb, G=Gb, B=Bb, Wc=Wcb)
     stats = FuseStats(

@@ -7,6 +7,7 @@ from tracking_sdf_tpu.pipeline.trajectory import (
     ate_rmse,
     rpe_rmse,
 )
+from tracking_sdf_tpu.pipeline.realtime import RealtimePacer
 from tracking_sdf_tpu.pipeline.runner import (
     Reconstruction,
     FrameStats,
@@ -21,6 +22,7 @@ __all__ = [
     "align_umeyama",
     "ate_rmse",
     "rpe_rmse",
+    "RealtimePacer",
     "Reconstruction",
     "FrameStats",
     "REFERENCE_INITIAL_POSE",

@@ -377,9 +377,15 @@ def raycast(
     g_world = g_uvw * scale
     denom = jnp.sum(g_world * unit, axis=-1)
     safe_denom = jnp.where(jnp.abs(denom) > 1e-6, denom, 1.0)
-    t_refined = jnp.where(
-        hit & ok & (jnp.abs(denom) > 1e-6), t_m - phi / safe_denom, t_m
-    )
+    # double-where NaN hygiene (round 4): phi is NaN on invalid
+    # interpolation (masked D); even under a zero cotangent, the
+    # division's partial w.r.t. denom is -phi/denom^2 = NaN, and 0 * NaN
+    # poisons the ROTATION gradient through denom = g.unit (translation
+    # never touches denom). Zeroing phi where unused keeps the partials
+    # finite without changing any primal value.
+    use = hit & ok & (jnp.abs(denom) > 1e-6)
+    phi_s = jnp.where(use, phi, 0.0)
+    t_refined = jnp.where(use, t_m - phi_s / safe_denom, t_m)
     hit = hit & ok
 
     gn = jnp.linalg.norm(g_world, axis=-1, keepdims=True)
@@ -390,7 +396,12 @@ def raycast(
 
     nan = jnp.asarray(jnp.nan, dtype=dtype)
     range_t = jnp.where(hit, t_refined, nan)
-    depth = range_t / dn[..., 0]  # camera z-depth (dirs_cam z == 1)
+    # divide BEFORE the NaN mask: depth = range_t / dn would put the
+    # miss-pixel NaNs into the division's partial w.r.t. dn (-range_t/dn^2),
+    # and dn = ||R dirs|| is the one depth path that is ROTATION-dependent —
+    # 0-cotangent x NaN-partial poisoned d(depth)/d(pose.R) (double-where
+    # rule; t_refined is finite everywhere, t_m fallback)
+    depth = jnp.where(hit, t_refined / dn[..., 0], nan)  # camera z-depth
     n_world = jnp.where(hit[..., None], n_world, nan)
     n_cam = jnp.where(hit[..., None], n_cam, nan)
 
