@@ -143,3 +143,56 @@ def test_real_trajectory_replay(tmp_path):
     t5, _ = ds[5].gt_pose
     d = np.linalg.norm(np.asarray(t5) - np.asarray(t0))
     assert 1e-4 < d < 0.5, d
+
+
+def test_pathology_artifacts_present_and_trackable(tmp_path, monkeypatch):
+    """Sensor-pathology mode (round 4, VERDICT r3 missing #1): the four
+    Kinect artifacts must actually manifest — one-sided occlusion-shadow
+    NaN bands at depth edges, contiguous dropout blobs, edge flying
+    pixels, exposure-varying RGB — and the pipeline must still track
+    through the full CLI on the pathological sequence."""
+    root = str(tmp_path / "patho")
+    clean_root = str(tmp_path / "clean")
+    stats = generate(root, n_frames=8, width=160, height=120,
+                     noise_k=1.0e-3, dropout=0.0, seed=3, pathology=True)
+    generate(clean_root, n_frames=8, width=160, height=120,
+             noise_k=1.0e-3, dropout=0.0, seed=3)
+    ds, ds_clean = TUMDataset(root), TUMDataset(clean_root)
+
+    d_p = ds[2].depth
+    d_c = ds_clean[2].depth
+    # depth got NEW NaN structure (shadows + patches): clearly more holes
+    extra = np.isnan(d_p) & ~np.isnan(d_c)
+    assert extra.mean() > 0.01, extra.mean()
+    # flying pixels: pathological depth at edges differs from clean by an
+    # INTERMEDIATE amount (between surfaces), not just gaussian noise
+    both = np.isfinite(d_p) & np.isfinite(d_c)
+    dd = np.abs(d_p - d_c)[both]
+    assert (dd > 0.05).sum() > 20  # mixed pixels moved several cm
+    # exposure: global gain differs across frames (same scene point)
+    r2 = ds[2].rgb
+    r6 = ds[6].rgb
+    assert abs(float(np.nanmean(r2)) - float(np.nanmean(r6))) > 0.01
+
+    # still tracks end-to-end through the CLI (coarse CI config)
+    fx, fy, cx, cy, w, h = stats["camera"]
+    small = PipelineConfig(
+        grid=GridParams(m=96),
+        fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
+                            brick_cap=1728, brick_cap_free=1728,
+                            pixel_share=2, pixel_share_j=2,
+                            storage_dtype="bfloat16"),
+    )
+    monkeypatch.setattr(config, "preset", lambda name: small)
+    traj = str(tmp_path / "traj.txt")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main([
+            "--preset", "tum256", "--dataset", root,
+            "--camera", f"{fx},{fy},{cx},{cy},{w},{h}",
+            "--trajectory", traj, "--eval", "--json", "--cpu",
+        ])
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["frames"] == 8
+    assert out["ate_rmse_m"] is not None and out["ate_rmse_m"] < 0.08, out
