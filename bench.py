@@ -116,6 +116,19 @@ def build_inputs(preset_name=None):
     if _dist:
         cfg = dataclasses.replace(
             cfg, fusion=cfg.fusion._replace(distance=_dist))
+    # BENCH_WDTYPE / BENCH_MAXW: weight-accumulator dtype + clamp (A/B)
+    _wdt = os.environ.get("BENCH_WDTYPE")
+    if _wdt:
+        cfg = dataclasses.replace(
+            cfg, fusion=cfg.fusion._replace(weight_dtype=_wdt))
+    _mw = float(os.environ.get("BENCH_MAXW", "0"))
+    if _mw:
+        cfg = dataclasses.replace(
+            cfg, fusion=cfg.fusion._replace(max_weight=_mw))
+    # BENCH_FOLD=0: disable free_fold (A/B)
+    if os.environ.get("BENCH_FOLD") == "0":
+        cfg = dataclasses.replace(
+            cfg, fusion=cfg.fusion._replace(free_fold=False))
     # BENCH_CAP / BENCH_CAP_FREE: brick-cap overrides (A/B knobs)
     for _env, _field in (("BENCH_CAP", "brick_cap"),
                          ("BENCH_CAP_FREE", "brick_cap_free")):
@@ -214,7 +227,9 @@ def _bootstrap_brickmajor(cfg, cam, poses, rgb, vdt):
     depth0 = render_scene_depth(make_scene(), cam, poses[0])
     pts0 = backproject(cam, depth0)
     nrm0 = estimate_normals(pts0)
-    bg = empty_brick_grid(cfg.grid, (8, 8, 8), value_dtype=vdt)
+    wdt = (jnp.bfloat16 if cfg.fusion.weight_dtype == "bfloat16" else None)
+    bg = empty_brick_grid(cfg.grid, (8, 8, 8), value_dtype=vdt,
+                          weight_dtype=wdt)
     fcfg = cfg.fusion
     bg, _, stats = fuse_frame_brickmajor(
         bg, poses[0], pts0, nrm0, rgb, params=cfg.grid, cam=cam, cfg=fcfg,
@@ -503,7 +518,11 @@ def main(preset_name=None, primary=True):
             bg0 = _bootstrap_brickmajor(cfg, cam, poses, rgb, vdt)
         else:
             dense0 = _bootstrap(cfg, cam, poses, rgb)
-            bg0 = brick_grid_from_dense(dense0, (8, 8, 8), value_dtype=vdt)
+            bg0 = brick_grid_from_dense(
+                dense0, (8, 8, 8), value_dtype=vdt,
+                weight_dtype=(jnp.bfloat16
+                              if cfg.fusion.weight_dtype == "bfloat16"
+                              else None))
         state0 = (bg0, brick_masked_view(bg0, cfg.grid, (8, 8, 8)))
     elif mode == "packed":
         from tracking_sdf_tpu.fusion.packed import (

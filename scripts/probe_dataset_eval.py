@@ -99,6 +99,19 @@ elif os.environ.get("VARIANTS") == "share84":
         "share=8x4": mk_share(8, 4),
         "share=8x8": mk_share(8, 8),
     }
+elif os.environ.get("VARIANTS") == "patho":
+    # round-4 sensor-pathology battery: the preset + its approximation
+    # ladder + the two new flagged modes, on --pathology data
+    variants = {
+        "preset": base,
+        "share=2x2": mk_share(2, 2),
+        "share=1 exact": mk_share(1, 1),
+        "safe-classify": dataclasses.replace(
+            base, fusion=base.fusion._replace(share_safe_classify=True)),
+        "wf16+maxw128": dataclasses.replace(
+            base, fusion=base.fusion._replace(weight_dtype="bfloat16",
+                                              max_weight=128.0)),
+    }
 else:
     # deltas off the CURRENT preset (labels derive from it — the preset's
     # share/pyramid have moved across rounds)

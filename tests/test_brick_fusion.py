@@ -822,3 +822,46 @@ def test_free_fold_bitwise_identical():
                 np.asarray(getattr(out[True], name), np.float32),
                 np.asarray(getattr(out[False], name), np.float32),
                 err_msg=f"hier={hier} {name}")
+
+
+def test_brickmajor_bfloat16_weights_close_to_dense():
+    """bfloat16 WEIGHT storage (round 4, FusionConfig.weight_dtype) with a
+    max_weight clamp: W/Wc carry per-store bf16 rounding (relative 2^-8),
+    so multi-frame fusion must stay within a few quanta of the f32 dense
+    result with the same clamp. Arithmetic stays f32; the dense export
+    surface upcasts. Flagged approximation — no preset adopts it without
+    the closed-loop A/B."""
+    from tracking_sdf_tpu.fusion.brickmajor import (
+        brick_grid_from_dense,
+        dense_from_brick_grid,
+        fuse_frame_brickmajor,
+    )
+
+    cfg = FusionConfig(fuse_color=True, max_weight=128.0)
+    gd = empty_grid(PARAMS)
+    bg = brick_grid_from_dense(empty_grid(PARAMS), BS,
+                               value_dtype=jnp.bfloat16,
+                               weight_dtype=jnp.bfloat16)
+    assert bg.W.dtype == jnp.bfloat16 and bg.Wc.dtype == jnp.bfloat16
+    for pose in POSES:
+        pts, normals, rgb = _frame(pose)
+        gd = fuse_frame(gd, pose, pts, normals, rgb,
+                        params=PARAMS, cam=CAM, cfg=cfg)
+        bg, _, stats = fuse_frame_brickmajor(
+            bg, pose, pts, normals, rgb, params=PARAMS, cam=CAM, cfg=cfg,
+            bs=BS, cap=220)
+        assert int(stats.overflow) == 0
+        assert bg.W.dtype == jnp.bfloat16
+    gb = dense_from_brick_grid(bg, PARAMS, BS)
+    assert gb.W.dtype == jnp.float32  # export surface upcasts
+    # weights: within a few bf16 quanta of the f32 accumulator (W <= 2
+    # frames of updates here, so quantum <= 2/256)
+    np.testing.assert_allclose(np.asarray(gb.W), np.asarray(gd.W),
+                               atol=4 * 2.0 / 256)
+    # same observation mask (W > 0 agrees exactly)
+    np.testing.assert_array_equal(np.asarray(gb.W) > 0,
+                                  np.asarray(gd.W) > 0)
+    both = np.asarray(gd.W) > 0
+    np.testing.assert_allclose(np.asarray(gb.D)[both],
+                               np.asarray(gd.D)[both],
+                               atol=6 * PARAMS.delta / 256)

@@ -114,6 +114,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="grid value-leaf storage dtype (brickmajor mode): "
                         "bfloat16 halves D/RGB HBM traffic, weights and all "
                         "arithmetic stay float32")
+    p.add_argument("--weight-dtype", choices=("float32", "bfloat16"),
+                   default=None,
+                   help="weight-accumulator storage dtype (brickmajor "
+                        "mode): bfloat16 halves W/Wc merge traffic but "
+                        "quantizes the running sum — pair with "
+                        "--max-weight (flagged approximation)")
+    p.add_argument("--max-weight", type=float, default=0.0,
+                   help="clamp the stored fusion weight (KinectFusion-"
+                        "style; the reference never clamps — 0 = off)")
     p.add_argument("--distributed", action="store_true",
                    help="shard grid+tracking over all visible devices")
     p.add_argument("--progress", action="store_true")
@@ -203,6 +212,10 @@ def main(argv=None) -> int:
             fusion = fusion._replace(brick_shape=(8, 8, 8))
     if args.storage_dtype:
         fusion = fusion._replace(storage_dtype=args.storage_dtype)
+    if args.weight_dtype:
+        fusion = fusion._replace(weight_dtype=args.weight_dtype)
+    if args.max_weight:
+        fusion = fusion._replace(max_weight=args.max_weight)
     if args.distance:
         fusion = fusion._replace(distance=args.distance)
     if fusion is not cfg.fusion:

@@ -194,6 +194,15 @@ class FusionConfig(NamedTuple):
     # radius/delta (~9% wider band at the tum512 preset). Default off =
     # the share-1-exact bounds (the documented approximation).
     share_safe_classify: bool = False
+    # Weight-accumulator storage dtype for mode="brickmajor" (round 4):
+    # "float32" (default, exact) or "bfloat16". bf16 weights halve the
+    # merge's W/Wc bytes (the 512^3 tail is HBM-bound), but quantize the
+    # running sum at 2^-8 relative — past ~256x the per-frame increment
+    # the accumulator freezes. Pair with max_weight <= ~256 (KinectFusion
+    # clamps at 64-255; the reference does not clamp, so this is a
+    # FLAGGED approximation like pixel_share — A/B'd closed-loop before
+    # any preset adopts it). Arithmetic stays f32 (upcast at gather).
+    weight_dtype: str = "float32"
     # brickmajor merge-tail shape (round 4): fold the FREE-brick rows into
     # the FULL pass's D/W gather/merge/scatter — one combined row pass
     # instead of two serialized ones. Bitwise-identical arithmetic (a FREE

@@ -114,23 +114,26 @@ def _from_rows(rows: jnp.ndarray, shape, bs: Tuple[int, int, int]) -> jnp.ndarra
 
 
 def brick_grid_from_dense(grid: TSDFGrid, bs: Tuple[int, int, int],
-                          value_dtype=None) -> BrickGrid:
-    """value_dtype (e.g. bfloat16) applies to D/R/G/B; weights stay as-is."""
+                          value_dtype=None, weight_dtype=None) -> BrickGrid:
+    """value_dtype (e.g. bfloat16) applies to D/R/G/B; weight_dtype (round
+    4, FusionConfig.weight_dtype) to the W/Wc accumulators (default:
+    unchanged)."""
     D = jnp.where(grid.W > 0, grid.D, jnp.nan)  # storage invariant
     vdt = value_dtype or grid.D.dtype
+    wdt = weight_dtype  # None = keep
     leaves = [_to_rows(D, bs)] + [_to_rows(l, bs) for l in grid[1:]]
-    cast = [vdt, None, vdt, vdt, vdt, None]  # D W R G B Wc
+    cast = [vdt, wdt, vdt, vdt, vdt, wdt]  # D W R G B Wc
     return BrickGrid(*(l.astype(c) if c else l for l, c in zip(leaves, cast)))
 
 
 def dense_from_brick_grid(
     bgrid: BrickGrid, params: GridParams, bs: Tuple[int, int, int]
 ) -> TSDFGrid:
-    """Upcasts bf16 value leaves: the dense grid is the export/meshing/
-    checkpoint surface and downstream consumers expect the weight dtype."""
+    """Upcasts bf16 value/weight leaves to (at least) float32: the dense
+    grid is the export/meshing/checkpoint surface."""
     m = params.m
     far = params.width + params.height + params.depth
-    wdt = bgrid.W.dtype
+    wdt = jnp.promote_types(bgrid.W.dtype, jnp.float32)
     D = jnp.where(bgrid.W > 0, bgrid.D.astype(wdt), jnp.asarray(far, wdt))
     return TSDFGrid(_from_rows(D, (m, m, m), bs),
                     *(_from_rows(l.astype(wdt), (m, m, m), bs)
@@ -139,25 +142,28 @@ def dense_from_brick_grid(
 
 def empty_brick_grid(
     params: GridParams, bs: Tuple[int, int, int], dtype=jnp.float32,
-    value_dtype=None,
+    value_dtype=None, weight_dtype=None,
 ) -> BrickGrid:
     """Fresh grid (SDF::SDF init, sdf.cpp:28-34) already in brick layout.
 
     value_dtype (e.g. bfloat16, FusionConfig.storage_dtype) applies to the
-    VALUE leaves D/R/G/B only; the weight accumulators W/Wc keep dtype."""
+    VALUE leaves D/R/G/B; weight_dtype (FusionConfig.weight_dtype) to the
+    W/Wc accumulators — bf16 weights halve the merge's W traffic but
+    quantize the running sum (pair with max_weight; see config)."""
     bi, bj, bk = bs
     m = params.m
     NB = (m // bi) * (m // bj) * (m // bk)
     BV = bi * bj * bk
     shp = (NB * BV // _row_w(BV), _row_w(BV))
     vdt = value_dtype or dtype
+    wdt = weight_dtype or dtype
     return BrickGrid(
         D=jnp.full(shp, jnp.nan, dtype=vdt),  # storage invariant (W=0)
-        W=jnp.zeros(shp, dtype=dtype),
+        W=jnp.zeros(shp, dtype=wdt),
         R=jnp.full(shp, 0.4, dtype=vdt),
         G=jnp.full(shp, 0.4, dtype=vdt),
         B=jnp.full(shp, 0.4, dtype=vdt),
-        Wc=jnp.zeros(shp, dtype=dtype),
+        Wc=jnp.zeros(shp, dtype=wdt),
     )
 
 

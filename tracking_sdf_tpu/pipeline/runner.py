@@ -120,14 +120,18 @@ class Reconstruction:
 
                 vdt = (jnp.bfloat16
                        if config.fusion.storage_dtype == "bfloat16" else None)
+                wdt = (jnp.bfloat16
+                       if getattr(config.fusion, "weight_dtype", "float32")
+                       == "bfloat16" else None)
                 self._bgrid = empty_brick_grid(config.grid, self._bs,
-                                               value_dtype=vdt)
+                                               value_dtype=vdt,
+                                               weight_dtype=wdt)
                 self._bm_view = lambda bg: brick_masked_view(
                     bg, config.grid, self._bs)
                 self._bm_to_dense = lambda bg: dense_from_brick_grid(
                     bg, config.grid, self._bs)
                 self._bm_from_dense = lambda g: brick_grid_from_dense(
-                    g, self._bs, value_dtype=vdt)
+                    g, self._bs, value_dtype=vdt, weight_dtype=wdt)
             self._dm = self._bm_view(self._bgrid)
         if mesh is not None:
             from tracking_sdf_tpu.parallel import (
@@ -273,13 +277,18 @@ class Reconstruction:
         config = self.config
         bs = self._bs = fcfg.brick_shape
         vdt = jnp.bfloat16 if fcfg.storage_dtype == "bfloat16" else None
+        wdt = (jnp.bfloat16
+               if getattr(fcfg, "weight_dtype", "float32") == "bfloat16"
+               else None)
         n_dev = mesh.devices.size
         self._bgrid = shard_brick_grid(
-            empty_brick_grid(config.grid, bs, value_dtype=vdt), mesh)
+            empty_brick_grid(config.grid, bs, value_dtype=vdt,
+                             weight_dtype=wdt), mesh)
         self._bm_to_dense = lambda bg: dense_from_brick_grid(
             bg, config.grid, bs)
         self._bm_from_dense = lambda g: shard_brick_grid(
-            brick_grid_from_dense(g, bs, value_dtype=vdt), mesh)
+            brick_grid_from_dense(g, bs, value_dtype=vdt, weight_dtype=wdt),
+            mesh)
         self._dm = None  # tracking reads bgrid.D rows directly
 
         # built lazily keyed on color presence: fuse_color is baked into the
