@@ -406,6 +406,20 @@ def test_sharded_process_chunk_matches_per_frame(mesh):
         timestamps=[float(i) for i in range(1, 5)])
     assert len(stats) == 4 and not any(s.rejected for s in stats)
     assert r_ch.frame_num == r_pf.frame_num == 5
+    # misaligned tail chunk (3 % color_every != 0): exercises the lax.cond
+    # cadence branch (aligned chunks take the static-unroll path)
+    extra = []
+    for i in range(5, 8):
+        ang = 0.05 * i
+        eye = (1.5 * np.sin(ang), -1.5 * np.cos(ang), 0.25)
+        depth = render_scene_depth(SCENE, CAM, look_at(eye, (0.0, 0.0, 0.0)))
+        extra.append((np.asarray(depth),
+                      np.full(depth.shape + (3,), 0.5, np.float32)))
+    for i, (d, c) in enumerate(extra, start=5):
+        r_pf.process_frame(d, c, timestamp=float(i))
+    r_ch.process_chunk(np.stack([d for d, _ in extra]),
+                       np.stack([c for _, c in extra]),
+                       timestamps=[float(i) for i in range(5, 8)])
     np.testing.assert_allclose(np.asarray(r_ch.pose.t),
                                np.asarray(r_pf.pose.t), atol=2e-4)
     g_pf, g_ch = r_pf.grid, r_ch.grid

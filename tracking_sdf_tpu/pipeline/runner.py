@@ -502,8 +502,15 @@ class Reconstruction:
                 and cfg.tracking.jacobian == "analytic"
                 and not cfg.use_groundtruth)
 
-    def _chunk_fn(self, n: int, has_color: bool, raw: bool, cap: int):
-        key = (n, has_color, raw, cap)
+    def _chunk_fn(self, n: int, has_color: bool, raw: bool, cap: int,
+                  off_mod=None):
+        """``off_mod`` (chunk-start frame index mod color_every, or None):
+        when set and n %% color_every == 0, the color cadence is STATICALLY
+        UNROLLED into the loop body (color_every frames per fori iteration,
+        python-static on/off) instead of a lax.cond gate — the cond costs
+        ~4 ms/frame at 256^3+ scale (BENCHMARKS round-3 batch O), which is
+        pure overhead once chunks are compute-bound."""
+        key = (n, has_color, raw, cap, off_mod)
         fn = self._chunk_cache.get(key)
         if fn is not None:
             return fn
@@ -558,9 +565,13 @@ class Reconstruction:
             track_sharded = sharded_track_frame_brickmajor(
                 self._mesh, params=params, cfg=tcfg, bs=bs, jit=False)
 
+        ce = getattr(fcfg, "color_every", 1)
+        unroll = (off_mod is not None and has_color and ce > 1
+                  and n % ce == 0)
+
         @_partial(jax.jit, donate_argnums=(0,))
         def chunk(bgrid, pose, prev, have_prev, depths, rgbs, off):
-            def body(k, carry):
+            def frame_step(k, carry, color_mode):
                 bgrid, pose, prev, have_prev, out = carry
                 d = depths[k]
                 if raw:
@@ -623,8 +634,7 @@ class Reconstruction:
                             cap=cap, cap_free=cap_free, emit_dm=False)
                     return f
 
-                ce = getattr(fcfg, "color_every", 1)
-                if has_color and ce > 1:
+                if color_mode == "cond":
                     # temporal color subsampling: the absolute frame index
                     # (chunk start 'off' + k) picks the color cadence
                     bgrid, _, fstats = jax.lax.cond(
@@ -633,7 +643,9 @@ class Reconstruction:
                         fuse_with(None, False),
                         bgrid)
                 else:
-                    bgrid, _, fstats = fuse_with(rgb_k, has_color)(bgrid)
+                    bgrid, _, fstats = fuse_with(
+                        rgb_k if color_mode else None, bool(color_mode)
+                    )(bgrid)
                 out = jax.tree.map(
                     lambda o, s: o.at[k].set(s), out,
                     (pose_new.R, pose_new.t, res.iterations, res.num_valid,
@@ -652,8 +664,22 @@ class Reconstruction:
                 jnp.zeros((n,), jnp.int32),
                 jnp.zeros((n,), jnp.int32),
             )
-            return jax.lax.fori_loop(
-                0, n, body, (bgrid, pose, prev, have_prev, out0))
+            init = (bgrid, pose, prev, have_prev, out0)
+            if unroll:
+                # static cadence: frame k's absolute index is off + k with
+                # off % ce == off_mod, so color_on depends only on r
+                def body(j, carry):
+                    for r in range(ce):
+                        carry = frame_step(
+                            j * ce + r, carry, (off_mod + r) % ce == 0)
+                    return carry
+                return jax.lax.fori_loop(0, n // ce, body, init)
+
+            mode = "cond" if (has_color and ce > 1) else has_color
+
+            def body(k, carry):
+                return frame_step(k, carry, mode)
+            return jax.lax.fori_loop(0, n, body, init)
 
         self._chunk_cache[key] = chunk
         return chunk
@@ -846,7 +872,13 @@ class Reconstruction:
         # inside _chunk_fn) is the max.
         cap = (self._cap_levels[-1] if getattr(self, "_cap_levels", None)
                else cfg.fusion.brick_cap)
-        fn = self._chunk_fn(n, has_color, raw, cap)
+        ce = getattr(cfg.fusion, "color_every", 1)
+        # static-unroll the color cadence when the chunk aligns to it (a
+        # lax.cond gate costs ~4 ms/frame at 256^3+; run() picks aligned
+        # chunk sizes, so this is the common case)
+        off_mod = ((self.frame_num + 1) % ce
+                   if has_color and ce > 1 and n % ce == 0 else None)
+        fn = self._chunk_fn(n, has_color, raw, cap, off_mod)
 
         t0 = time.perf_counter()
         prev = self._pose_prev if self._pose_prev is not None else self.pose
