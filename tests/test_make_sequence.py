@@ -196,3 +196,22 @@ def test_pathology_artifacts_present_and_trackable(tmp_path, monkeypatch):
     out = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert out["frames"] == 8
     assert out["ate_rmse_m"] is not None and out["ate_rmse_m"] < 0.08, out
+
+
+def test_ir_shadow_on_background_side():
+    """The occlusion shadow must fall on the BACKGROUND just right of a
+    near occluder (projector left of camera): for u1 < u2 sharing a
+    projector column, z1 < z2 — the far surface loses (round-4
+    self-review: the first implementation masked the foreground edge)."""
+    from tracking_sdf_tpu.data.make_sequence import _ir_shadow_mask
+
+    z = np.full((4, 120), 3.0, np.float32)
+    z[:, 40:60] = 1.0  # near strip
+    m = _ir_shadow_mask(z, fx=100.0, baseline=0.075)
+    # c = fx*b = 7.5: near u_p = u+7.5, far u_p = u+2.5 -> shadow band is
+    # far pixels u in [60, 64] (u+2.5 <= 59+7.5)
+    assert m[0, 60:64].all(), m[0, 55:70]
+    assert not m[0, 65:].any()
+    # the near strip itself and the left side are NOT shadowed
+    assert not m[0, 40:60].any()
+    assert not m[0, :40].any()

@@ -267,17 +267,21 @@ def _fit_cluster(poses, look_dist: float = 1.0, clearance: float = 0.2):
 def _ir_shadow_mask(z: np.ndarray, fx: float, baseline: float) -> np.ndarray:
     """Structured-light occlusion shadows (Kinect pathology #1).
 
-    The IR projector sits a stereo baseline to the side of the IR camera
-    (Kinect: ~75 mm); surface points hidden from the PROJECTOR get no
-    pattern and no depth. A pixel (u, v) at depth z maps to projector
-    column u_p = u - fx*b/z; scanning each row in u, a pixel is shadowed
-    when a NEARER surface earlier in the scan already claimed its
-    projector column (u_p not above the running max). This produces the
-    real artifact: one-sided NaN bands hugging every depth discontinuity,
-    width fx*b*(1/z_near - 1/z_far) pixels."""
+    The IR projector sits a stereo baseline to the LEFT of the IR camera
+    (at x = -b; Kinect: ~75 mm); surface points hidden from the PROJECTOR
+    get no pattern and no depth. A point at camera column u and depth z
+    maps to projector column u_p = u + fx*b/z (x_proj = x_cam + b).
+    Scanning each row left-to-right, a pixel is shadowed when an EARLIER
+    (smaller-u) pixel already claimed a projector column >= u_p: for
+    u1 < u2 with u_p1 >= u_p2, c/z1 - c/z2 >= u2 - u1 > 0 forces z1 < z2,
+    i.e. the earlier surface is nearer along that projector ray. This
+    puts the NaN band on the BACKGROUND just right of each occluder —
+    the physical Kinect artifact (width fx*b*(1/z_near - 1/z_far) px).
+    (Round-4 self-review fix: the first version used u - fx*b/z, which
+    masked the foreground's near edge instead.)"""
     zs = np.where(np.isfinite(z), z, 1e6)
     u = np.arange(z.shape[1], dtype=np.float32)[None, :]
-    up = u - fx * baseline / zs
+    up = u + fx * baseline / zs
     prior = np.roll(np.maximum.accumulate(up, axis=1), 1, axis=1)
     prior[:, 0] = -np.inf
     return up <= prior - 1e-3
@@ -295,7 +299,15 @@ def _flying_pixels(z: np.ndarray, rng, frac: float = 0.6,
     out = z.copy()
     for axis, shift in ((1, 1), (1, -1), (0, 1), (0, -1)):
         zn = np.roll(zf, shift, axis=axis)
-        edge = np.abs(zn - zf) > grad_thresh
+        # np.roll wraps: the first/last row or column would compare
+        # against the OPPOSITE border and fabricate frame-edge
+        # discontinuities (round-4 self-review) — mask the wrapped line
+        zn_valid = np.ones(z.shape, dtype=bool)
+        if axis == 1:
+            zn_valid[:, 0 if shift == 1 else -1] = False
+        else:
+            zn_valid[0 if shift == 1 else -1, :] = False
+        edge = zn_valid & (np.abs(zn - zf) > grad_thresh)
         pick = edge & (rng.random(z.shape) < frac / 4.0) \
             & np.isfinite(zf) & np.isfinite(zn)
         a = rng.uniform(0.2, 0.8, size=z.shape).astype(np.float32)

@@ -154,14 +154,21 @@ def share_classify_margin(params: GridParams, cfg: FusionConfig) -> float:
     under pixel-share semantics (FusionConfig.share_safe_classify).
 
     With share, a group voxel v fuses against the group CENTER c's pixel:
-    its distance differs from the center's by (v - c)·n (point-to-plane;
-    for point-to-point the camera-z offset, <= |v - c|). |v - c| is
-    bounded by the group's world radius — (share/2) voxels along grid k
-    (world z) x (share_j/2) along grid j (world y) — so widening delta by
-    margin * ||n|| (p2plane; plain margin for p2p) in the zeta/eta mips
-    restores the share-1 proof chain exactly. 0.0 when share is 1 or the
-    flag is off (bounds unchanged)."""
+    its point-to-plane distance differs from the center voxel's distance
+    against that same pixel by (v - c)·n, so widening delta by the
+    group's world radius x ||n|| — (share/2) voxels along grid k (world
+    z) x (share_j/2) along grid j (world y) — restores the share-1 proof
+    chain exactly.
+
+    POINT-TO-POINT needs NO margin (round-4 self-review): d = z_y(center
+    pixel) - pz(voxel) uses the voxel's OWN pz, and the center pixel lies
+    inside the brick's mip query window (hull property), so the existing
+    pz bounds against zeta = z_y - delta / eta = z_y + delta already
+    cover every group member exactly. Returns 0.0 there, and when share
+    is 1 or the flag is off (bounds unchanged)."""
     if not getattr(cfg, "share_safe_classify", False):
+        return 0.0
+    if cfg.distance == "point_to_point":
         return 0.0
     sk = max(cfg.pixel_share, 1)
     sj = max(getattr(cfg, "pixel_share_j", 1), 1)

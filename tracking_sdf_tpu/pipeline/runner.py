@@ -502,6 +502,47 @@ class Reconstruction:
                 and cfg.tracking.jacobian == "analytic"
                 and not cfg.use_groundtruth)
 
+    def _chunk_fuse_impl(self, has_color: bool, cap: int):
+        """fuse(bg, pose, pts, nrm, rgb_or_None, fc) -> (bg, Dm, stats),
+        shared by the chunk body AND the calibration probe so ONE place
+        owns the config/cap-split (round-4 self-review: the two copies
+        had started to drift)."""
+        cfg = self.config
+        fcfg = cfg.fusion if has_color else cfg.fusion._replace(
+            fuse_color=False)
+        params, cam, bs = cfg.grid, self.cam, self._bs
+        if self._mesh is not None:
+            from tracking_sdf_tpu.parallel import (
+                sharded_fuse_frame_brickmajor,
+            )
+
+            n_dev = self._mesh.devices.size
+            fns = {
+                fc: sharded_fuse_frame_brickmajor(
+                    self._mesh, params=params, cam=cam,
+                    cfg=fcfg._replace(fuse_color=fc), bs=bs,
+                    cap=max(256, cap // n_dev),
+                    cap_free=(max(256, cfg.fusion.brick_cap_free // n_dev)
+                              if cfg.fusion.brick_cap_free else None),
+                    emit_dm=False, jit=False)
+                for fc in ({True, False} if has_color else {False})
+            }
+
+            def fuse(bg, pose, pts, nrm, rgb, fc):
+                return fns[fc](bg, pose, pts, nrm, rgb)
+            return fuse
+
+        from tracking_sdf_tpu.fusion.brickmajor import fuse_frame_brickmajor
+
+        cap_free = cfg.fusion.brick_cap_free or None
+
+        def fuse(bg, pose, pts, nrm, rgb, fc):
+            return fuse_frame_brickmajor(
+                bg, pose, pts, nrm, rgb, params=params, cam=cam,
+                cfg=fcfg._replace(fuse_color=fc), bs=bs,
+                cap=cap, cap_free=cap_free, emit_dm=False)
+        return fuse
+
     def _chunk_fn(self, n: int, has_color: bool, raw: bool, cap: int,
                   off_mod=None):
         """``off_mod`` (chunk-start frame index mod color_every, or None):
@@ -516,10 +557,7 @@ class Reconstruction:
             return fn
         from functools import partial as _partial
 
-        from tracking_sdf_tpu.fusion.brickmajor import (
-            brick_masked_view,
-            fuse_frame_brickmajor,
-        )
+        from tracking_sdf_tpu.fusion.brickmajor import brick_masked_view
         from tracking_sdf_tpu.tracking.gauss_newton import track_frame
         from tracking_sdf_tpu.tracking.pyramid import track_frame_pyramid
 
@@ -536,32 +574,19 @@ class Reconstruction:
         bmode = getattr(cfg, "bilateral_mode", "full")
         min_valid = cfg.min_valid_pixels
         max_res = cfg.max_mean_residual
-        cap_free = cfg.fusion.brick_cap_free or None
 
+        # SPMD chunk (round 4): the same N-frames-per-dispatch loop, with
+        # the shard-mapped fuse/track composed INSIDE the one jitted
+        # program — a pod is no longer per-frame dispatch-bound (VERDICT
+        # r3 weak #1). No pyramid (the sharded per-frame path has none
+        # either); caps are per shard (split in _chunk_fuse_impl).
         sharded = self._mesh is not None
+        fuse_impl = self._chunk_fuse_impl(has_color, cap)
         if sharded:
-            # SPMD chunk (round 4): the same N-frames-per-dispatch loop,
-            # with the shard-mapped fuse/track composed INSIDE the one
-            # jitted program — a pod is no longer per-frame dispatch-bound
-            # (VERDICT r3 weak #1). No pyramid (the sharded per-frame path
-            # has none either); caps are per shard as in
-            # _init_sharded_brickmajor.
             from tracking_sdf_tpu.parallel import (
-                sharded_fuse_frame_brickmajor,
                 sharded_track_frame_brickmajor,
             )
 
-            n_dev = self._mesh.devices.size
-            cap_sh = max(256, cap // n_dev)
-            capf_sh = (max(256, cfg.fusion.brick_cap_free // n_dev)
-                       if cfg.fusion.brick_cap_free else None)
-            fuse_sharded = {
-                fc: sharded_fuse_frame_brickmajor(
-                    self._mesh, params=params, cam=cam,
-                    cfg=fcfg._replace(fuse_color=fc), bs=bs, cap=cap_sh,
-                    cap_free=capf_sh, emit_dm=False, jit=False)
-                for fc in ({True, False} if has_color else {False})
-            }
             track_sharded = sharded_track_frame_brickmajor(
                 self._mesh, params=params, cfg=tcfg, bs=bs, jit=False)
 
@@ -620,18 +645,9 @@ class Reconstruction:
                     rgb_k = None
 
                 def fuse_with(rgb_arg, fc):
-                    if sharded:
-                        def f(bg):
-                            return fuse_sharded[fc](
-                                bg, pose_new, pts_f, nrm_f, rgb_arg)
-                        return f
-
                     def f(bg):
-                        return fuse_frame_brickmajor(
-                            bg, pose_new, pts_f, nrm_f, rgb_arg,
-                            params=params, cam=cam,
-                            cfg=fcfg._replace(fuse_color=fc), bs=bs,
-                            cap=cap, cap_free=cap_free, emit_dm=False)
+                        return fuse_impl(bg, pose_new, pts_f, nrm_f,
+                                         rgb_arg, fc)
                     return f
 
                 if color_mode == "cond":
@@ -697,40 +713,23 @@ class Reconstruction:
         device COPY of the grid, both timed with a forced value fetch.
         fuse = b - a; track = chunk_wall - b (distributed over frames by
         GN iteration count in process_chunk)."""
-        key = ("calib", n, has_color, raw, cap)
+        # the cadence ALIGNMENT changes how many frames fuse color in this
+        # chunk (when n % color_every != 0), so it is part of the key
+        ce = getattr(self.config.fusion, "color_every", 1)
+        key = ("calib", n, has_color, raw, cap,
+               int(off) % ce if (has_color and ce > 1) else 0)
         cached = self._chunk_calib.get(key)
         if cached is not None:
             return cached
         from functools import partial as _partial
 
-        from tracking_sdf_tpu.fusion.brickmajor import fuse_frame_brickmajor
-
         cfg = self.config
         cam = self.cam
-        params = cfg.grid
         fcfg = cfg.fusion if has_color else cfg.fusion._replace(
             fuse_color=False)
-        bs = self._bs
         bilateral = cfg.bilateral_filter
         bmode = getattr(cfg, "bilateral_mode", "full")
-        cap_free = cfg.fusion.brick_cap_free or None
-        sharded = self._mesh is not None
-        if sharded:
-            from tracking_sdf_tpu.parallel import (
-                sharded_fuse_frame_brickmajor,
-            )
-
-            n_dev = self._mesh.devices.size
-            fuse_sharded = {
-                fc: sharded_fuse_frame_brickmajor(
-                    self._mesh, params=params, cam=cam,
-                    cfg=fcfg._replace(fuse_color=fc), bs=bs,
-                    cap=max(256, cap // n_dev),
-                    cap_free=(max(256, cfg.fusion.brick_cap_free // n_dev)
-                              if cfg.fusion.brick_cap_free else None),
-                    emit_dm=False, jit=False)
-                for fc in ({True, False} if has_color else {False})
-            }
+        fuse_impl = self._chunk_fuse_impl(has_color, cap)
 
         def decode(d, eps):
             if raw:
@@ -771,24 +770,14 @@ class Reconstruction:
                     rgb_k = None
 
                 def fuse_with(rgb_arg, fc):
-                    if sharded:
-                        def f(bg):
-                            return fuse_sharded[fc](bg, pose, pts, nrm,
-                                                    rgb_arg)
-                        return f
-
                     def f(bg):
-                        return fuse_frame_brickmajor(
-                            bg, pose, pts, nrm, rgb_arg,
-                            params=params, cam=cam,
-                            cfg=fcfg._replace(fuse_color=fc), bs=bs,
-                            cap=cap, cap_free=cap_free, emit_dm=False)
+                        return fuse_impl(bg, pose, pts, nrm, rgb_arg, fc)
                     return f
 
-                ce = getattr(fcfg, "color_every", 1)
-                if has_color and ce > 1:
+                ce_c = getattr(fcfg, "color_every", 1)
+                if has_color and ce_c > 1:
                     bgrid, _, _ = jax.lax.cond(
-                        (off + k) % ce == 0,
+                        (off + k) % ce_c == 0,
                         fuse_with(rgb_k, True),
                         fuse_with(None, False),
                         bgrid)

@@ -456,6 +456,7 @@ def marching_cubes_sharded(
         i1 = sh.index[0].stop if sh.index[0].stop is not None else m
         halo = i1 < m  # last slab's cells end at m-2 with no halo needed
         sub = {}
+        missing_halo = False
         for name, leaf in leaves.items():
             # fetch this slab (and its halo plane) per leaf
             lsh = sorted(leaf.addressable_shards,
@@ -465,10 +466,20 @@ def marching_cubes_sharded(
                 if i1 in halo_planes:  # cross-process boundary, prefetched
                     arr = np.concatenate([arr, halo_planes[i1][name]], 0)
                 else:
-                    nxt = sorted(leaf.addressable_shards,
-                                 key=lambda s: s.index[0].start or 0)[si + 1]
-                    arr = np.concatenate([arr, np.asarray(nxt.data)[:1]], 0)
+                    try:
+                        nxt = sorted(leaf.addressable_shards,
+                                     key=lambda s: s.index[0].start or 0
+                                     )[si + 1]
+                        arr = np.concatenate(
+                            [arr, np.asarray(nxt.data)[:1]], 0)
+                    except IndexError:
+                        # prefetch couldn't cover this boundary (non-
+                        # NamedSharding leaf, or partially overlapping
+                        # owner sets): degrade with a REPORT, don't crash
+                        missing_halo = True
             sub[name] = jnp.asarray(arr)
+        if missing_halo:
+            dropped += (m - 1) * (m - 1)  # one skipped cell plane, reported
         sub_grid = TSDFGrid(**sub)
         part = marching_cubes(sub_grid, params=params,
                               with_colors=with_colors, max_cells=max_cells,
