@@ -546,7 +546,8 @@ def test_realtime_pacer_drop_semantics():
     wall = _time.perf_counter() - t0
     assert out == data[:10]
     assert pacer2.dropped == 0
-    assert wall >= 9 / 500.0  # waited for arrivals
+    # waited for arrivals (the default 2 warmup frames are un-paced)
+    assert wall >= 7 / 500.0
 
 
 def test_realtime_cli_end_to_end(tmp_path):

