@@ -427,7 +427,7 @@ def preset(name: str) -> PipelineConfig:
             bilateral_mode="separable",
             fusion=FusionConfig(mode="brickmajor", brick_shape=(8, 8, 8),
                                 brick_cap=28672, pixel_share=4,
-                                pixel_share_j=4, brick_cap_free=12288,
+                                pixel_share_j=4, brick_cap_free=8192,
                                 storage_dtype="bfloat16",
                                 weight_dtype="bfloat16", max_weight=128.0,
                                 distance="point_to_point",
