@@ -48,7 +48,11 @@ def baseline_fps(preset_name: str) -> float:
 
 
 BASELINE_FPS = baseline_fps(os.environ.get("BENCH_PRESET", "tum256"))
-K = 10  # frames per on-device dispatch (compile time scales with K)
+# frames per on-device dispatch (compile time scales with K). BENCH_K
+# lets cadence A/Bs pick a K divisible by color_every (the loop silently
+# falls back to color-every-frame when K % ce != 0 — measured 22.2 fps
+# "ce=3" at K=10 was actually ce=1).
+K = int(os.environ.get("BENCH_K", "10"))
 
 
 def make_scene():
