@@ -151,6 +151,14 @@ def build_inputs(preset_name=None):
         levels = (None if _pyr == "flat"
                   else tuple(int(v) for v in _pyr.split(",")))
         cfg = dataclasses.replace(cfg, pyramid_levels=levels)
+    # the K-loop statically unrolls the color cadence and needs
+    # K % color_every == 0 (else it silently measures color-every-frame:
+    # the 22.2-fps "ce=3" trap) — snap K to the largest compatible
+    # multiple for this preset
+    global K
+    _ce_k = getattr(cfg.fusion, "color_every", 1)
+    if _ce_k > 1 and K % _ce_k:
+        K = max((K // _ce_k) * _ce_k, _ce_k)
     cam = ros_default_camera()
     scene = make_scene()
 

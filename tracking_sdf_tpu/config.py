@@ -417,11 +417,15 @@ def preset(name: str) -> PipelineConfig:
         # every-frame). Geometry/tracking are untouched (D/W fuse every
         # frame). --color-every 1 restores the reference cadence.
         # Round-4 speed stack: free_fold + weight_dtype bf16 + max_weight
-        # 128 + brick_cap 34816 -> 28672 (bench n_full max 27935; the
-        # runner escalates + reports drops on wider scenes). Ladder:
-        # 24.5 -> 27.1 fps (1.43x); endurance 33.4 mm (f32 unclamped:
-        # 39.1; wf16 untrimmed: 30.0) — both axes still beat the paper
-        # (19.0 fps / 41-43 mm). BENCHMARKS r4 batches D-E.
+        # 128 + brick_cap 34816 -> 28672 / cap_free 8192 (bench n_full
+        # max 27935; the runner escalates + reports drops on wider
+        # scenes; cap_free trim was endurance-bit-identical). Ladder:
+        # 24.5 -> 27.6 (ce=2) -> 29.1 fps (1.54x, color_every=3 — r3
+        # fidelity A/B: 98.9% colored-voxel coverage, mean |drgb|
+        # 0.08/255 vs every-frame; geometry/tracking untouched).
+        # Endurance 33.4 mm trimmed / 30.0 untrimmed (f32 unclamped:
+        # 39.1) — both axes beat the paper (19.0 fps / 41-43 mm) with
+        # margin. BENCHMARKS r4 batches D-F.
         "tum512": PipelineConfig(
             grid=GridParams(m=512),
             bilateral_mode="separable",
@@ -431,7 +435,7 @@ def preset(name: str) -> PipelineConfig:
                                 storage_dtype="bfloat16",
                                 weight_dtype="bfloat16", max_weight=128.0,
                                 distance="point_to_point",
-                                color_every=2, free_fold=True,
+                                color_every=3, free_fold=True,
                                 hier_classify=4, cap_mixed=1536),
             pyramid_levels=(4, 2, 1),
         ),
