@@ -133,6 +133,43 @@ def test_multihost_cli_end_to_end(tmp_path):
     assert t0 == t1 and len(t0.splitlines()) == 4
 
 
+def test_four_process_pod_meshing_exact(tmp_path):
+    """Generality at 4 ranks x 2 local devices (THREE cross-process slab
+    boundaries): the halo collective + sharded meshing must stay exact
+    when most boundaries cross ranks, not just the single 2-rank split."""
+    outdir = tmp_path
+    port = _free_port()
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    )
+    env.pop("PYTHONPATH", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "scripts", "mp_worker.py"),
+             f"localhost:{port}", "4", str(pid), str(outdir)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(4)
+    ]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    outs = [np.load(outdir / f"out_{pid}.npz") for pid in range(4)]
+    from tracking_sdf_tpu.grid.grid import TSDFGrid
+    from tracking_sdf_tpu.render.marching_cubes import marching_cubes
+
+    assert all(int(o["n_procs"]) == 4 for o in outs)
+    assert all(int(o["dropped"]) == 0 for o in outs)
+    grid = TSDFGrid(*(outs[0][n] for n in ("D", "W", "R", "G", "B", "Wc")))
+    ref = marching_cubes(grid, params=mp_worker.build_workload()[0],
+                         with_colors=True)
+    tris = np.concatenate([o["tris"] for o in outs], axis=0)
+    assert tris.shape[0] == ref.num_triangles
+    np.testing.assert_allclose(tris, ref.vertices, atol=1e-6)
+
+
 def test_multiprocess_sharded_meshing_exact(mp_outputs):
     """Concatenated per-rank triangle slabs == the unsharded mesher run on
     the SAME (gathered) grid — including the cross-process boundary plane
