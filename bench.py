@@ -51,8 +51,11 @@ BASELINE_FPS = baseline_fps(os.environ.get("BENCH_PRESET", "tum256"))
 # frames per on-device dispatch (compile time scales with K). BENCH_K
 # lets cadence A/Bs pick a K divisible by color_every (the loop silently
 # falls back to color-every-frame when K % ce != 0 — measured 22.2 fps
-# "ce=3" at K=10 was actually ce=1).
-K = int(os.environ.get("BENCH_K", "10"))
+# "ce=3" at K=10 was actually ce=1). _K0 is the REQUESTED value;
+# build_inputs snaps the module K from _K0 each call (snapping from the
+# current K would compound across in-process multi-preset runs).
+_K0 = int(os.environ.get("BENCH_K", "10"))
+K = _K0
 
 
 def make_scene():
@@ -120,15 +123,18 @@ def build_inputs(preset_name=None):
     if _dist:
         cfg = dataclasses.replace(
             cfg, fusion=cfg.fusion._replace(distance=_dist))
-    # BENCH_WDTYPE / BENCH_MAXW: weight-accumulator dtype + clamp (A/B)
+    # BENCH_WDTYPE / BENCH_MAXW: weight-accumulator dtype + clamp (A/B).
+    # BENCH_MAXW=0 means clamp OFF (None) — the presets now ship 128, so
+    # the unclamped baseline must be expressible
     _wdt = os.environ.get("BENCH_WDTYPE")
     if _wdt:
         cfg = dataclasses.replace(
             cfg, fusion=cfg.fusion._replace(weight_dtype=_wdt))
-    _mw = float(os.environ.get("BENCH_MAXW", "0"))
-    if _mw:
+    _mw_env = os.environ.get("BENCH_MAXW")
+    if _mw_env is not None:
         cfg = dataclasses.replace(
-            cfg, fusion=cfg.fusion._replace(max_weight=_mw))
+            cfg, fusion=cfg.fusion._replace(
+                max_weight=float(_mw_env) or None))
     # BENCH_FOLD=0: disable free_fold (A/B)
     if os.environ.get("BENCH_FOLD") == "0":
         cfg = dataclasses.replace(
@@ -157,6 +163,7 @@ def build_inputs(preset_name=None):
     # multiple for this preset
     global K
     _ce_k = getattr(cfg.fusion, "color_every", 1)
+    K = _K0
     if _ce_k > 1 and K % _ce_k:
         K = max((K // _ce_k) * _ce_k, _ce_k)
     cam = ros_default_camera()

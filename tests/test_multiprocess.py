@@ -32,32 +32,35 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.fixture(scope="module")
-def mp_outputs(tmp_path_factory):
-    """Run the 2-process pod once; yield the two ranks' npz outputs."""
-    outdir = tmp_path_factory.mktemp("mp")
+def _launch_pod(n_procs: int, devices_per_proc: int, outdir):
+    """Spawn an n-rank jax.distributed pod of mp_worker.py and return the
+    per-rank npz outputs (shared by the 2- and 4-rank tests)."""
     port = _free_port()
     env = dict(os.environ)
     env.update(
         JAX_PLATFORMS="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        XLA_FLAGS=(f"--xla_force_host_platform_device_count="
+                   f"{devices_per_proc}"),
     )
     env.pop("PYTHONPATH", None)
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "scripts", "mp_worker.py"),
-             f"localhost:{port}", "2", str(pid), str(outdir)],
+             f"localhost:{port}", str(n_procs), str(pid), str(outdir)],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for pid in range(2)
+        for pid in range(n_procs)
     ]
-    logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        logs.append(out)
+    logs = [p.communicate(timeout=600)[0] for p in procs]
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
-    return [np.load(outdir / f"out_{pid}.npz") for pid in range(2)]
+    return [np.load(outdir / f"out_{pid}.npz") for pid in range(n_procs)]
+
+
+@pytest.fixture(scope="module")
+def mp_outputs(tmp_path_factory):
+    """Run the 2-process pod once; yield the two ranks' npz outputs."""
+    return _launch_pod(2, 4, tmp_path_factory.mktemp("mp"))
 
 
 def test_multiprocess_pod_shape(mp_outputs):
@@ -137,26 +140,7 @@ def test_four_process_pod_meshing_exact(tmp_path):
     """Generality at 4 ranks x 2 local devices (THREE cross-process slab
     boundaries): the halo collective + sharded meshing must stay exact
     when most boundaries cross ranks, not just the single 2-rank split."""
-    outdir = tmp_path
-    port = _free_port()
-    env = dict(os.environ)
-    env.update(
-        JAX_PLATFORMS="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=2",
-    )
-    env.pop("PYTHONPATH", None)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.join(REPO, "scripts", "mp_worker.py"),
-             f"localhost:{port}", "4", str(pid), str(outdir)],
-            env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for pid in range(4)
-    ]
-    logs = [p.communicate(timeout=600)[0] for p in procs]
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
-    outs = [np.load(outdir / f"out_{pid}.npz") for pid in range(4)]
+    outs = _launch_pod(4, 2, tmp_path)
     from tracking_sdf_tpu.grid.grid import TSDFGrid
     from tracking_sdf_tpu.render.marching_cubes import marching_cubes
 
@@ -166,8 +150,10 @@ def test_four_process_pod_meshing_exact(tmp_path):
     ref = marching_cubes(grid, params=mp_worker.build_workload()[0],
                          with_colors=True)
     tris = np.concatenate([o["tris"] for o in outs], axis=0)
+    cols = np.concatenate([o["cols"] for o in outs], axis=0)
     assert tris.shape[0] == ref.num_triangles
     np.testing.assert_allclose(tris, ref.vertices, atol=1e-6)
+    np.testing.assert_allclose(cols, ref.colors, atol=1e-6)
 
 
 def test_multiprocess_sharded_meshing_exact(mp_outputs):

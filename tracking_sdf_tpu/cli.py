@@ -49,7 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "semantics (sdf_reconstruction.cpp:89): when "
                         "processing lags the sensor, every frame but the "
                         "newest is dropped and the tracker must bridge the "
-                        "gap. Drops are reported. Incompatible with --chunk.")
+                        "gap. The first 2 frames are delivered un-paced "
+                        "(jit warmup) before the arrival clock starts. "
+                        "Drops are reported. Incompatible with --chunk "
+                        "and --multihost.")
     p.add_argument("--trajectory", default="trajectory.txt",
                    help="output TUM trajectory path ('' disables)")
     p.add_argument("--mesh", help="export marching-cubes PLY to this path at the end")
@@ -90,9 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override FusionConfig.brick_cap (FULL-brick "
                         "capacity per frame; overflow is reported, wider "
                         "scenes than the preset's sizing may want more)")
-    p.add_argument("--brick-cap-free", type=int, default=0,
+    p.add_argument("--brick-cap-free", type=int, default=-1,
                    help="override FusionConfig.brick_cap_free (FREE-brick "
-                        "row capacity; overflow reported)")
+                        "row capacity; overflow reported). 0 = follow "
+                        "brick_cap; negative = keep preset")
     p.add_argument("--pixel-share", type=int, default=None,
                    help="approximate fast fusion: k-voxel groups of this "
                         "size share one gathered pixel (1 = exact)")
@@ -123,9 +127,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "mode): bfloat16 halves W/Wc merge traffic but "
                         "quantizes the running sum — pair with "
                         "--max-weight (flagged approximation)")
-    p.add_argument("--max-weight", type=float, default=0.0,
+    p.add_argument("--max-weight", type=float, default=-1.0,
                    help="clamp the stored fusion weight (KinectFusion-"
-                        "style; the reference never clamps — 0 = off)")
+                        "style; the reference never clamps). 0 DISABLES "
+                        "the clamp — overriding preset defaults like "
+                        "tum256/tum512's 128; negative = keep preset")
     p.add_argument("--distributed", action="store_true",
                    help="shard grid+tracking over all visible devices")
     p.add_argument("--progress", action="store_true")
@@ -202,7 +208,7 @@ def main(argv=None) -> int:
         fusion = fusion._replace(share_safe_classify=True)
     if args.brick_cap:
         fusion = fusion._replace(brick_cap=args.brick_cap)
-    if args.brick_cap_free:
+    if args.brick_cap_free >= 0:
         fusion = fusion._replace(brick_cap_free=args.brick_cap_free)
     if args.color_every:
         fusion = fusion._replace(color_every=args.color_every)
@@ -219,8 +225,10 @@ def main(argv=None) -> int:
         fusion = fusion._replace(storage_dtype=args.storage_dtype)
     if args.weight_dtype:
         fusion = fusion._replace(weight_dtype=args.weight_dtype)
-    if args.max_weight:
-        fusion = fusion._replace(max_weight=args.max_weight)
+    if args.max_weight >= 0:
+        # 0 = clamp OFF (None) — must be expressible now that presets
+        # ship max_weight=128 (a falsy-zero check would silently no-op)
+        fusion = fusion._replace(max_weight=args.max_weight or None)
     if args.distance:
         fusion = fusion._replace(distance=args.distance)
     if fusion is not cfg.fusion:

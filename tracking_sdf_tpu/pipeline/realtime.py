@@ -8,10 +8,14 @@ newest is DROPPED — the tracker must then bridge the larger inter-frame
 motion. The offline runner pulls an iterator at its own pace, which hides
 that failure mode; `RealtimePacer` restores it for any indexable dataset.
 
-Semantics: frame i "arrives" at wall time i/hz after the stream starts.
-Each pull yields the NEWEST arrived frame, counting every older unconsumed
-frame as dropped (stale); if the consumer is ahead of the sensor it blocks
-until the next arrival, exactly like a callback waiting for data.
+Semantics: the first ``warmup`` frames (default 2) are delivered un-paced
+and exempt from dropping — they carry the jit compiles, like a live
+system warming its pipeline before the sensor starts. The arrival clock
+then starts with the next frame "arriving now": frame i arrives at wall
+time (i - warmup)/hz after that. Each pull yields the NEWEST arrived
+frame, counting every older unconsumed frame as dropped (stale); if the
+consumer is ahead of the sensor it blocks until the next arrival, exactly
+like a callback waiting for data.
 """
 from __future__ import annotations
 
