@@ -575,3 +575,62 @@ def test_realtime_cli_end_to_end(tmp_path):
     assert s["frames"] == s["realtime_yielded"]
     # and tracking survived the larger inter-frame motion
     assert s["ate_rmse_m"] is not None and s["ate_rmse_m"] < 0.08
+
+
+def test_cli_zero_overrides_expressible():
+    """Round-4 regression (review finding): presets now ship
+    max_weight=128 / brick_cap_free>0, so '0' must actually express
+    'clamp off' / 'follow brick_cap' instead of falling into falsy-zero
+    no-ops."""
+    from tracking_sdf_tpu import cli
+    from tracking_sdf_tpu.config import preset as real_preset
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    def fake_reconstruction(cam, cfg, **kw):
+        captured["cfg"] = cfg
+        raise _Stop
+
+    import tracking_sdf_tpu.pipeline as pl
+    orig = pl.Reconstruction
+    pl.Reconstruction = fake_reconstruction
+    try:
+        try:
+            cli.main(["--cpu", "--preset", "tum512", "--synthetic",
+                      "--frames", "1", "--max-weight", "0",
+                      "--brick-cap-free", "0",
+                      "--weight-dtype", "float32"])
+        except _Stop:
+            pass
+    finally:
+        pl.Reconstruction = orig
+    f = captured["cfg"].fusion
+    assert real_preset("tum512").fusion.max_weight == 128.0
+    assert f.max_weight is None
+    assert f.brick_cap_free == 0
+    assert f.weight_dtype == "float32"
+    # negative default keeps the preset values
+    captured.clear()
+    pl.Reconstruction = fake_reconstruction
+    try:
+        try:
+            cli.main(["--cpu", "--preset", "tum512", "--synthetic",
+                      "--frames", "1"])
+        except _Stop:
+            pass
+    finally:
+        pl.Reconstruction = orig
+    f = captured["cfg"].fusion
+    assert f.max_weight == 128.0 and f.brick_cap_free == 8192
+
+
+def test_cli_realtime_multihost_rejected(capsys):
+    from tracking_sdf_tpu import cli
+
+    rc = cli.main(["--cpu", "--realtime", "30", "--multihost",
+                   "--synthetic", "--frames", "2"])
+    assert rc == 2
+    assert "incompatible" in capsys.readouterr().err

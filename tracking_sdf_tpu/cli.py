@@ -182,6 +182,15 @@ def main(argv=None) -> int:
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
+    if args.realtime and args.multihost:
+        # per-rank wall-clock pacers would drop DIFFERENT frames on
+        # different ranks and desynchronize the replicated SPMD program
+        # (mismatched collectives = deadlock); rank-0-paced broadcast is
+        # future work. Must reject BEFORE jax.distributed.initialize.
+        print("error: --realtime is incompatible with --multihost "
+              "(per-rank pacers desync the pod)", file=sys.stderr)
+        return 2
+
     if args.multihost:
         # before ANY backend touch — importing the pipeline below builds
         # module-level jnp constants (runner.REFERENCE_INITIAL_POSE),
@@ -286,14 +295,6 @@ def main(argv=None) -> int:
     gt_source = getattr(dataset, "groundtruth", None)
     pacer = None
     if args.realtime:
-        if args.multihost:
-            # per-rank wall-clock pacers would drop DIFFERENT frames on
-            # different ranks and desynchronize the replicated SPMD
-            # program (mismatched collectives = deadlock); rank-0-paced
-            # broadcast is future work
-            print("error: --realtime is incompatible with --multihost "
-                  "(per-rank pacers desync the pod)", file=sys.stderr)
-            return 2
         if args.chunk > 1:
             print("warning: --realtime is arrival-driven per-frame; "
                   "ignoring --chunk", file=sys.stderr)
