@@ -374,9 +374,18 @@ int tsdf_decode_rgb(const char* path, float* out, int* w, int* h,
   return rgb_to_float(img, out) ? 0 : -3;
 }
 
-void* tsdf_loader_open(const char** depth_paths, const char** rgb_paths,
-                       int n, int prefetch, int threads) {
+static void* loader_open_impl(const char** depth_paths,
+                              const char** rgb_paths, int n, int prefetch,
+                              int threads, bool raw) {
   auto* ld = new Loader();
+  // `raw` MUST be set before any worker starts: the old open_raw wrapper
+  // flipped it after tsdf_loader_open had already spawned the pool, and
+  // workers that won that race decoded in FLOAT mode — the raw consumer
+  // then memcpy'd from the empty u16/u8 vectors, handing Python
+  // uninitialized np.empty buffers (observed as rare garbage-depth /
+  // missing-rgb frames under load; the root cause of the flaky
+  // raw-vs-float chunk equivalence test).
+  ld->raw = raw;
   ld->depth_paths.reserve(n);
   ld->rgb_paths.reserve(n);
   for (int i = 0; i < n; ++i) {
@@ -402,13 +411,18 @@ void* tsdf_loader_open(const char** depth_paths, const char** rgb_paths,
   return ld;
 }
 
+void* tsdf_loader_open(const char** depth_paths, const char** rgb_paths,
+                       int n, int prefetch, int threads) {
+  return loader_open_impl(depth_paths, rgb_paths, n, prefetch, threads,
+                          false);
+}
+
 // Raw-mode open: identical to tsdf_loader_open but frames emit u16 depth /
 // u8 rgb wire buffers (consume with tsdf_loader_next_raw).
 void* tsdf_loader_open_raw(const char** depth_paths, const char** rgb_paths,
                            int n, int prefetch, int threads) {
-  void* h = tsdf_loader_open(depth_paths, rgb_paths, n, prefetch, threads);
-  if (h) static_cast<Loader*>(h)->raw = true;
-  return h;
+  return loader_open_impl(depth_paths, rgb_paths, n, prefetch, threads,
+                          true);
 }
 
 void tsdf_loader_dims(void* handle, int* w, int* h) {

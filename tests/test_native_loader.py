@@ -171,3 +171,25 @@ def test_stream_raw_through_runner_chunks(tmp_path):
     assert r_raw.frame_num == r_f32.frame_num == 6
     d = float(jnp.linalg.norm(r_raw.pose.t - r_f32.pose.t))
     assert d < 1e-5, d
+
+
+def test_raw_open_mode_race_regression(seq):
+    """The raw flag must be set BEFORE the worker pool spawns: the old
+    open_raw wrapper flipped it after tsdf_loader_open started the
+    threads, and workers winning the race decoded in float mode — the raw
+    consumer then handed Python uninitialized np.empty buffers (rare
+    garbage-depth / missing-rgb frames under load). 25 fresh raw opens
+    with a full pool make the old race fire with high probability."""
+    from PIL import Image
+
+    root, depths, rgbs = seq
+    dp = _listing(root, "depth.txt")
+    rp = _listing(root, "rgb.txt")
+    ref16 = [np.asarray(Image.open(p)).astype(np.uint16) for p in dp]
+    for _ in range(25):
+        with native.PrefetchingLoader(dp, rp, raw=True, threads=16) as ld:
+            got = list(ld)
+        assert [i for i, _, _ in got] == list(range(len(dp)))
+        for i, d16, r8 in got:
+            assert r8 is not None, f"frame {i} lost rgb (mode race)"
+            np.testing.assert_array_equal(d16, ref16[i])
