@@ -742,7 +742,12 @@ def test_share_safe_classification(monkeypatch):
                         pixel_share=4, pixel_share_j=4)
     cfg_safe = base._replace(share_safe_classify=True)
     assert share_classify_margin(PARAMS, cfg_safe) > 0
-    assert share_classify_margin(PARAMS, base) == 0.0  # flag off -> exact old bounds
+    # flag explicitly off -> the historical share-1-exact bounds
+    assert share_classify_margin(
+        PARAMS, base._replace(share_safe_classify=False)) == 0.0
+    # point_to_point is exact under share without widening (round 4)
+    assert share_classify_margin(
+        PARAMS, cfg_safe._replace(distance="point_to_point")) == 0.0
     assert share_classify_margin(
         PARAMS, base._replace(pixel_share=1, pixel_share_j=1,
                               share_safe_classify=True)) == 0.0
