@@ -299,3 +299,44 @@ def test_render_loss_pose_refinement():
     assert np.linalg.norm(err1[:3]) < np.linalg.norm(err0[:3]) / 5.0
     assert np.linalg.norm(err1[:3]) < 0.010, err1
     assert np.linalg.norm(err1[3:]) < np.linalg.norm(err0[3:]) / 5.0
+
+
+def test_raycast_temporal_warm_start():
+    """Warm-started sequential rendering (round 4, cfg.warm_backoff):
+    seeding each ray at the previous frame's range skips most of the
+    march while reproducing the cold render's surfaces."""
+    from tracking_sdf_tpu.core.lie import pose_compose, se3_exp
+
+    grid = grid_from_scene(PARAMS, SCENE)
+    cfg = RaycastConfig(t_near=0.05, t_far=4.0)
+    cold_a = raycast(grid, POSE, params=PARAMS, cam=CAM, cfg=cfg)
+    # same pose, warm from own ranges: identical hits, near-identical depth
+    warm_a = raycast(grid, POSE, params=PARAMS, cam=CAM, cfg=cfg,
+                     t_init=cold_a.range_t)
+    ha, wa = np.asarray(cold_a.hit), np.asarray(warm_a.hit)
+    assert (ha == wa).mean() > 0.999, (ha.sum(), wa.sum())
+    both = ha & wa
+    d = np.abs(np.asarray(warm_a.depth)[both] - np.asarray(cold_a.depth)[both])
+    # grazing sliver rays (here 2/1208) may resolve to the far surface
+    # when the pooled prior skips their tangent point — the flagged
+    # approximation's known failure mode; the bulk must be identical
+    assert np.quantile(d, 0.995) < 2e-3, np.quantile(d, 0.995)
+    assert (d > 0.01).mean() < 0.005
+    # the march gets shorter (this tiny scene's cold march is already
+    # ~11 steps; the TPU-scale win is measured in BENCHMARKS r4)
+    assert float(np.asarray(warm_a.steps)[both].mean()) < \
+        0.75 * float(np.asarray(cold_a.steps)[both].mean())
+
+    # small camera motion: warm render matches the cold render at pose B
+    pose_b = pose_compose(
+        se3_exp(jnp.asarray([0.01, -0.008, 0.012, 0.008, -0.006, 0.01],
+                            jnp.float32)), POSE)
+    cold_b = raycast(grid, pose_b, params=PARAMS, cam=CAM, cfg=cfg)
+    warm_b = raycast(grid, pose_b, params=PARAMS, cam=CAM, cfg=cfg,
+                     t_init=cold_a.range_t)
+    hb, wb = np.asarray(cold_b.hit), np.asarray(warm_b.hit)
+    assert (hb == wb).mean() > 0.99, (hb.sum(), wb.sum())
+    bb = hb & wb
+    db = np.abs(np.asarray(warm_b.depth)[bb] - np.asarray(cold_b.depth)[bb])
+    assert np.quantile(db, 0.99) < 5e-3, np.quantile(db, 0.99)
+    assert (db > 0.01).mean() < 0.01

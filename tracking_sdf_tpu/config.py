@@ -262,6 +262,18 @@ class RaycastConfig(NamedTuple):
     #     ZERO recovery drops vs march's 366.5 ms at 99.97% — the default
     #     since round 3 ("march" stays one flag away).
     fine_mode: str = "newton"
+    # Temporal warm start (round 4, serving path): `raycast(...,
+    # t_init=prev.range_t)` starts each ray at max(t_enter,
+    # min3x3(prev_range) - warm_backoff) instead of the volume entry —
+    # sequential renders skip most of the march (the surface barely moves
+    # between frames). 0 = auto (delta: the truncation band is >= 2*delta
+    # thick along the ray, so a surface that approached by < delta is
+    # still AHEAD of the warm start, and the Newton finish can also pull
+    # back to it). FLAGGED approximation: geometry that newly appears
+    # closer than prev_range - backoff (fast approach, brand-new
+    # occluders) is missed until a cold render; the 3x3 min-pool absorbs
+    # small pixel shifts at silhouettes. Measured A/B in BENCHMARKS r4.
+    warm_backoff: float = 0.0
     # Brick-level empty-space skipping: a per-render L-inf chamfer distance
     # mip over observed 8^3-voxel bricks lets rays LEAP
     # (dist-1) * brick_extent through unobserved space — provably safe

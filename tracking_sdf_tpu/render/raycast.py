@@ -130,6 +130,7 @@ def raycast(
     cfg: RaycastConfig = RaycastConfig(),
     stride: int = 1,
     with_color: bool = False,
+    t_init: Optional[jnp.ndarray] = None,  # (H, W) prev range_t (NaN=miss)
 ) -> RenderResult:
     dtype = grid.D.dtype
     miss_step = cfg.miss_step if cfg.miss_step > 0 else params.delta / 2
@@ -159,6 +160,35 @@ def raycast(
     unit_f = unit.reshape(N, 3)
     t_start_f = t_start.reshape(N)
     t_stop_f = t_stop.reshape(N)
+
+    # ---- temporal warm start (cfg.warm_backoff / RenderResult.range_t) ----
+    # Sequential renders start at the previous frame's surface range minus
+    # a backoff instead of the volume entry. A 3x3 MIN-pool over the prior
+    # absorbs small pixel shifts at silhouettes (the nearer neighbor wins);
+    # backoff defaults to delta — the truncation band is >= 2*delta thick
+    # along the ray, so a surface that approached by < delta is still
+    # ahead of the warm start (and the Newton finish pulls back within the
+    # clip floor). Rays with no prior (NaN) start cold.
+    if t_init is not None:
+        backoff = cfg.warm_backoff if cfg.warm_backoff > 0 else params.delta
+        ti = jnp.asarray(t_init, dtype=dtype).reshape(shape)
+        big = jnp.asarray(jnp.inf, dtype)
+        tif = jnp.where(jnp.isfinite(ti), ti, big)
+        pooled = tif
+        for ax in (0, 1):
+            lo_s = jnp.concatenate(
+                [tif[1:], jnp.full_like(tif[:1], big)] if ax == 0 else
+                [tif[:, 1:], jnp.full_like(tif[:, :1], big)], axis=ax)
+            hi_s = jnp.concatenate(
+                [jnp.full_like(tif[:1], big), tif[:-1]] if ax == 0 else
+                [jnp.full_like(tif[:, :1], big), tif[:, :-1]], axis=ax)
+            pooled = jnp.minimum(pooled, jnp.minimum(lo_s, hi_s))
+            tif = pooled
+        warm = jnp.isfinite(pooled).reshape(N)
+        t_warm = jnp.clip(pooled.reshape(N) - backoff, 0.0, None)
+        t_start_f = jnp.where(warm, jnp.maximum(t_start_f, t_warm),
+                              t_start_f)
+        t_start_f = jnp.minimum(t_start_f, t_stop_f)
 
     # ---- empty-space skip mip (cfg.empty_skip) ----------------------------
     # L-inf chamfer over observed 8^3 bricks; leap (s-1)*brick_min_extent
