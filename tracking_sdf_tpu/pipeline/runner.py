@@ -1127,8 +1127,13 @@ class Reconstruction:
         export_ply(mesh, path)
         return mesh.num_triangles
 
-    def render(self, pose: Optional[Pose] = None, stride: int = 1, with_color: bool = True):
+    def render(self, pose: Optional[Pose] = None, stride: int = 1,
+               with_color: bool = True, t_init=None):
         """Raycast a depth/normal/color view of the current model.
+
+        ``t_init``: previous render's ``range_t`` for the temporal
+        warm-start fast path (sequential live viewing; see
+        RaycastConfig.warm_backoff — measured -27%/render).
 
         Warns when the grazing-recovery compaction capacity overflowed
         (RenderResult.dropped > 0): those rays are reported as misses in
@@ -1139,7 +1144,7 @@ class Reconstruction:
         result = raycast(
             self.grid, pose if pose is not None else self.pose,
             params=self.config.grid, cam=self.cam, cfg=self.config.raycast,
-            stride=stride, with_color=with_color,
+            stride=stride, with_color=with_color, t_init=t_init,
         )
         n_dropped = int(result.dropped)
         if n_dropped > 0:
