@@ -139,11 +139,13 @@ def build_inputs(preset_name=None):
     if os.environ.get("BENCH_FOLD") == "0":
         cfg = dataclasses.replace(
             cfg, fusion=cfg.fusion._replace(free_fold=False))
-    # BENCH_SHARE_SAFE=1: widened share-proof bounds (p2plane only; the
-    # p2p presets are already exact under share — share_classify_margin)
-    if os.environ.get("BENCH_SHARE_SAFE") == "1":
+    # BENCH_SHARE_SAFE=1/0: exact-under-share proof bounds on/off (default
+    # ON since round 4; 0 measures the historical share-1-exact bounds —
+    # only p2plane configs differ, see share_classify_margin)
+    _ss = os.environ.get("BENCH_SHARE_SAFE")
+    if _ss is not None:
         cfg = dataclasses.replace(
-            cfg, fusion=cfg.fusion._replace(share_safe_classify=True))
+            cfg, fusion=cfg.fusion._replace(share_safe_classify=_ss == "1"))
     # BENCH_CAP / BENCH_CAP_FREE: brick-cap overrides (A/B knobs)
     for _env, _field in (("BENCH_CAP", "brick_cap"),
                          ("BENCH_CAP_FREE", "brick_cap_free")):

@@ -30,8 +30,9 @@ vdt = jnp.bfloat16 if cfg.fusion.storage_dtype == "bfloat16" else None
 bg = B._bootstrap_brickmajor(cfg, cam, poses, rgb, vdt)
 fcfg = cfg.fusion._replace(mode="bricked")
 for k in range(3):
+    # PTS[k]/NRM[k] are observed at poses[k + 1] (bench.build_inputs)
     bg, _, _ = fuse_frame_brickmajor(
-        bg, poses[k], PTS[k], NRM[k], rgb, params=params, cam=cam,
+        bg, poses[k + 1], PTS[k], NRM[k], rgb, params=params, cam=cam,
         cfg=fcfg, bs=(8, 8, 8), cap=fcfg.brick_cap,
         cap_free=fcfg.brick_cap_free or None, emit_dm=False)
 grid = dense_from_brick_grid(bg, params, (8, 8, 8))

@@ -100,11 +100,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pixel-share", type=int, default=None,
                    help="approximate fast fusion: k-voxel groups of this "
                         "size share one gathered pixel (1 = exact)")
-    p.add_argument("--share-safe-classify", action="store_true",
-                   help="widen FREE/OCCLUDED brick-proof bounds by the "
-                        "pixel-share group radius so classification is "
-                        "exact under share semantics (slightly more FULL "
-                        "bricks; see FusionConfig.share_safe_classify)")
+    p.add_argument("--share-safe-classify", choices=("on", "off"),
+                   default=None,
+                   help="exact-under-share FREE/OCCLUDED proof bounds "
+                        "(FusionConfig.share_safe_classify; DEFAULT ON "
+                        "since round 4 — measured free). 'off' restores "
+                        "the historical share-1-exact bounds for A/Bs")
     p.add_argument("--fusion-mode",
                    choices=("dense", "bricked", "brickmajor", "packed"),
                    default=None,
@@ -213,8 +214,9 @@ def main(argv=None) -> int:
         fusion = fusion._replace(fuse_color=False)
     if args.pixel_share:
         fusion = fusion._replace(pixel_share=args.pixel_share)
-    if args.share_safe_classify:
-        fusion = fusion._replace(share_safe_classify=True)
+    if args.share_safe_classify is not None:
+        fusion = fusion._replace(
+            share_safe_classify=args.share_safe_classify == "on")
     if args.brick_cap:
         fusion = fusion._replace(brick_cap=args.brick_cap)
     if args.brick_cap_free >= 0:

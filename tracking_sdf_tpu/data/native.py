@@ -42,9 +42,15 @@ def load_library(build_if_missing: bool = True):
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO_PATH):
-            if not (build_if_missing and _build()):
+        if build_if_missing:
+            # ALWAYS run make (a no-op when fresh — the Makefile tracks
+            # loader.cpp): gating on file existence kept serving STALE
+            # binaries after source fixes (the raw-open race fix shipped
+            # while hosts still had the racy .so)
+            if not _build() and not os.path.exists(_SO_PATH):
                 return None
+        elif not os.path.exists(_SO_PATH):
+            return None
         lib = ctypes.CDLL(_SO_PATH)
         lib.tsdf_decode_depth.restype = ctypes.c_int
         lib.tsdf_decode_depth.argtypes = [

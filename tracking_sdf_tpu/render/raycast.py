@@ -171,7 +171,11 @@ def raycast(
     # clip floor). Rays with no prior (NaN) start cold.
     if t_init is not None:
         backoff = cfg.warm_backoff if cfg.warm_backoff > 0 else params.delta
-        ti = jnp.asarray(t_init, dtype=dtype).reshape(shape)
+        # f32 regardless of grid storage dtype: a bf16 cast would quantize
+        # the prior by ~8 mm at 2-4 m range and erode small backoffs
+        ti = jnp.asarray(
+            t_init, dtype=jnp.promote_types(dtype, jnp.float32)
+        ).reshape(shape)
         big = jnp.asarray(jnp.inf, dtype)
         tif = jnp.where(jnp.isfinite(ti), ti, big)
         pooled = tif
