@@ -145,7 +145,15 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays-only", action="store_true")
     ap.add_argument("--mesh-only", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the TPU-proxy plugin "
+                         "pre-registers and IGNORES the JAX_PLATFORMS env "
+                         "var; pair with "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count=8 "
+                         "for the virtual mesh sweep)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if not args.mesh_only:
         bench_rays()
     if not args.rays_only:
