@@ -219,6 +219,55 @@ def _emit(fps, preset_name=None, primary=True):
         print(f"# {preset_name}: {line}", file=sys.stderr)
 
 
+def _emit_failure(error: str) -> None:
+    """Machine-readable failure line (same metric key, value=null).
+
+    Round-4 postmortem (VERDICT r4 weak #1): during a TPU-tunnel outage the
+    bench hung 25+ min until the driver's rc=124 kill with NO parseable
+    output. Any hard-fail path must emit this line so the driver records a
+    diagnostic instead of a timeout."""
+    print(json.dumps({
+        "metric": "fused_frames_per_s_per_chip",
+        "value": None,
+        "unit": "frames/s",
+        "vs_baseline": None,
+        "error": error,
+    }), flush=True)
+
+
+def backend_health_probe(timeout_s: float = 170.0, argv=None):
+    """Bounded SUBPROCESS probe of the TPU backend; None if healthy else an
+    error string.
+
+    Runs a tiny matmul in a child interpreter under a hard timeout — the
+    only sanctioned use of a timeout around TPU work (CLAUDE.md: the axon
+    init blocks in native code where SIGALRM doesn't land, so the in-process
+    signal.alarm at bench.py:__main__ cannot bound it; a subprocess kill
+    can). Runs BEFORE main() touches the device, so it never contends with
+    this process's own claim. `argv` overrides the probe command (tests)."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
+            "print('HEALTH_OK', float((x @ x).ravel()[0]))")
+    cmd = argv if argv is not None else (
+        os.environ.get("BENCH_HEALTH_CMD", "").split()
+        or [sys.executable, "-c", code])
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return (f"backend unavailable: health probe timed out "
+                f"after {timeout_s:.0f}s")
+    except OSError as e:
+        return f"health probe could not launch: {e}"
+    if r.returncode != 0 or "HEALTH_OK" not in (r.stdout or ""):
+        tail = [ln for ln in (r.stderr or r.stdout or "").strip().splitlines()
+                if ln.strip()][-1:] or ["(no output)"]
+        return (f"backend unavailable: health probe rc={r.returncode}: "
+                f"{tail[0][:200]}")
+    return None
+
+
 def _bootstrap(cfg, cam, poses, rgb):
     """Fuse frame 0 at its groundtruth pose into an empty grid."""
     from tracking_sdf_tpu.core.camera import backproject
@@ -626,12 +675,28 @@ if __name__ == "__main__":
     def _on_timeout(signum, frame):
         raise TimeoutError("bench main path exceeded budget")
 
+    # Fast-fail on a dead backend BEFORE committing to the (long) main
+    # budget: a bounded subprocess tiny-matmul. On failure, emit the
+    # parseable null-value line and exit nonzero within ~3 min instead of
+    # hanging to the driver's rc=124 (VERDICT r4 weak #1). BENCH_HEALTH=0
+    # skips (e.g. CPU-only CI); BENCH_HEALTH_TIMEOUT_S tunes the bound.
+    if os.environ.get("BENCH_HEALTH", "1") != "0":
+        _health_err = backend_health_probe(
+            float(os.environ.get("BENCH_HEALTH_TIMEOUT_S", "170")))
+        if _health_err is not None:
+            _emit_failure(_health_err)
+            sys.exit(2)
+
     signal.signal(signal.SIGALRM, _on_timeout)
     # Default budget must absorb a COLD compile of the K-frame on-device
     # loop through the remote compile helper, which takes many minutes when
     # congested (measured: >480 s). Warm-cache runs finish in well under a
     # minute either way, so the high default only delays the fallback when
-    # something is genuinely wrong.
+    # something is genuinely wrong. BENCH_BUDGET_S=0 (and BENCH_BUDGET2_S=0
+    # for the second preset) DISABLES the alarm entirely — prefer that on
+    # manual real-TPU runs: an alarm firing mid-dispatch kills the process
+    # mid-claim and can re-arm the ~30-40 min stale-claim wedge (CLAUDE.md).
+    # The subprocess health probe above, not the alarm, is the outage guard.
     signal.alarm(int(float(__import__("os").environ.get("BENCH_BUDGET_S", "1800"))))
     try:
         main()
@@ -640,8 +705,14 @@ if __name__ == "__main__":
         signal.alarm(300)
         print(f"# main bench path failed ({type(e).__name__}: {e}); "
               f"falling back to sequential dispatch", file=sys.stderr)
-        _fallback_sequential()
-        signal.alarm(0)
+        try:
+            _fallback_sequential()
+        except Exception as e2:  # noqa: BLE001 — last resort: parseable fail
+            _emit_failure(f"main path: {type(e).__name__}: {e}; "
+                          f"fallback: {type(e2).__name__}: {e2}")
+            sys.exit(3)
+        finally:
+            signal.alarm(0)
     # Second preset, best-effort (VERDICT r3 weak #4: driver-certify the
     # 512^3 headline): a plain `python bench.py` also measures tum512 and
     # prints its fps to STDERR — the driver records the tail, stdout keeps
