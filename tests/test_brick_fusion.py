@@ -847,7 +847,7 @@ def test_brickmajor_bfloat16_weights_close_to_dense():
     bg = brick_grid_from_dense(empty_grid(PARAMS), BS,
                                value_dtype=jnp.bfloat16,
                                weight_dtype=jnp.bfloat16)
-    assert bg.W.dtype == jnp.bfloat16 and bg.Wc.dtype == jnp.bfloat16
+    assert bg.W.dtype == jnp.bfloat16 and bg.C.dtype == jnp.uint16
     for pose in POSES:
         pts, normals, rgb = _frame(pose)
         gd = fuse_frame(gd, pose, pts, normals, rgb,

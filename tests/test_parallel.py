@@ -454,3 +454,41 @@ def test_sharded_marching_cubes_matches_dense(mesh, frame):
     assert sh.dropped_cells == 0
     np.testing.assert_allclose(sh.vertices, ref.vertices, atol=1e-6)
     np.testing.assert_allclose(sh.colors, ref.colors, atol=1e-6)
+
+
+def test_sharded_raycast_matches_single(mesh):
+    """Ray-sharded SPMD renderer == single-device raycast BITWISE: each
+    device all-gathers the grid once and marches its ray block with the
+    identical program (VERDICT r4 item 4)."""
+    from tracking_sdf_tpu.parallel import sharded_raycast
+    from tracking_sdf_tpu.render.raycast import raycast
+    from tracking_sdf_tpu.config import RaycastConfig
+    from tracking_sdf_tpu.tracking import estimate_normals
+
+    depth = render_scene_depth(SCENE, CAM, TRUE_POSE)
+    pts = backproject(CAM, depth)
+    nrm = estimate_normals(pts)
+    rgb = jnp.stack([jnp.full(depth.shape, 0.6), jnp.full(depth.shape, 0.3),
+                     jnp.full(depth.shape, 0.2)], -1).astype(jnp.float32)
+    grid = fuse_frame(empty_grid(PARAMS), TRUE_POSE, pts, nrm, rgb,
+                      params=PARAMS, cam=CAM, cfg=FusionConfig())
+
+    pose = look_at((0.1, -1.7, 0.5), (0.0, 0.0, 0.0))
+    for with_color, cfg in ((False, RaycastConfig()),
+                            (True, RaycastConfig(far_field="chamfer"))):
+        fn = sharded_raycast(mesh, params=PARAMS, cam=CAM, cfg=cfg,
+                             with_color=with_color)
+        r_sh = fn(shard_grid(grid, mesh), pose)
+        r_1 = raycast(grid, pose, params=PARAMS, cam=CAM, cfg=cfg,
+                      with_color=with_color)
+        for name, a, b in zip(r_sh._fields, r_sh, r_1):
+            if a is None or name == "dropped":
+                continue
+            aa, bb = np.asarray(a), np.asarray(b)
+            same = (aa == bb) | (np.isnan(aa.astype(np.float64))
+                                 & np.isnan(bb.astype(np.float64))) \
+                if aa.dtype.kind == "f" else (aa == bb)
+            assert np.asarray(same).all(), (
+                f"{name}: {np.count_nonzero(~np.asarray(same))} mismatches "
+                f"(with_color={with_color})")
+        assert np.asarray(r_sh.hit).sum() > 300

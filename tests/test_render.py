@@ -340,3 +340,40 @@ def test_raycast_temporal_warm_start():
     db = np.abs(np.asarray(warm_b.depth)[bb] - np.asarray(cold_b.depth)[bb])
     assert np.quantile(db, 0.99) < 5e-3, np.quantile(db, 0.99)
     assert (db > 0.01).mean() < 0.01
+
+
+def test_raycast_far_field_chamfer_equivalence():
+    """Extended-distance far-field march (RaycastConfig.far_field="chamfer")
+    must not lose hits or move surfaces — only cut steps. Uses a FUSED grid:
+    observed free space saturates at D = +delta (exactly the regime the
+    W-based empty_skip mip was blind to)."""
+    from tracking_sdf_tpu.config import FusionConfig
+    from tracking_sdf_tpu.core.camera import backproject
+    from tracking_sdf_tpu.fusion import fuse_frame
+    from tracking_sdf_tpu.grid import empty_grid
+    from tracking_sdf_tpu.tracking import estimate_normals
+
+    depth = render_scene_depth(SCENE, CAM, POSE)
+    pts = backproject(CAM, depth)
+    nrm = estimate_normals(pts)
+    grid = fuse_frame(empty_grid(PARAMS), POSE, pts, nrm, None,
+                      params=PARAMS, cam=CAM,
+                      cfg=FusionConfig(fuse_color=False))
+
+    pose = look_at((0.0, -1.9, 0.6), (0.0, 0.0, 0.0))
+    r_far = raycast(grid, pose, params=PARAMS, cam=CAM,
+                    cfg=RaycastConfig(far_field="chamfer"))
+    r_ref = raycast(grid, pose, params=PARAMS, cam=CAM)
+
+    hf, hr = np.asarray(r_far.hit), np.asarray(r_ref.hit)
+    # the extended field is a conservative lower bound on distance: no hit
+    # the plain march found may be lost; extra hits (budget-freed rays) ok
+    assert not (hr & ~hf).any()
+    hit = hr & hf
+    assert hit.sum() > 300
+    np.testing.assert_allclose(np.asarray(r_far.depth)[hit],
+                               np.asarray(r_ref.depth)[hit], atol=2e-3)
+    # the march through saturated-free space must be strictly cheaper
+    s_far = int(np.asarray(r_far.steps).sum())
+    s_ref = int(np.asarray(r_ref.steps).sum())
+    assert s_far < 0.9 * s_ref, (s_far, s_ref)

@@ -212,6 +212,16 @@ class FusionConfig(NamedTuple):
     # brick's update IS (w=1, d=+delta) per voxel; FULL/FREE id sets are
     # disjoint). A/B knob for the 512^3 merge-tail study.
     free_fold: bool = False
+    # saturated-FREE skip (round 5): carry a per-brick bitset marking FREE
+    # bricks whose update is a proven bitwise no-op (W at max_weight AND
+    # the stored D at its running-mean fixed point — detected, not
+    # assumed), and exclude them from FREE compaction. EXACT (skip-on ==
+    # skip-off bitwise, pinned by tests); the payoff is capacity — mature
+    # static scenes free nearly all cap_free slots, letting presets trim
+    # the compile-time cap_free (the folded merge pass's FREE-row count is
+    # static in cap_free). Inert when max_weight is None (W never
+    # saturates, no brick ever proves no-op). brickmajor path only.
+    sat_skip: bool = False
 
 
 class RaycastConfig(NamedTuple):
@@ -285,6 +295,29 @@ class RaycastConfig(NamedTuple):
     # every ray every step. (The CPU-equivalence "20% fewer steps" never
     # translated; ledger rule vindicated again.)
     empty_skip: bool = False
+    # Far-field EXTENDED-distance march (round 5): instead of a per-step
+    # skip LOOKUP (empty_skip's failure mode — it taxed every ray every
+    # step while mature scenes' observed free space never triggered it),
+    # the nearest_far march samples an EXTENDED field built once per
+    # render: voxels in bricks provably >= s bricks (L-inf chamfer) from
+    # any surface-band brick carry max(D, (s-1)*brick_min_extent) — a true
+    # conservative distance that UNCAPS the march step beyond delta.
+    # Surface-band brick = any voxel with SIGNED D < far_band * delta
+    # (NaN voxels never band — no surface can cross without a < band
+    # corner, proof in raycast._extend_far_field). Observed-saturated free
+    # space (D = +delta everywhere, W > 0 — exactly where empty_skip was
+    # blind) leaps in (s-1)-brick strides with ZERO per-step overhead.
+    #   "off"     — plain truncated march (delta-capped steps)
+    #   "chamfer" — extended field (requires sample="nearest_far", m%8==0)
+    far_field: str = "off"
+    far_band: float = 0.75  # band threshold as a fraction of delta
+    # grazing-recovery compaction phase: "auto" enables it for batches
+    # >= 4096 rays (its static cost dwarfs tiny batches). The SPMD
+    # renderer (parallel.render.sharded_raycast) pins "on"/"off" to the
+    # FULL image's auto decision so every ray follows the same phase
+    # structure as the single-device program — the bitwise-equality
+    # contract of the ray-sharded design.
+    two_phase: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

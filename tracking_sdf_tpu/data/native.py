@@ -26,14 +26,24 @@ _lib_lock = threading.Lock()
 
 
 def _build() -> bool:
+    global _build_err
     try:
         subprocess.run(
             ["make", "-C", _NATIVE_DIR, "-s"],
             check=True, capture_output=True, timeout=120,
         )
         return os.path.exists(_SO_PATH)
-    except Exception:
+    except subprocess.CalledProcessError as e:
+        # keep the compiler's complaint for the stale-.so warning below
+        _build_err = (e.stderr or e.stdout or b"").decode(
+            "utf-8", "replace").strip()[-2000:]
         return False
+    except Exception as e:
+        _build_err = f"{type(e).__name__}: {e}"
+        return False
+
+
+_build_err: Optional[str] = None
 
 
 def load_library(build_if_missing: bool = True):
@@ -47,8 +57,19 @@ def load_library(build_if_missing: bool = True):
             # loader.cpp): gating on file existence kept serving STALE
             # binaries after source fixes (the raw-open race fix shipped
             # while hosts still had the racy .so)
-            if not _build() and not os.path.exists(_SO_PATH):
-                return None
+            if not _build():
+                if not os.path.exists(_SO_PATH):
+                    return None
+                # the rebuild FAILED but an old .so exists: loading it is
+                # the stale-binary hazard the always-make policy exists to
+                # prevent — load it (graceful degradation) but say so,
+                # with the captured compiler output (ADVICE r4)
+                import warnings
+                warnings.warn(
+                    "native loader rebuild failed; loading PRE-EXISTING "
+                    f"{_SO_PATH} which may be stale. Compiler said:\n"
+                    f"{_build_err or '(no output captured)'}",
+                    RuntimeWarning, stacklevel=2)
         elif not os.path.exists(_SO_PATH):
             return None
         lib = ctypes.CDLL(_SO_PATH)

@@ -138,7 +138,19 @@ class TUMDataset:
 
 
 def load_depth_png(path: str) -> np.ndarray:
-    """16-bit depth PNG -> float32 meters with NaN holes (value 0 = no data)."""
+    """16-bit depth PNG -> float32 meters with NaN holes (value 0 = no data).
+
+    Uses the native C++ decoder when built (~3-4x faster than PIL — this is
+    the INDEXED access path, which --realtime pacing uses to skip dropped
+    frames, so its per-frame host cost counts as processing lag; ADVICE
+    r4). Falls back to PIL."""
+    from tracking_sdf_tpu.data import native
+
+    if native.available():
+        try:
+            return native.decode_depth(path)
+        except (ValueError, RuntimeError):
+            pass  # corrupt/odd PNG variant: let PIL try
     from PIL import Image
 
     raw = np.asarray(Image.open(path), dtype=np.float32)
@@ -148,7 +160,14 @@ def load_depth_png(path: str) -> np.ndarray:
 
 
 def load_rgb_png(path: str) -> np.ndarray:
-    """8-bit RGB PNG -> float32 in [0, 1]."""
+    """8-bit RGB PNG -> float32 in [0, 1] (native decoder when built)."""
+    from tracking_sdf_tpu.data import native
+
+    if native.available():
+        try:
+            return native.decode_rgb(path)
+        except (ValueError, RuntimeError):
+            pass
     from PIL import Image
 
     img = np.asarray(Image.open(path).convert("RGB"), dtype=np.float32)

@@ -70,6 +70,10 @@ class FuseStats(NamedTuple):
     # super-bricks beyond cap_mixed — their child bricks are DROPPED for
     # the frame (same reported-never-silent contract as `overflow`)
     overflow_mixed: jnp.ndarray = jnp.int32(0)
+    # saturated-FREE skip (FusionConfig.sat_skip): bricks currently marked
+    # saturated (their FREE update is a proven bitwise no-op; excluded from
+    # FREE compaction). 0 when the skip is off.
+    n_sat: jnp.ndarray = jnp.int32(0)
 
 
 def _mip_levels(img, h, w, dtype, largest: bool):
@@ -372,7 +376,7 @@ def _brick_corners_cam(params, pose, bs, dtype, nbi, i_offset):
 
 def classify_compact_hier(params, pose, points_cam, normals_cam, cam, bs,
                           dtype, nbi, i_offset, distance, cap, cap_free,
-                          factor, cap_mixed, share_margin=0.0):
+                          factor, cap_mixed, share_margin=0.0, sat=None):
     """Hierarchical OUT/FREE/FULL classification + FULL/FREE compaction.
 
     Classifies SUPER-bricks of ``factor``^3 fine bricks first, then
@@ -403,6 +407,19 @@ def classify_compact_hier(params, pose, points_cam, normals_cam, cam, bs,
     overflow_mixed (), overflow_free ()). ids are global brick ids padded
     with NB; full_ids order is (mixed-super rank, child) — consumers only
     require uniqueness + NB padding, not global sortedness.
+
+    ``sat`` (optional, (NB,) bool): saturated-FREE skip mask
+    (FusionConfig.sat_skip). A True brick's FREE update is a proven bitwise
+    no-op (see fuse_frame_brickmajor), so it is EXCLUDED from the FREE
+    candidate set before compaction — freeing cap_free capacity — at three
+    levels: fine-FREE bricks in mixed supers, whole FREE supers whose
+    children are ALL saturated (skipped pre-compaction, reclaiming their
+    cap_sfree slot), and saturated children of partially-saturated kept
+    supers (masked in the append; their slot positions become inert holes —
+    acceptable: partial saturation is a transition state). n_free /
+    overflow_free then count only non-skipped candidates (the counts for
+    DROPPED supers keep the historical all-children overcount — overflow
+    stays conservative, never silent).
     """
     h, w_img = points_cam.shape[:2]
     bi, bj, bk = bs
@@ -468,11 +485,23 @@ def classify_compact_hier(params, pose, points_cam, normals_cam, cam, bs,
     full_ids = _compact_vals(fflat == 2, gflat, cap, NB)
 
     # ---- FREE ids: fine-FREE within mixed supers + children of FREE supers -
-    n_free_mixed = jnp.sum((fflat == 1).astype(jnp.int32))
-    fr_ids = _compact_vals(fflat == 1, gflat, cap_free, NB)
+    free_fine = fflat == 1
+    if sat is not None:
+        satg = jnp.take(sat, jnp.minimum(gflat, NB - 1))
+        free_fine = free_fine & ~satg  # fflat==1 implies gflat < NB
+    n_free_mixed = jnp.sum(free_fine.astype(jnp.int32))
+    fr_ids = _compact_vals(free_fine, gflat, cap_free, NB)
     cap_sfree = max(cap_free // vol, 1)
-    n_sf = jnp.sum((scls == 1).astype(jnp.int32))
-    sf_ids = _compact_ids(scls == 1, cap_sfree, NS)
+    free_super = scls == 1
+    if sat is not None:
+        # a FREE super whose children are ALL saturated is skipped before
+        # compaction (its cap_sfree slot is reclaimed, not holed)
+        sat_super = jnp.all(
+            sat.reshape(nsi, f, nsj, f, nsk, f).transpose(0, 2, 4, 1, 3, 5)
+            .reshape(NS, vol), axis=1)
+        free_super = free_super & ~sat_super
+    n_sf = jnp.sum(free_super.astype(jnp.int32))
+    sf_ids = _compact_ids(free_super, cap_sfree, NS)
     valid_sf = sf_ids < NS
     sfs = jnp.where(valid_sf, sf_ids, 0)
     sfi = (sfs // (nsj * nsk))[:, None] * f + la
@@ -485,10 +514,19 @@ def classify_compact_hier(params, pose, points_cam, normals_cam, cam, bs,
     # append after the compacted mixed-free prefix (contiguous positions)
     pos = n_free_mixed + jnp.arange(cap_sfree * vol, dtype=jnp.int32)
     keep = valid_sf[:, None].repeat(vol, 1).reshape(-1) & (pos < cap_free)
+    n_sat_child = jnp.int32(0)
+    if sat is not None:
+        # saturated children of kept (partially saturated) supers: masked
+        # out of the append — their positions become inert NB-padded holes
+        sat_child = jnp.take(
+            sat, jnp.minimum(sf_gid.reshape(-1), NB - 1)
+        ) & valid_sf[:, None].repeat(vol, 1).reshape(-1)
+        keep = keep & ~sat_child
+        n_sat_child = jnp.sum(sat_child.astype(jnp.int32))
     fr_ids = fr_ids.at[jnp.where(keep, pos, cap_free)].set(
         sf_gid.reshape(-1), mode="drop")
     n_sf_kept = jnp.minimum(n_sf, cap_sfree)
-    n_free = n_free_mixed + vol * n_sf
+    n_free = n_free_mixed + vol * n_sf - n_sat_child
     overflow_free = (
         jnp.maximum(n_free_mixed + vol * n_sf_kept - cap_free, 0)
         + vol * jnp.maximum(n_sf - cap_sfree, 0))

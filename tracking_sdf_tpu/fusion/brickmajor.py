@@ -69,14 +69,29 @@ class BrickGrid(NamedTuple):
     pure transpose of D — no W read, no elementwise mask (~1.6 ms/frame at
     256^3). dense_from_brick_grid restores the reference's far value, so
     every dense-visible behavior (parity tests, checkpoints, meshing) is
-    unchanged."""
+    unchanged.
+
+    PACKED COLOR (round 5): the four color leaves (R, G, B, Wc) live in
+    ONE uint16-lane leaf ``C`` of shape (NB, 3*LV + LW) — block layout
+    [R | G | B | Wc] per row, each value bitcast to its uint16 lanes (LV =
+    BV * itemsize(value)/2, LW likewise for the weight dtype). Motivation
+    (BENCHMARKS round-5 batch B/D): the merge's gather/scatter cost is
+    per-ROW, nearly width-insensitive — 4 leaves x (gather + scatter) on
+    28672 rows cost ~31 ms standalone at 512^3 where ONE 4x-wide leaf
+    costs ~12 ms. Bitcasting (not dtype promotion) keeps every stored bit
+    identical to the unpacked layout for ANY value/weight dtype combo, so
+    fusion arithmetic is bitwise unchanged. D and W deliberately stay
+    separate: D's standalone layout backs the zero-copy tracking view
+    (brick_masked_view) and the Dm relayout — packing it would turn those
+    free reshapes into real strided copies of the whole grid.
+
+    ``C`` always stores lanes for the R/G/B/Wc blocks in that order; use
+    color_lane_widths() + pack_color()/unpack_color() rather than slicing
+    by hand."""
 
     D: jnp.ndarray
     W: jnp.ndarray
-    R: jnp.ndarray
-    G: jnp.ndarray
-    B: jnp.ndarray
-    Wc: jnp.ndarray
+    C: jnp.ndarray  # (NB, 3*LV + LW) uint16 — packed [R | G | B | Wc]
 
 
 def _row_w(bv: int) -> int:
@@ -113,6 +128,56 @@ def _from_rows(rows: jnp.ndarray, shape, bs: Tuple[int, int, int]) -> jnp.ndarra
     )
 
 
+def _lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., w) 16/32-bit leaf -> (..., w*k) uint16 lane view (pure
+    bitcast + free minor-dim reshape; k = itemsize/2)."""
+    k = x.dtype.itemsize // 2
+    u = jax.lax.bitcast_convert_type(x, jnp.uint16)
+    if k == 1:
+        return u
+    return u.reshape(*x.shape[:-1], x.shape[-1] * k)
+
+
+def _unlanes(u: jnp.ndarray, dtype, w: int) -> jnp.ndarray:
+    """Inverse of _lanes: (..., w*k) uint16 -> (..., w) dtype."""
+    k = jnp.dtype(dtype).itemsize // 2
+    if k > 1:
+        u = u.reshape(*u.shape[:-1], w, k)
+    return jax.lax.bitcast_convert_type(u, dtype)
+
+
+def color_lane_widths(bv: int, value_dtype, weight_dtype) -> Tuple[int, int]:
+    """(LV, LW): uint16 lanes per R/G/B block and per Wc block."""
+    lv = bv * (jnp.dtype(value_dtype).itemsize // 2)
+    lw = bv * (jnp.dtype(weight_dtype).itemsize // 2)
+    return lv, lw
+
+
+def pack_color(R, G, B, Wc) -> jnp.ndarray:
+    """Four color leaves -> one packed uint16-lane leaf [R | G | B | Wc]."""
+    return jnp.concatenate(
+        [_lanes(R), _lanes(G), _lanes(B), _lanes(Wc)], axis=-1)
+
+
+def unpack_color(C: jnp.ndarray, value_dtype, weight_dtype, bv: int):
+    """Packed leaf/rows -> (R, G, B, Wc) in their stored dtypes. The block
+    slices are minor-dim contiguous, so unpack fuses into whatever
+    consumes the channels (no materialized copies)."""
+    lv, lw = color_lane_widths(bv, value_dtype, weight_dtype)
+    R = _unlanes(C[..., 0 * lv:1 * lv], value_dtype, bv)
+    G = _unlanes(C[..., 1 * lv:2 * lv], value_dtype, bv)
+    B = _unlanes(C[..., 2 * lv:3 * lv], value_dtype, bv)
+    Wc = _unlanes(C[..., 3 * lv:3 * lv + lw], weight_dtype, bv)
+    return R, G, B, Wc
+
+
+def unpack_color_grid(bgrid: BrickGrid):
+    """(R, G, B, Wc) rows of a BrickGrid (dtypes self-described: D's dtype
+    is the value dtype, W's the weight dtype; BV is D's row width)."""
+    return unpack_color(bgrid.C, bgrid.D.dtype, bgrid.W.dtype,
+                        bgrid.D.shape[-1])
+
+
 def brick_grid_from_dense(grid: TSDFGrid, bs: Tuple[int, int, int],
                           value_dtype=None, weight_dtype=None) -> BrickGrid:
     """value_dtype (e.g. bfloat16) applies to D/R/G/B; weight_dtype (round
@@ -120,10 +185,14 @@ def brick_grid_from_dense(grid: TSDFGrid, bs: Tuple[int, int, int],
     unchanged)."""
     D = jnp.where(grid.W > 0, grid.D, jnp.nan)  # storage invariant
     vdt = value_dtype or grid.D.dtype
-    wdt = weight_dtype  # None = keep
-    leaves = [_to_rows(D, bs)] + [_to_rows(l, bs) for l in grid[1:]]
-    cast = [vdt, wdt, vdt, vdt, vdt, wdt]  # D W R G B Wc
-    return BrickGrid(*(l.astype(c) if c else l for l, c in zip(leaves, cast)))
+    wdt = weight_dtype or grid.W.dtype
+    return BrickGrid(
+        D=_to_rows(D, bs).astype(vdt),
+        W=_to_rows(grid.W, bs).astype(wdt),
+        C=pack_color(_to_rows(grid.R, bs).astype(vdt),
+                     _to_rows(grid.G, bs).astype(vdt),
+                     _to_rows(grid.B, bs).astype(vdt),
+                     _to_rows(grid.Wc, bs).astype(wdt)))
 
 
 def dense_from_brick_grid(
@@ -135,9 +204,10 @@ def dense_from_brick_grid(
     far = params.width + params.height + params.depth
     wdt = jnp.promote_types(bgrid.W.dtype, jnp.float32)
     D = jnp.where(bgrid.W > 0, bgrid.D.astype(wdt), jnp.asarray(far, wdt))
+    R, G, B, Wc = unpack_color_grid(bgrid)
     return TSDFGrid(_from_rows(D, (m, m, m), bs),
                     *(_from_rows(l.astype(wdt), (m, m, m), bs)
-                      for l in bgrid[1:]))
+                      for l in (bgrid.W, R, G, B, Wc)))
 
 
 def empty_brick_grid(
@@ -160,10 +230,10 @@ def empty_brick_grid(
     return BrickGrid(
         D=jnp.full(shp, jnp.nan, dtype=vdt),  # storage invariant (W=0)
         W=jnp.zeros(shp, dtype=wdt),
-        R=jnp.full(shp, 0.4, dtype=vdt),
-        G=jnp.full(shp, 0.4, dtype=vdt),
-        B=jnp.full(shp, 0.4, dtype=vdt),
-        Wc=jnp.zeros(shp, dtype=wdt),
+        C=pack_color(jnp.full(shp, 0.4, dtype=vdt),
+                     jnp.full(shp, 0.4, dtype=vdt),
+                     jnp.full(shp, 0.4, dtype=vdt),
+                     jnp.zeros(shp, dtype=wdt)),
     )
 
 
@@ -215,6 +285,7 @@ def fuse_frame_brickmajor(
     emit_dm=True,  # True: flat (m,m,m) | "view": zero-copy BrickMaskedView | False
     i_offset=0,
     nbi_local: Optional[int] = None,  # SPMD slab: local brick count along i
+    sat: Optional[jnp.ndarray] = None,  # (NB,) bool saturated-FREE bitset
 ) -> Tuple[BrickGrid, Optional[jnp.ndarray], FuseStats]:
     """Fuse one frame into a brick-major grid.
 
@@ -228,6 +299,26 @@ def fuse_frame_brickmajor(
     Geometry is exactly the dense path's math (same classifier + per-voxel
     updates as fuse_frame_bricked); color is fused in FULL (surface-band)
     bricks only — see fusion.brick docstring for why that loses nothing.
+
+    SATURATED-FREE SKIP (``sat`` — FusionConfig.sat_skip, round 5): with a
+    max_weight clamp, a FREE brick's update converges to a bitwise no-op
+    once W saturates (measured: exactly at frame max_weight for
+    from-empty bricks, no oscillation, f32 and bf16 —
+    scripts/probe_512_split_final.py groundwork). ``sat`` is a persistent
+    (NB,) bool carried by the caller; when given, the function returns
+    ``(bgrid, Dm, stats, sat')`` and:
+      * FREE-classified bricks with sat=True are EXCLUDED from compaction
+        (their cap_free slot is reclaimed — the sole point: capacity, and
+        with it a smaller compile-time cap_free).
+      * sat is SET for a FREE brick exactly when this frame's merge landed
+        bitwise-identical stored rows (D_new cast == D_old stored AND
+        W likewise) — detected on values already in registers.
+      * sat is CLEARED for every brick in the FULL update list (the only
+        other path that mutates rows), keeping the invariant: sat=True =>
+        the brick's stored rows equal those of its last proven-no-op FREE
+        update => skipping its next FREE update is bitwise invisible.
+    Exactness is pinned by tests/test_brick_fusion.py (skip-on == skip-off
+    bitwise, flat + hier classify).
 
     bfloat16 STORAGE (FusionConfig.storage_dtype): when the VALUE leaves
     (D/R/G/B) are bf16 — weights stay float32: they are running
@@ -276,7 +367,7 @@ def fuse_frame_brickmajor(
             classify_compact_hier(
                 params, pose, points_cam, normals_cam, cam, bs, dtype,
                 nbi, i_offset, cfg.distance, cap, cap_free, hier,
-                cfg.cap_mixed, share_margin=share_m)
+                cfg.cap_mixed, share_margin=share_m, sat=sat)
         upd, _, valid_brick, _, _ = _full_brick_updates(
             None, pix, pose, params, cam, cfg, bs, cap, dtype,
             (nbi, nbj, nbk), i_offset, (h, w_img), fuse_color,
@@ -316,6 +407,8 @@ def fuse_frame_brickmajor(
     # FREE ids (needed up front when folding them into the FULL pass)
     if not use_hier:
         is_free = brick_class.reshape(-1) == 1
+        if sat is not None:  # saturated-FREE skip: proven-no-op bricks out
+            is_free = is_free & ~sat
         n_free = jnp.sum(is_free.astype(jnp.int32))
         fr_ids = _compact_ids(is_free, cap_free, NB)
     valid_f = fr_ids < NB
@@ -348,8 +441,10 @@ def fuse_frame_brickmajor(
         return tab.at[rows_s_dw].set(new.astype(tab.dtype), mode="drop",
                                      unique_indices=True)
 
-    Dold = jnp.take(bgrid.D, rows_g, axis=0).astype(dtype)  # (cap[+capf], BV)
-    Wold = jnp.take(bgrid.W, rows_g, axis=0).astype(dtype)
+    Dold_raw = jnp.take(bgrid.D, rows_g, axis=0)  # (cap[+capf]*R, BV) stored
+    Wold_raw = jnp.take(bgrid.W, rows_g, axis=0)
+    Dold = Dold_raw.astype(dtype)
+    Wold = Wold_raw.astype(dtype)
     # storage invariant: Dold is NaN where Wold <= 0 — sanitize before the
     # Wold * Dold product (0 * NaN = NaN), keep NaN where nothing fused
     Dold_s = jnp.where(Wold > 0, Dold, 0.0)
@@ -363,27 +458,52 @@ def fuse_frame_brickmajor(
         has, (Wold * Dold_s + wd_add) / jnp.where(has, W_sum, 1.0), Dold)
     Db = sset_dw(bgrid.D, D_new)
     Wb = sset_dw(bgrid.W, W_new)
+    free_noop = None
+    if sat is not None and fold:
+        # idempotence detection on the FREE segment (rows cap*R onward) of
+        # the folded pass: compare the values ABOUT TO BE STORED (cast to
+        # storage dtype) against the raw stored rows. NaN rows (W<=0,
+        # storage invariant) compare unequal -> not yet saturated. All
+        # operands are already in registers; this fuses into the merge.
+        seg = slice(cap * R, None)
+        noop_v = ((D_new[seg].astype(bgrid.D.dtype) == Dold_raw[seg])
+                  & (W_new[seg].astype(bgrid.W.dtype) == Wold_raw[seg]))
+        free_noop = jnp.all(noop_v.reshape(cap_free, BV), axis=1)
     if fold:
         # color still addresses FULL rows only — restore the FULL-row slices
         rows_g = rows_g[:cap * R]
 
     if fuse_color:
-        Rold = jnp.take(bgrid.R, rows_g, axis=0).astype(dtype)
-        Gold = jnp.take(bgrid.G, rows_g, axis=0).astype(dtype)
-        Bold = jnp.take(bgrid.B, rows_g, axis=0).astype(dtype)
-        Wcold = jnp.take(bgrid.Wc, rows_g, axis=0).astype(dtype)
+        # ONE gather + ONE scatter on the packed color leaf instead of
+        # four of each: the row ops are per-row-cost-bound (round-5
+        # row-width probe: 4x width costs ~1.2-1.7x, not 4x), so packing
+        # is the bulk of the color merge's cost. unpack/pack are bitcasts
+        # + minor-dim reshapes that fuse into the update arithmetic; the
+        # per-channel math and the store-time dtype rounding are bitwise
+        # identical to the historical four-leaf formulation.
+        vdt_s, wdt_s = bgrid.D.dtype, bgrid.W.dtype
+        Cold = jnp.take(bgrid.C, rows_g, axis=0)
+        Rold_s, Gold_s, Bold_s, Wcold_s = unpack_color(
+            Cold, vdt_s, wdt_s, row_w)
+        Rold = Rold_s.astype(dtype)
+        Gold = Gold_s.astype(dtype)
+        Bold = Bold_s.astype(dtype)
+        Wcold = Wcold_s.astype(dtype)
         wc_add = ch[2]
         Wc_sum = Wcold + wc_add
         Wc_new = (Wc_sum if cfg.max_weight is None
                   else jnp.minimum(Wc_sum, cfg.max_weight))
         has_c = wc_add > 0
         safe = jnp.where(has_c, Wc_sum, 1.0)
-        Rb = sset(bgrid.R, jnp.where(has_c, (Wcold * Rold + ch[3]) / safe, Rold))
-        Gb = sset(bgrid.G, jnp.where(has_c, (Wcold * Gold + ch[4]) / safe, Gold))
-        Bb = sset(bgrid.B, jnp.where(has_c, (Wcold * Bold + ch[5]) / safe, Bold))
-        Wcb = sset(bgrid.Wc, Wc_new)
+        R_new = jnp.where(has_c, (Wcold * Rold + ch[3]) / safe, Rold)
+        G_new = jnp.where(has_c, (Wcold * Gold + ch[4]) / safe, Gold)
+        B_new = jnp.where(has_c, (Wcold * Bold + ch[5]) / safe, Bold)
+        C_new = pack_color(R_new.astype(vdt_s), G_new.astype(vdt_s),
+                           B_new.astype(vdt_s), Wc_new.astype(wdt_s))
+        Cb = bgrid.C.at[rows_s].set(C_new, mode="drop",
+                                    unique_indices=True)
     else:
-        Rb, Gb, Bb, Wcb = bgrid.R, bgrid.G, bgrid.B, bgrid.Wc
+        Cb = bgrid.C
 
     # ---- FREE merge: w = 1, d = +delta, no pixel data ----------------------
     # (folded into the combined D/W pass above when cfg.free_fold)
@@ -392,19 +512,25 @@ def fuse_frame_brickmajor(
         oob_f = NB * R + jnp.arange(cap_free * R, dtype=jnp.int32)
         rows_fs = jnp.where(jnp.repeat(valid_f, R), expand(fr_ids), oob_f
                             ).astype(jnp.int32)
-        Dof = jnp.take(Db, rows_fg, axis=0).astype(dtype)
-        Wof = jnp.take(Wb, rows_fg, axis=0).astype(dtype)
+        Dof_raw = jnp.take(Db, rows_fg, axis=0)
+        Wof_raw = jnp.take(Wb, rows_fg, axis=0)
+        Dof = Dof_raw.astype(dtype)
+        Wof = Wof_raw.astype(dtype)
         Dof_s = jnp.where(Wof > 0, Dof, 0.0)  # storage invariant (FULL merge)
         W_sumf = Wof + 1.0
         W_nf = (W_sumf if cfg.max_weight is None
                 else jnp.minimum(W_sumf, cfg.max_weight))
         D_nf = (Wof * Dof_s + jnp.asarray(params.delta, dtype)) / W_sumf
+        if sat is not None:
+            noop_v = ((D_nf.astype(Db.dtype) == Dof_raw)
+                      & (W_nf.astype(Wb.dtype) == Wof_raw))
+            free_noop = jnp.all(noop_v.reshape(cap_free, BV), axis=1)
         Db = Db.at[rows_fs].set(D_nf.astype(Db.dtype), mode="drop",
                                 unique_indices=True)
         Wb = Wb.at[rows_fs].set(W_nf.astype(Wb.dtype), mode="drop",
                                 unique_indices=True)
 
-    out = BrickGrid(D=Db, W=Wb, R=Rb, G=Gb, B=Bb, Wc=Wcb)
+    out = BrickGrid(D=Db, W=Wb, C=Cb)
     stats = FuseStats(
         n_full=n_full,
         overflow=jnp.maximum(n_full - cap, 0),
@@ -413,6 +539,15 @@ def fuse_frame_brickmajor(
                          else jnp.maximum(n_free - cap_free, 0)),
         overflow_mixed=ovf_mixed,
     )
+    if sat is not None:
+        # clear every FULL-updated brick (its rows changed), then set FREE
+        # bricks whose update just proved bitwise no-op; padded slots
+        # scatter to index NB (out of bounds, dropped)
+        sat_new = sat.at[jnp.where(valid_brick, full_ids, NB)].set(
+            False, mode="drop")
+        sat_new = sat_new.at[jnp.where(valid_f & free_noop, fr_ids, NB)].set(
+            True, mode="drop")
+        stats = stats._replace(n_sat=jnp.sum(sat_new.astype(jnp.int32)))
     if emit_dm == "view":
         if nbi_local is not None:
             raise ValueError("emit_dm='view' addresses the full grid; SPMD "
@@ -426,4 +561,6 @@ def fuse_frame_brickmajor(
             Dm = masked_dense_D(out, params, bs)
     else:
         Dm = None
+    if sat is not None:
+        return out, Dm, stats, sat_new
     return out, Dm, stats

@@ -14,6 +14,7 @@ from tracking_sdf_tpu.parallel.mesh import (
     replicated_sharding,
     shard_grid,
 )
+from tracking_sdf_tpu.parallel.render import sharded_raycast
 from tracking_sdf_tpu.parallel.sharded import (
     shard_brick_grid,
     sharded_fuse_frame,
@@ -31,6 +32,7 @@ __all__ = [
     "replicated_sharding",
     "shard_grid",
     "shard_brick_grid",
+    "sharded_raycast",
     "sharded_fuse_frame",
     "sharded_fuse_frame_bricked",
     "sharded_fuse_frame_brickmajor",

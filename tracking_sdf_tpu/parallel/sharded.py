@@ -366,7 +366,7 @@ def sharded_fuse_frame_bricked(
         return grid_new, stats
 
     gspec = _grid_specs()
-    sspec = FuseStats(P(), P(), P(), P(), P())
+    sspec = FuseStats(*([P()] * len(FuseStats._fields)))
     shmapped = jax.shard_map(
         local_fuse,
         mesh=mesh,
@@ -462,8 +462,8 @@ def sharded_fuse_frame_brickmajor(
             return bg, Dm_slab, stats
         return bg, stats
 
-    bspec = BrickGrid(*([P("d", None)] * 6))
-    sspec = FuseStats(P(), P(), P(), P(), P())
+    bspec = BrickGrid(*([P("d", None)] * len(BrickGrid._fields)))
+    sspec = FuseStats(*([P()] * len(FuseStats._fields)))
     out_specs = ((bspec, P("d", None, None), sspec) if emit_dm
                  else (bspec, sspec))
     shmapped = jax.shard_map(

@@ -133,6 +133,18 @@ class Reconstruction:
                 self._bm_from_dense = lambda g: brick_grid_from_dense(
                     g, self._bs, value_dtype=vdt, weight_dtype=wdt)
             self._dm = self._bm_view(self._bgrid)
+        # saturated-FREE skip state (FusionConfig.sat_skip, round 5): a
+        # per-brick bitset carried across frames (single-device brickmajor
+        # paths). NOT checkpointed: restoring all-False is exact — skipped
+        # updates were no-ops, so re-running them until bricks re-prove
+        # saturation reproduces the identical grid.
+        self._sat = None
+        if (getattr(config.fusion, "sat_skip", False)
+                and config.fusion.mode == "brickmajor" and mesh is None):
+            bi_, bj_, bk_ = self._bs
+            m_ = config.grid.m
+            self._sat = jnp.zeros(
+                ((m_ // bi_) * (m_ // bj_) * (m_ // bk_),), bool)
         if mesh is not None:
             from tracking_sdf_tpu.parallel import (
                 shard_grid,
@@ -193,13 +205,20 @@ class Reconstruction:
 
             def fuse_bm(pose, pts, normals, rgb):
                 cap = self._cap_levels[self._cap_idx]
-                self._bgrid, self._dm, stats = _fuse_kernel(
+                kw = {}
+                if self._sat is not None:  # brickmajor-only (init guard)
+                    kw["sat"] = self._sat
+                out = _fuse_kernel(
                     self._bgrid, pose, pts, normals, rgb,
                     params=config.grid, cam=cam, cfg=config.fusion,
                     bs=self._bs, cap=cap,
                     cap_free=config.fusion.brick_cap_free or None,
-                    emit_dm="view",
+                    emit_dm="view", **kw,
                 )
+                if self._sat is not None:
+                    self._bgrid, self._dm, stats, self._sat = out
+                else:
+                    self._bgrid, self._dm, stats = out
                 self.last_fuse_stats = stats
                 need = int(stats.n_full) * 1.3
                 self._cap_idx = next(
@@ -503,10 +522,12 @@ class Reconstruction:
                 and not cfg.use_groundtruth)
 
     def _chunk_fuse_impl(self, has_color: bool, cap: int):
-        """fuse(bg, pose, pts, nrm, rgb_or_None, fc) -> (bg, Dm, stats),
-        shared by the chunk body AND the calibration probe so ONE place
-        owns the config/cap-split (round-4 self-review: the two copies
-        had started to drift)."""
+        """fuse(bg, pose, pts, nrm, rgb_or_None, fc, sat) -> (bg, Dm,
+        stats, sat), shared by the chunk body AND the calibration probe so
+        ONE place owns the config/cap-split (round-4 self-review: the two
+        copies had started to drift). ``sat`` is the saturated-FREE bitset
+        (None when sat_skip is off; passed through unchanged on the
+        sharded path, which does not carry it yet)."""
         cfg = self.config
         fcfg = cfg.fusion if has_color else cfg.fusion._replace(
             fuse_color=False)
@@ -528,19 +549,21 @@ class Reconstruction:
                 for fc in ({True, False} if has_color else {False})
             }
 
-            def fuse(bg, pose, pts, nrm, rgb, fc):
-                return fns[fc](bg, pose, pts, nrm, rgb)
+            def fuse(bg, pose, pts, nrm, rgb, fc, sat=None):
+                bg, dm, stats = fns[fc](bg, pose, pts, nrm, rgb)
+                return bg, dm, stats, sat
             return fuse
 
         from tracking_sdf_tpu.fusion.brickmajor import fuse_frame_brickmajor
 
         cap_free = cfg.fusion.brick_cap_free or None
 
-        def fuse(bg, pose, pts, nrm, rgb, fc):
-            return fuse_frame_brickmajor(
+        def fuse(bg, pose, pts, nrm, rgb, fc, sat=None):
+            out = fuse_frame_brickmajor(
                 bg, pose, pts, nrm, rgb, params=params, cam=cam,
                 cfg=fcfg._replace(fuse_color=fc), bs=bs,
-                cap=cap, cap_free=cap_free, emit_dm=False)
+                cap=cap, cap_free=cap_free, emit_dm=False, sat=sat)
+            return out if sat is not None else (*out, None)
         return fuse
 
     def _chunk_fn(self, n: int, has_color: bool, raw: bool, cap: int,
@@ -595,9 +618,9 @@ class Reconstruction:
                   and n % ce == 0)
 
         @_partial(jax.jit, donate_argnums=(0,))
-        def chunk(bgrid, pose, prev, have_prev, depths, rgbs, off):
+        def chunk(bgrid, pose, prev, have_prev, depths, rgbs, off, sat):
             def frame_step(k, carry, color_mode):
-                bgrid, pose, prev, have_prev, out = carry
+                bgrid, pose, prev, have_prev, out, sat = carry
                 d = depths[k]
                 if raw:
                     d16 = d.astype(jnp.float32)
@@ -645,30 +668,32 @@ class Reconstruction:
                     rgb_k = None
 
                 def fuse_with(rgb_arg, fc):
-                    def f(bg):
-                        return fuse_impl(bg, pose_new, pts_f, nrm_f,
-                                         rgb_arg, fc)
+                    def f(bg_sat):
+                        bg, s = bg_sat
+                        bg, dm, st, s = fuse_impl(bg, pose_new, pts_f,
+                                                  nrm_f, rgb_arg, fc, s)
+                        return bg, st, s
                     return f
 
                 if color_mode == "cond":
                     # temporal color subsampling: the absolute frame index
                     # (chunk start 'off' + k) picks the color cadence
-                    bgrid, _, fstats = jax.lax.cond(
+                    bgrid, fstats, sat = jax.lax.cond(
                         (off + k) % ce == 0,
                         fuse_with(rgb_k, True),
                         fuse_with(None, False),
-                        bgrid)
+                        (bgrid, sat))
                 else:
-                    bgrid, _, fstats = fuse_with(
+                    bgrid, fstats, sat = fuse_with(
                         rgb_k if color_mode else None, bool(color_mode)
-                    )(bgrid)
+                    )((bgrid, sat))
                 out = jax.tree.map(
                     lambda o, s: o.at[k].set(s), out,
                     (pose_new.R, pose_new.t, res.iterations, res.num_valid,
                      res.mean_abs_residual, rejected, fstats.n_full,
                      fstats.overflow + fstats.overflow_active
                      + fstats.overflow_mixed))
-                return (bgrid, pose_new, pose, ~rejected, out)
+                return (bgrid, pose_new, pose, ~rejected, out, sat)
 
             out0 = (
                 jnp.zeros((n, 3, 3), jnp.float32),
@@ -680,7 +705,7 @@ class Reconstruction:
                 jnp.zeros((n,), jnp.int32),
                 jnp.zeros((n,), jnp.int32),
             )
-            init = (bgrid, pose, prev, have_prev, out0)
+            init = (bgrid, pose, prev, have_prev, out0, sat)
             if unroll:
                 # static cadence: frame k's absolute index is off + k with
                 # off % ce == off_mod, so color_on depends only on r
@@ -758,9 +783,10 @@ class Reconstruction:
         # directly avoids the (prep+fuse) - prep subtraction, whose noise
         # floor swallows the fuse term when fuse << prep (CPU tier)
         @_partial(jax.jit, donate_argnums=(0,))
-        def fuse_loop(bgrid, pose_in, PTS, NRM, rgbs, off, eps):
+        def fuse_loop(bgrid, pose_in, PTS, NRM, rgbs, off, eps, sat):
             pose = Pose(pose_in.R, pose_in.t + eps)
-            def body(k, bgrid):
+            def body(k, carry):
+                bgrid, sat = carry
                 pts, nrm = PTS[k], NRM[k]
                 if raw and has_color:
                     rgb_k = rgbs[k].astype(jnp.float32) / 255.0
@@ -770,21 +796,24 @@ class Reconstruction:
                     rgb_k = None
 
                 def fuse_with(rgb_arg, fc):
-                    def f(bg):
-                        return fuse_impl(bg, pose, pts, nrm, rgb_arg, fc)
+                    def f(bg_sat):
+                        bg, s = bg_sat
+                        bg, _, _, s = fuse_impl(bg, pose, pts, nrm,
+                                                rgb_arg, fc, s)
+                        return bg, s
                     return f
 
                 ce_c = getattr(fcfg, "color_every", 1)
                 if has_color and ce_c > 1:
-                    bgrid, _, _ = jax.lax.cond(
+                    bgrid, sat = jax.lax.cond(
                         (off + k) % ce_c == 0,
                         fuse_with(rgb_k, True),
                         fuse_with(None, False),
-                        bgrid)
+                        (bgrid, sat))
                 else:
-                    bgrid, _, _ = fuse_with(rgb_k, has_color)(bgrid)
-                return bgrid
-            return jax.lax.fori_loop(0, n, body, bgrid)
+                    bgrid, sat = fuse_with(rgb_k, has_color)((bgrid, sat))
+                return bgrid, sat
+            return jax.lax.fori_loop(0, n, body, (bgrid, sat))[0]
 
         def timed(fn, *args_builder):
             best = float("inf")
@@ -805,12 +834,15 @@ class Reconstruction:
                        lambda rep: (depths, jnp.float32(rep * 1e-6)))
         PTS, NRM = prep_all(depths)
         jax.block_until_ready(NRM)
+        sat0 = getattr(self, "_sat", None)  # not donated; result discarded
         snap = jax.tree.map(jnp.copy, self._bgrid)
-        snap = fuse_loop(snap, self.pose, PTS, NRM, rgbs, off, eps0)  # warm
+        snap = fuse_loop(snap, self.pose, PTS, NRM, rgbs, off, eps0,
+                         sat0)  # warm
         fuse_s = timed(
             fuse_loop,
             lambda rep: (jax.tree.map(jnp.copy, self._bgrid), self.pose,
-                         PTS, NRM, rgbs, off, jnp.float32(rep * 1e-6)))
+                         PTS, NRM, rgbs, off, jnp.float32(rep * 1e-6),
+                         sat0))
         del snap, PTS, NRM
         prep_ms = prep_s * 1e3 / n
         fuse_ms = fuse_s * 1e3 / n
@@ -872,9 +904,12 @@ class Reconstruction:
         t0 = time.perf_counter()
         prev = self._pose_prev if self._pose_prev is not None else self.pose
         have_prev = self._pose_prev is not None
-        bgrid, pose, prev_out, have_out, out = fn(
+        bgrid, pose, prev_out, have_out, out, sat_out = fn(
             self._bgrid, self.pose, prev, jnp.bool_(have_prev),
-            depths, rgbs, jnp.int32(self.frame_num + 1))
+            depths, rgbs, jnp.int32(self.frame_num + 1),
+            getattr(self, "_sat", None))
+        if sat_out is not None:
+            self._sat = sat_out
         (Rs, ts, iters, nvalid, mres, rej, n_full, overflow) = out
         Rs, ts = np.asarray(Rs), np.asarray(ts)
         iters, nvalid = np.asarray(iters), np.asarray(nvalid)
@@ -901,6 +936,13 @@ class Reconstruction:
                 prep_ms, fuse_cal = self._chunk_calibrate(
                     n, has_color, raw, cap, depths, rgbs,
                     jnp.int32(self.frame_num + 1))
+                # NOTE (ADVICE r4): fuse_cal is the chunk-AVERAGE fuse
+                # cost assigned uniformly to every non-rejected frame; on
+                # color-cadence chunks this overstates fuse_ms for
+                # non-color frames and understates it for color frames
+                # (per-frame split would need a calibration pair per color
+                # mode). Totals are preserved; per-frame fuse_ms is an
+                # average, not a per-mode measurement.
                 fuse_i = np.where(rej, 0.0, fuse_cal)
                 track_pool = max(
                     wall_ms * n - prep_ms * n - float(fuse_i.sum()), 0.0)

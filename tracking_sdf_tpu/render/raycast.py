@@ -73,19 +73,10 @@ _SKIP_B = 8  # empty-skip mip brick side (voxels); independent of fusion bricks
 _SKIP_K = 8  # chamfer iterations = max leap distance in bricks
 
 
-def _skip_mip(W: jnp.ndarray) -> jnp.ndarray:
-    """(nb, nb, nb) int32 L-inf chamfer distance to the nearest OBSERVED
-    8^3-voxel brick (0 = this brick has observed voxels; capped at _SKIP_K).
-
-    A ray at a point whose brick has distance s >= 2 cannot reach observed
-    space within (s-1) bricks in any direction, so a leap of
-    (s-1) * brick_extent is safe (cannot tunnel through a surface band)."""
-    m = W.shape[0]
-    nb = m // _SKIP_B
-    occ = (
-        W.reshape(nb, _SKIP_B, nb, _SKIP_B, nb, _SKIP_B).max(axis=(1, 3, 5))
-        > 0
-    )
+def _chamfer(occ: jnp.ndarray) -> jnp.ndarray:
+    """L-inf chamfer distance (capped at _SKIP_K) to the nearest True cell
+    of a (nb, nb, nb) boolean grid, via _SKIP_K-1 separable 3^3 min-pools."""
+    nb = occ.shape[0]
     big = jnp.int32(_SKIP_K)
     dist = jnp.where(occ, 0, big)
     for _ in range(_SKIP_K - 1):
@@ -101,6 +92,65 @@ def _skip_mip(W: jnp.ndarray) -> jnp.ndarray:
             a = jnp.minimum(jnp.minimum(lo_, mid), hi_)
         dist = jnp.minimum(dist, a + 1)
     return dist.astype(jnp.int32)
+
+
+def _skip_mip(W: jnp.ndarray) -> jnp.ndarray:
+    """(nb, nb, nb) int32 L-inf chamfer distance to the nearest OBSERVED
+    8^3-voxel brick (0 = this brick has observed voxels; capped at _SKIP_K).
+
+    A ray at a point whose brick has distance s >= 2 cannot reach observed
+    space within (s-1) bricks in any direction, so a leap of
+    (s-1) * brick_extent is safe (cannot tunnel through a surface band)."""
+    m = W.shape[0]
+    nb = m // _SKIP_B
+    occ = (
+        W.reshape(nb, _SKIP_B, nb, _SKIP_B, nb, _SKIP_B).max(axis=(1, 3, 5))
+        > 0
+    )
+    return _chamfer(occ)
+
+
+def _extend_far_field(Dm: jnp.ndarray, params: GridParams,
+                      band_frac: float):
+    """EXTENDED march field (RaycastConfig.far_field="chamfer"): D near the
+    surface band, a conservative chamfer LEAD elsewhere. Returns
+    (Dext (m, m, m), lead_max (float)).
+
+    Surface-BAND brick: any voxel with SIGNED D < band (= band_frac *
+    delta; NaN voxels compare False — unobserved space holds no surface).
+    SAFETY: a trilinear zero crossing requires a corner voxel with
+    D <= 0 < band, so every crossing cell touches a band brick or its
+     1-voxel neighborhood; a brick at L-inf chamfer distance s therefore
+    has every point >= (s-1) * brick_min_extent (Euclidean) from every
+    crossing. Voxels in such bricks carry
+        observed:   max(D, (s-1)*brick_min_ext)   (both are safe bounds)
+        unobserved: (s-1)*brick_min_ext if s >= 2 else NaN (miss_step)
+    and the nearest_far march's Lipschitz margin (0.866*h, distance fields
+    are 1-Lipschitz) transfers unchanged. Observed SATURATED free space
+    (D = +delta everywhere — exactly where the W-based empty_skip mip was
+    blind and measured a 38% regression) now strides (s-1) bricks per
+    step with ZERO per-step lookup overhead: the lead rides the SAME
+    gather row the march already fetches."""
+    m = Dm.shape[0]
+    nb = m // _SKIP_B
+    band = jnp.asarray(band_frac * params.delta, Dm.dtype)
+    Dv = jnp.where(jnp.isnan(Dm), jnp.inf, Dm)
+    occ = (
+        Dv.reshape(nb, _SKIP_B, nb, _SKIP_B, nb, _SKIP_B).min(axis=(1, 3, 5))
+        < band
+    )
+    dist = _chamfer(occ)
+    brick_min_ext = _SKIP_B * min(
+        params.width / m, params.height / m, params.depth / m)
+    lead = (jnp.maximum(dist - 1, 0).astype(Dm.dtype) * brick_min_ext)
+    leadv = jnp.broadcast_to(
+        lead[:, None, :, None, :, None],
+        (nb, _SKIP_B, nb, _SKIP_B, nb, _SKIP_B)).reshape(m, m, m)
+    Dext = jnp.where(
+        jnp.isnan(Dm),
+        jnp.where(leadv > 0, leadv, jnp.nan),
+        jnp.where(leadv > 0, jnp.maximum(Dm, leadv), Dm))
+    return Dext, (_SKIP_K - 1) * brick_min_ext
 
 
 def _skip_lookup(rows: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
@@ -131,11 +181,16 @@ def raycast(
     stride: int = 1,
     with_color: bool = False,
     t_init: Optional[jnp.ndarray] = None,  # (H, W) prev range_t (NaN=miss)
+    dirs_cam: Optional[jnp.ndarray] = None,  # explicit (h, w, 3) camera-frame
+    # ray dirs (z=1) overriding pixel_rays(cam, stride) — the SPMD renderer
+    # (parallel.render.sharded_raycast) shards the image's rays over
+    # devices and passes each shard's block here
 ) -> RenderResult:
     dtype = grid.D.dtype
     miss_step = cfg.miss_step if cfg.miss_step > 0 else params.delta / 2
     Dm = masked_view(grid.D, grid.W)  # one gather per sample instead of two
-    dirs_cam, _ = pixel_rays(cam, stride)  # (H, W, 3), z == 1
+    if dirs_cam is None:
+        dirs_cam, _ = pixel_rays(cam, stride)  # (H, W, 3), z == 1
     d_world = jnp.einsum("ij,hwj->hwi", pose.R, dirs_cam, precision=_HI)
     dn = jnp.linalg.norm(d_world, axis=-1, keepdims=True)
     unit = d_world / dn
@@ -262,8 +317,21 @@ def raycast(
     total = m_vox ** 3
     nearest_ok = cfg.sample == "nearest_far" and total % _ROW_W_RC == 0
 
+    # far-field extended march field (cfg.far_field="chamfer"): the
+    # nearest-sample phase marches on Dext (leads beyond the truncation
+    # band); every later phase (fine/newton/refinement/recovery) stays on
+    # the TRUE Dm, so hits/depths are unchanged — only step counts drop
+    far_ok = (getattr(cfg, "far_field", "off") == "chamfer" and nearest_ok
+              and m_vox % _SKIP_B == 0)
+    if far_ok:
+        D_march, lead_max = _extend_far_field(
+            Dm, params, getattr(cfg, "far_band", 0.75))
+        step_cap = lead_max
+    else:
+        D_march, step_cap = Dm, params.delta
+
     def march_nearest(state0, unit_v, t_lo, t_hi, budget, t_fine, margin):
-        rows = Dm.reshape(total // _ROW_W_RC, _ROW_W_RC)
+        rows = D_march.reshape(total // _ROW_W_RC, _ROW_W_RC)
 
         def sample_n(t):
             pos = origin + t[..., None] * unit_v
@@ -288,7 +356,7 @@ def raycast(
             near_now = alive & ok & (phi < t_fine)
             step = jnp.where(ok, jnp.maximum(phi - margin, 0.0)
                              * cfg.step_scale, miss_step)
-            step = jnp.minimum(step, params.delta)
+            step = jnp.minimum(step, step_cap)
             if skip_rows is not None:
                 b = jnp.clip((uvw / _SKIP_B).astype(jnp.int32), 0, nb_skip - 1)
                 flat_b = (b[..., 0] * nb_skip + b[..., 1]) * nb_skip + b[..., 2]
@@ -367,11 +435,14 @@ def raycast(
         # regardless of real survivor count (static shapes), so K is a
         # tight N/16 (overflow -> reported drops); measured at N/4 it ate
         # the whole nearest-mode win (568 vs 318 ms).
-        two_phase = N >= 4096
+        tp = getattr(cfg, "two_phase", "auto")
+        two_phase = N >= 4096 if tp == "auto" else tp == "on"
         budget_a = cfg.max_steps - cfg.max_steps // 2  # recovery budget
         k_div = 16
     else:
-        two_phase = N >= 4096 and cfg.max_steps > 20
+        tp = getattr(cfg, "two_phase", "auto")
+        two_phase = ((N >= 4096 if tp == "auto" else tp == "on")
+                     and cfg.max_steps > 20)
         budget_a = 20 if two_phase else cfg.max_steps
         k_div = 4
         t_m, hit, alive, steps = march(
