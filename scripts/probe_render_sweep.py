@@ -93,8 +93,14 @@ def run(label, rc_cfg, stride):
               f"{str(e)[:200]}", flush=True)
 
 
+VARIANTS = os.environ.get("RENDER_VARIANTS", "r4")
 for stride in (4, 2, 1):
-    run("trilinear-exact", RaycastConfig(sample="trilinear"), stride)
-    run("nearest+newton", RaycastConfig(), stride)
-    run("nearest+march", RaycastConfig(fine_mode="march"), stride)
+    if VARIANTS == "far":  # round-5 far-field chamfer A/B (VERDICT item 3)
+        run("trilinear-exact", RaycastConfig(sample="trilinear"), stride)
+        run("nearest+newton", RaycastConfig(), stride)
+        run("nn+far-chamfer", RaycastConfig(far_field="chamfer"), stride)
+    else:
+        run("trilinear-exact", RaycastConfig(sample="trilinear"), stride)
+        run("nearest+newton", RaycastConfig(), stride)
+        run("nearest+march", RaycastConfig(fine_mode="march"), stride)
 print("# done", flush=True)

@@ -627,10 +627,6 @@ def test_cli_zero_overrides_expressible():
     assert f.max_weight == 128.0 and f.brick_cap_free == 8192
 
 
-def test_cli_realtime_multihost_rejected(capsys):
-    from tracking_sdf_tpu import cli
-
-    rc = cli.main(["--cpu", "--realtime", "30", "--multihost",
-                   "--synthetic", "--frames", "2"])
-    assert rc == 2
-    assert "incompatible" in capsys.readouterr().err
+# (round 5: --realtime --multihost is now SUPPORTED via the rank-0-paced
+# broadcast pacer — tests/test_multiprocess.py::test_multihost_cli_realtime
+# replaces the old rejection test)

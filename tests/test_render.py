@@ -377,3 +377,20 @@ def test_raycast_far_field_chamfer_equivalence():
     s_far = int(np.asarray(r_far.steps).sum())
     s_ref = int(np.asarray(r_ref.steps).sum())
     assert s_far < 0.9 * s_ref, (s_far, s_ref)
+
+
+def test_marching_cubes_vertex_quant_bound():
+    """u16 vertex-quantized transfer: every vertex within half a quantum
+    (extent/131070) of the exact mesh, same triangle count/order, colors
+    identical."""
+    from tracking_sdf_tpu.render.marching_cubes import marching_cubes
+
+    grid = grid_from_scene(PARAMS, SCENE)
+    exact = marching_cubes(grid, params=PARAMS, with_colors=True)
+    quant = marching_cubes(grid, params=PARAMS, with_colors=True,
+                           vertex_quant=True)
+    assert exact.vertices.shape == quant.vertices.shape
+    tol = np.asarray(PARAMS.extent, np.float32) / 65535.0 * 0.5 + 1e-6
+    err = np.abs(exact.vertices - quant.vertices)
+    assert (err <= tol).all(), float(err.max())
+    np.testing.assert_array_equal(exact.colors, quant.colors)

@@ -51,8 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "newest is dropped and the tracker must bridge the "
                         "gap. The first 2 frames are delivered un-paced "
                         "(jit warmup) before the arrival clock starts. "
-                        "Drops are reported. Incompatible with --chunk "
-                        "and --multihost.")
+                        "Drops are reported. Incompatible with --chunk. "
+                        "With --multihost, rank 0 owns the arrival clock "
+                        "and broadcasts the frame-index stream so every "
+                        "rank drops the SAME frames.")
     p.add_argument("--trajectory", default="trajectory.txt",
                    help="output TUM trajectory path ('' disables)")
     p.add_argument("--mesh", help="export marching-cubes PLY to this path at the end")
@@ -183,15 +185,6 @@ def main(argv=None) -> int:
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
-    if args.realtime and args.multihost:
-        # per-rank wall-clock pacers would drop DIFFERENT frames on
-        # different ranks and desynchronize the replicated SPMD program
-        # (mismatched collectives = deadlock); rank-0-paced broadcast is
-        # future work. Must reject BEFORE jax.distributed.initialize.
-        print("error: --realtime is incompatible with --multihost "
-              "(per-rank pacers desync the pod)", file=sys.stderr)
-        return 2
-
     if args.multihost:
         # before ANY backend touch — importing the pipeline below builds
         # module-level jnp constants (runner.REFERENCE_INITIAL_POSE),
@@ -301,9 +294,18 @@ def main(argv=None) -> int:
             print("warning: --realtime is arrival-driven per-frame; "
                   "ignoring --chunk", file=sys.stderr)
             args.chunk = 0
-        from tracking_sdf_tpu.pipeline import RealtimePacer
+        if args.multihost:
+            # rank 0 owns the arrival clock; every rank replays the
+            # broadcast frame-index stream in lockstep (identical drops,
+            # identical trajectories — the SPMD program never diverges)
+            from tracking_sdf_tpu.pipeline import MultihostRealtimePacer
 
-        dataset = pacer = RealtimePacer(dataset, hz=args.realtime)
+            dataset = pacer = MultihostRealtimePacer(dataset,
+                                                     hz=args.realtime)
+        else:
+            from tracking_sdf_tpu.pipeline import RealtimePacer
+
+            dataset = pacer = RealtimePacer(dataset, hz=args.realtime)
     elif args.native_loader and hasattr(dataset, "stream"):
         # chunked runs take the raw u16/u8 wire path (6x fewer
         # host->device bytes; decoded on-device by process_chunk)

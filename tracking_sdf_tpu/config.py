@@ -295,20 +295,19 @@ class RaycastConfig(NamedTuple):
     # every ray every step. (The CPU-equivalence "20% fewer steps" never
     # translated; ledger rule vindicated again.)
     empty_skip: bool = False
-    # Far-field EXTENDED-distance march (round 5): instead of a per-step
-    # skip LOOKUP (empty_skip's failure mode — it taxed every ray every
-    # step while mature scenes' observed free space never triggered it),
-    # the nearest_far march samples an EXTENDED field built once per
-    # render: voxels in bricks provably >= s bricks (L-inf chamfer) from
-    # any surface-band brick carry max(D, (s-1)*brick_min_extent) — a true
-    # conservative distance that UNCAPS the march step beyond delta.
-    # Surface-band brick = any voxel with SIGNED D < far_band * delta
-    # (NaN voxels never band — no surface can cross without a < band
-    # corner, proof in raycast._extend_far_field). Observed-saturated free
-    # space (D = +delta everywhere, W > 0 — exactly where empty_skip was
-    # blind) leaps in (s-1)-brick strides with ZERO per-step overhead.
+    # Far-field band-chamfer leaps (round 5): a (m/8)^3 L-inf chamfer mip
+    # to the SURFACE BAND (any voxel with signed D < far_band * delta;
+    # NaN never bands — no crossing without a negative corner, proof in
+    # raycast._band_skip_mip) lets the nearest_far march leap
+    # (s-1)*brick_min_extent per step through far space — observed OR
+    # unobserved. Fixes empty_skip's blind spot (observed saturated free
+    # space, where its W-based mip never fired and the lookup tax made it
+    # a 38% regression). An extended-field variant with zero per-step
+    # cost was tried first and REJECTED: materializing max(D, lead) cost
+    # ~70-80 ms/render in full-grid passes (ledger round 5).
     #   "off"     — plain truncated march (delta-capped steps)
-    #   "chamfer" — extended field (requires sample="nearest_far", m%8==0)
+    #   "chamfer" — band-chamfer leaps (sample="nearest_far", m%8==0,
+    #               (m/8)^3 % 128 == 0)
     far_field: str = "off"
     far_band: float = 0.75  # band threshold as a fraction of delta
     # grazing-recovery compaction phase: "auto" enables it for batches

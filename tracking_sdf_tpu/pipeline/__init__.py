@@ -7,7 +7,10 @@ from tracking_sdf_tpu.pipeline.trajectory import (
     ate_rmse,
     rpe_rmse,
 )
-from tracking_sdf_tpu.pipeline.realtime import RealtimePacer
+from tracking_sdf_tpu.pipeline.realtime import (
+    MultihostRealtimePacer,
+    RealtimePacer,
+)
 from tracking_sdf_tpu.pipeline.runner import (
     Reconstruction,
     FrameStats,
@@ -22,6 +25,7 @@ __all__ = [
     "align_umeyama",
     "ate_rmse",
     "rpe_rmse",
+    "MultihostRealtimePacer",
     "RealtimePacer",
     "Reconstruction",
     "FrameStats",

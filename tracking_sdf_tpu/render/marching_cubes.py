@@ -229,6 +229,7 @@ def marching_cubes(
     max_cells: Optional[int] = None,
     color_mode: str = "trilinear",
     i_offset: int = 0,
+    vertex_quant: bool = False,
 ) -> Mesh:
     """Extract the zero-isosurface triangle mesh (host-compacted).
 
@@ -238,6 +239,16 @@ def marching_cubes(
     "trilinear" (default, smooth) or "shepard" — the reference's exact
     inverse-L1 interpolate_color semantics (sdf.cpp:377-382 calls
     interpolate_color per mesh vertex), for parity.
+
+    ``vertex_quant`` (round 5): quantize vertices to u16 per-axis bbox
+    coordinates ON DEVICE and dequantize host-side — the device->host hop
+    runs at ~13-30 MB/s through the tunnel, and u16 halves the vertex
+    bytes (colors already cross as u8). Max position error is half a
+    quantum = extent / 131070 (~30 um at 4 m — two orders of magnitude
+    under the voxel size; bound pinned by
+    tests/test_render.py::test_marching_cubes_vertex_quant_bound). The
+    reference published full f32 meshes over localhost where transport
+    was free (sdf.cpp:355-382); ours is not.
     """
     if color_mode not in ("trilinear", "shepard"):
         raise ValueError(f"unknown color_mode: {color_mode!r}")
@@ -281,8 +292,24 @@ def marching_cubes(
         rgb = _vertex_colors(grid, tri_d, params=params,
                              color_mode=color_mode, i_offset=i_offset)
         colors = (np.asarray(rgb[:n_tri]).astype(np.float32) / 255.0)
-    tri = np.asarray(tri_d[:n_tri]).astype(np.float32)
+    if vertex_quant:
+        lo = np.asarray(params.origin, np.float32)
+        ext = np.asarray(params.extent, np.float32)
+        q = _quantize_tris(tri_d, params)  # u16 at the bucket shape (jit)
+        tri = (np.asarray(q[:n_tri]).astype(np.float32) * (ext / 65535.0)
+               + lo)
+    else:
+        tri = np.asarray(tri_d[:n_tri]).astype(np.float32)
     return Mesh(tri, colors, dropped_cells=dropped)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _quantize_tris(tri: jnp.ndarray, params: GridParams) -> jnp.ndarray:
+    """f32 world vertices -> u16 per-axis bbox coords (transfer format)."""
+    lo = jnp.asarray(params.origin, jnp.float32)
+    ext = jnp.asarray(params.extent, jnp.float32)
+    q = jnp.round((tri.astype(jnp.float32) - lo) / ext * 65535.0)
+    return jnp.clip(q, 0.0, 65535.0).astype(jnp.uint16)
 
 
 @partial(jax.jit, static_argnames=("cap",))
@@ -346,6 +373,7 @@ def marching_cubes_chunked(
     with_colors: bool = False,
     max_cells: Optional[int] = None,
     color_mode: str = "trilinear",
+    vertex_quant: bool = False,
 ) -> Mesh:
     """Single-device meshing in i-slab chunks: bounds peak HBM.
 
@@ -364,7 +392,7 @@ def marching_cubes_chunked(
         sub = TSDFGrid(*(leaf[i0:hi] for leaf in grid))
         part = marching_cubes(sub, params=params, with_colors=with_colors,
                               max_cells=max_cells, color_mode=color_mode,
-                              i_offset=i0)
+                              i_offset=i0, vertex_quant=vertex_quant)
         dropped += part.dropped_cells
         parts.append(part)
     tri = np.concatenate([p.vertices for p in parts], axis=0)
@@ -426,6 +454,7 @@ def marching_cubes_sharded(
     with_colors: bool = False,
     max_cells: Optional[int] = None,
     color_mode: str = "trilinear",
+    vertex_quant: bool = False,
 ) -> Mesh:
     """Per-slab meshing of an i-slab-sharded dense grid + concatenation —
     the reference's voxel-DP meshing structure (per-thread output clouds +
@@ -483,7 +512,8 @@ def marching_cubes_sharded(
         sub_grid = TSDFGrid(**sub)
         part = marching_cubes(sub_grid, params=params,
                               with_colors=with_colors, max_cells=max_cells,
-                              color_mode=color_mode, i_offset=int(i0))
+                              color_mode=color_mode, i_offset=int(i0),
+                              vertex_quant=vertex_quant)
         dropped += part.dropped_cells
         parts.append(part)
     tri = np.concatenate([p.vertices for p in parts], axis=0)

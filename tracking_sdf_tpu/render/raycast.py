@@ -110,27 +110,25 @@ def _skip_mip(W: jnp.ndarray) -> jnp.ndarray:
     return _chamfer(occ)
 
 
-def _extend_far_field(Dm: jnp.ndarray, params: GridParams,
-                      band_frac: float):
-    """EXTENDED march field (RaycastConfig.far_field="chamfer"): D near the
-    surface band, a conservative chamfer LEAD elsewhere. Returns
-    (Dext (m, m, m), lead_max (float)).
+def _band_skip_mip(Dm: jnp.ndarray, params: GridParams,
+                   band_frac: float) -> jnp.ndarray:
+    """(nb, nb, nb) int32 L-inf chamfer distance to the nearest
+    SURFACE-BAND 8^3 brick (RaycastConfig.far_field="chamfer").
 
     Surface-BAND brick: any voxel with SIGNED D < band (= band_frac *
     delta; NaN voxels compare False — unobserved space holds no surface).
-    SAFETY: a trilinear zero crossing requires a corner voxel with
-    D <= 0 < band, so every crossing cell touches a band brick or its
-     1-voxel neighborhood; a brick at L-inf chamfer distance s therefore
-    has every point >= (s-1) * brick_min_extent (Euclidean) from every
-    crossing. Voxels in such bricks carry
-        observed:   max(D, (s-1)*brick_min_ext)   (both are safe bounds)
-        unobserved: (s-1)*brick_min_ext if s >= 2 else NaN (miss_step)
-    and the nearest_far march's Lipschitz margin (0.866*h, distance fields
-    are 1-Lipschitz) transfers unchanged. Observed SATURATED free space
-    (D = +delta everywhere — exactly where the W-based empty_skip mip was
-    blind and measured a 38% regression) now strides (s-1) bricks per
-    step with ZERO per-step lookup overhead: the lead rides the SAME
-    gather row the march already fetches."""
+    SAFETY: a trilinear zero crossing requires a NEGATIVE corner voxel
+    (D <= 0 < band), so every crossing cell touches a band brick or its
+    1-voxel neighborhood; a ray in a brick at chamfer distance s >= 2 is
+    therefore >= (s-1) * brick_min_extent (Euclidean) from every crossing
+    and may leap that far regardless of observation state. This
+    generalizes _skip_mip's W-based occupancy — which is blind in
+    observed SATURATED free space (D = +delta, W > 0: a mature scene's
+    entire interior, where its A/B measured a 38% regression because the
+    leap never fired) — while building the same tiny (m/8)^3 mip: one
+    full-grid min-reduce, no extended-field materialization (a first
+    implementation materialized max(D, lead) as a full (m, m, m) tensor;
+    its ~70-80 ms/render build cost ate the entire win — ledger round 5)."""
     m = Dm.shape[0]
     nb = m // _SKIP_B
     band = jnp.asarray(band_frac * params.delta, Dm.dtype)
@@ -139,18 +137,7 @@ def _extend_far_field(Dm: jnp.ndarray, params: GridParams,
         Dv.reshape(nb, _SKIP_B, nb, _SKIP_B, nb, _SKIP_B).min(axis=(1, 3, 5))
         < band
     )
-    dist = _chamfer(occ)
-    brick_min_ext = _SKIP_B * min(
-        params.width / m, params.height / m, params.depth / m)
-    lead = (jnp.maximum(dist - 1, 0).astype(Dm.dtype) * brick_min_ext)
-    leadv = jnp.broadcast_to(
-        lead[:, None, :, None, :, None],
-        (nb, _SKIP_B, nb, _SKIP_B, nb, _SKIP_B)).reshape(m, m, m)
-    Dext = jnp.where(
-        jnp.isnan(Dm),
-        jnp.where(leadv > 0, leadv, jnp.nan),
-        jnp.where(leadv > 0, jnp.maximum(Dm, leadv), Dm))
-    return Dext, (_SKIP_K - 1) * brick_min_ext
+    return _chamfer(occ)
 
 
 def _skip_lookup(rows: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
@@ -317,21 +304,26 @@ def raycast(
     total = m_vox ** 3
     nearest_ok = cfg.sample == "nearest_far" and total % _ROW_W_RC == 0
 
-    # far-field extended march field (cfg.far_field="chamfer"): the
-    # nearest-sample phase marches on Dext (leads beyond the truncation
-    # band); every later phase (fine/newton/refinement/recovery) stays on
-    # the TRUE Dm, so hits/depths are unchanged — only step counts drop
+    # far-field band-chamfer leaps (cfg.far_field="chamfer"): a tiny
+    # (m/8)^3 distance mip to the surface band lets the nearest-sample
+    # phase leap (s-1)*brick_min_ext per step through far space —
+    # observed OR unobserved. Later phases (fine/newton/recovery) stay on
+    # the true Dm near the surface, so hits/depths are unchanged — only
+    # step counts drop.
+    band_rows = None
     far_ok = (getattr(cfg, "far_field", "off") == "chamfer" and nearest_ok
-              and m_vox % _SKIP_B == 0)
+              and params.m % _SKIP_B == 0
+              and (params.m // _SKIP_B) ** 3 % 128 == 0)
     if far_ok:
-        D_march, lead_max = _extend_far_field(
-            Dm, params, getattr(cfg, "far_band", 0.75))
-        step_cap = lead_max
-    else:
-        D_march, step_cap = Dm, params.delta
+        nb_band = params.m // _SKIP_B
+        band_rows = _band_skip_mip(
+            Dm, params, getattr(cfg, "far_band", 0.75)).reshape(-1, 128)
+        band_min_ext = _SKIP_B * min(
+            params.width / params.m, params.height / params.m,
+            params.depth / params.m)
 
     def march_nearest(state0, unit_v, t_lo, t_hi, budget, t_fine, margin):
-        rows = D_march.reshape(total // _ROW_W_RC, _ROW_W_RC)
+        rows = Dm.reshape(total // _ROW_W_RC, _ROW_W_RC)
 
         def sample_n(t):
             pos = origin + t[..., None] * unit_v
@@ -356,13 +348,23 @@ def raycast(
             near_now = alive & ok & (phi < t_fine)
             step = jnp.where(ok, jnp.maximum(phi - margin, 0.0)
                              * cfg.step_scale, miss_step)
-            step = jnp.minimum(step, step_cap)
+            step = jnp.minimum(step, params.delta)
             if skip_rows is not None:
                 b = jnp.clip((uvw / _SKIP_B).astype(jnp.int32), 0, nb_skip - 1)
                 flat_b = (b[..., 0] * nb_skip + b[..., 1]) * nb_skip + b[..., 2]
                 s = _skip_lookup(skip_rows, flat_b)
                 leap = (s - 1).astype(step.dtype) * brick_min_ext
                 step = jnp.where(~ok, jnp.maximum(step, leap), step)
+            if band_rows is not None:
+                b = jnp.clip((uvw / _SKIP_B).astype(jnp.int32),
+                             0, nb_band - 1)
+                flat_b = (b[..., 0] * nb_band + b[..., 1]) * nb_band \
+                    + b[..., 2]
+                s = _skip_lookup(band_rows, flat_b)
+                leap = (s - 1).astype(step.dtype) * band_min_ext
+                # safe regardless of observation state (proof in
+                # _band_skip_mip) — bypasses the truncation-band cap
+                step = jnp.maximum(step, leap)
             t_new = jnp.where(alive & ~near_now, t + step, t)
             t_new = jnp.maximum(t_new, t_lo)
             oov = t_new > t_hi
