@@ -347,6 +347,13 @@ class PipelineConfig:
     # meshes (the publisher's rate then auto-degrades, reported,
     # visualizer.py).
     mesh_decimate: int = 0
+    # u16-quantized vertex transfer for EVERY runner mesh export (final
+    # --mesh, 1 Hz publisher, sharded/chunked): halves device->host vertex
+    # bytes on the ~13-30 MB/s tunnel — measured 1166 -> 532 ms geometry /
+    # 1649 -> 1269 ms color at 283k tris (round-5 batch H). Error bound
+    # extent/131070 (~30 um at 4 m), two orders under the voxel size;
+    # PLY output stays f32 world coordinates. False = exact f32 transfer.
+    mesh_vertex_quant: bool = True
     # coarse-to-fine pyramid: extra decimation factors (coarsest first,
     # ending at 1) multiplied onto tracking.pixel_stride; None = single level
     pyramid_levels: Optional[Tuple[int, ...]] = None

@@ -988,10 +988,16 @@ class Reconstruction:
     def _extract_mesh(self, grid, with_colors: bool, color_mode: str):
         """Mesh extraction with the layout-appropriate strategy: per-slab
         for sharded grids (P3), slab-chunked at m >= 512 (bounds peak HBM
-        next to the live brick grid), one-shot otherwise."""
+        next to the live brick grid), one-shot otherwise.
+
+        Vertices cross the tunnel u16-quantized (error <= extent/131070,
+        ~30 um — measured 1166 -> 532 ms geometry / 1649 -> 1269 ms color
+        at 283k tris; BENCHMARKS round-5 batch H). PLY output is f32
+        world coordinates either way."""
         from tracking_sdf_tpu.render.marching_cubes import (
             marching_cubes, marching_cubes_chunked, marching_cubes_sharded)
 
+        vq = getattr(self.config, "mesh_vertex_quant", True)
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -999,13 +1005,14 @@ class Reconstruction:
                 grid, NamedSharding(self._mesh, P("d", None, None)))
             return marching_cubes_sharded(
                 grid, params=self.config.grid, with_colors=with_colors,
-                color_mode=color_mode)
+                color_mode=color_mode, vertex_quant=vq)
         if self.config.grid.m >= 512:
             return marching_cubes_chunked(
                 grid, params=self.config.grid, with_colors=with_colors,
-                color_mode=color_mode)
+                color_mode=color_mode, vertex_quant=vq)
         return marching_cubes(grid, params=self.config.grid,
-                              with_colors=with_colors, color_mode=color_mode)
+                              with_colors=with_colors,
+                              color_mode=color_mode, vertex_quant=vq)
 
     def start_mesh_publisher(self, path: str, with_colors: bool = True):
         """Start the async mesh export thread (the reference's 1 Hz
@@ -1037,9 +1044,11 @@ class Reconstruction:
                 grid = jax.tree.map(lambda a: a[::dec, ::dec, ::dec], grid)
                 params = self.config.grid._replace(
                     m=self.config.grid.m // dec)
-                mesh = marching_cubes(grid, params=params,
-                                      with_colors=with_colors,
-                                      color_mode="trilinear")
+                mesh = marching_cubes(
+                    grid, params=params, with_colors=with_colors,
+                    color_mode="trilinear",
+                    vertex_quant=getattr(self.config,
+                                         "mesh_vertex_quant", True))
             else:
                 mesh = self._extract_mesh(grid, with_colors, "trilinear")
             export_ply(mesh, path)
