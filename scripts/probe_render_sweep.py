@@ -99,6 +99,10 @@ for stride in (4, 2, 1):
         run("trilinear-exact", RaycastConfig(sample="trilinear"), stride)
         run("nearest+newton", RaycastConfig(), stride)
         run("nn+far-chamfer", RaycastConfig(far_field="chamfer"), stride)
+    elif VARIANTS == "unroll":  # round-5 march_unroll A/B (bitwise-equal)
+        run("nearest+newton U=1", RaycastConfig(), stride)
+        run("nearest+newton U=4", RaycastConfig(march_unroll=4), stride)
+        run("nearest+newton U=8", RaycastConfig(march_unroll=8), stride)
     else:
         run("trilinear-exact", RaycastConfig(sample="trilinear"), stride)
         run("nearest+newton", RaycastConfig(), stride)

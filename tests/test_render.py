@@ -394,3 +394,36 @@ def test_marching_cubes_vertex_quant_bound():
     err = np.abs(exact.vertices - quant.vertices)
     assert (err <= tol).all(), float(err.max())
     np.testing.assert_array_equal(exact.colors, quant.colors)
+
+
+def test_raycast_march_unroll_bitwise():
+    """march_unroll=4 must be BITWISE identical to the rolled loop (the
+    alive-check granularity only decides when the loop stops; per-ray
+    updates are masked and deterministic; budgets divide 4)."""
+    from tracking_sdf_tpu.config import FusionConfig
+    from tracking_sdf_tpu.core.camera import backproject
+    from tracking_sdf_tpu.fusion import fuse_frame
+    from tracking_sdf_tpu.grid import empty_grid
+    from tracking_sdf_tpu.tracking import estimate_normals
+
+    depth = render_scene_depth(SCENE, CAM, POSE)
+    pts = backproject(CAM, depth)
+    nrm = estimate_normals(pts)
+    grid = fuse_frame(empty_grid(PARAMS), POSE, pts, nrm, None,
+                      params=PARAMS, cam=CAM,
+                      cfg=FusionConfig(fuse_color=False))
+    pose = look_at((0.0, -1.9, 0.6), (0.0, 0.0, 0.0))
+    for base in (RaycastConfig(), RaycastConfig(sample="trilinear")):
+        r1 = raycast(grid, pose, params=PARAMS, cam=CAM, cfg=base)
+        r4 = raycast(grid, pose, params=PARAMS, cam=CAM,
+                     cfg=base._replace(march_unroll=4))
+        for name, a, b in zip(r1._fields, r1, r4):
+            if a is None or name == "steps":
+                continue  # steps may differ by trailing no-op iterations
+            aa, bb = np.asarray(a), np.asarray(b)
+            if aa.dtype.kind == "f":
+                same = (aa == bb) | (np.isnan(aa) & np.isnan(bb))
+            else:
+                same = aa == bb
+            assert np.asarray(same).all(), (
+                f"{name} differs under march_unroll ({base.sample})")

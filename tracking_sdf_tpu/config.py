@@ -310,6 +310,14 @@ class RaycastConfig(NamedTuple):
     #               (m/8)^3 % 128 == 0)
     far_field: str = "off"
     far_band: float = 0.75  # band threshold as a fraction of delta
+    # March-loop unrolling (round 5): execute this many sphere-tracing
+    # steps per while-loop iteration. BITWISE-equivalent (per-ray updates
+    # are masked and deterministic; the alive-check granularity only
+    # affects when the loop STOPS, never any ray's value) — the XLA
+    # analogue of a persistent kernel for small/strided renders where
+    # per-iteration loop overhead (condition reduce + control) rivals the
+    # tiny gather. Total step budget is preserved (ceil-divided).
+    march_unroll: int = 1
     # grazing-recovery compaction phase: "auto" enables it for batches
     # >= 4096 rays (its static cost dwarfs tiny batches). The SPMD
     # renderer (parallel.render.sharded_raycast) pins "on"/"off" to the

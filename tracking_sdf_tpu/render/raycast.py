@@ -250,6 +250,26 @@ def raycast(
             params.depth / params.m,
         )
 
+    # march_unroll (cfg): U steps per while iteration — bitwise-equivalent
+    # when U divides the loop's budget (the alive-check only decides when
+    # the loop STOPS; per-ray updates are masked and deterministic), so a
+    # non-dividing U falls back to 1 for that loop rather than change
+    # results. Cuts per-iteration loop overhead (cond reduce + control)
+    # that rivals the tiny per-step gather on small/strided ray batches.
+    U_cfg = max(1, int(getattr(cfg, "march_unroll", 1)))
+
+    def _unrolled(body_one, cond, state, budget):
+        U = U_cfg if U_cfg > 1 and budget % U_cfg == 0 else 1
+        if U == 1:
+            return jax.lax.while_loop(cond, body_one, state)
+
+        def body_u(s):
+            for _ in range(U):
+                s = body_one(s)
+            return s
+
+        return jax.lax.while_loop(cond, body_u, state)
+
     def march(state0, unit_v, t_lo, t_hi, budget):
         def sample(t):
             pos = origin + t[..., None] * unit_v
@@ -290,7 +310,7 @@ def raycast(
                 steps + alive.astype(jnp.int32),
             )
 
-        return jax.lax.while_loop(cond, body, (jnp.int32(0),) + state0)[1:]
+        return _unrolled(body, cond, (jnp.int32(0),) + state0, budget)[1:]
 
     # ---- far-field nearest-sample march (cfg.sample="nearest_far") --------
     # One gather row per ray per step instead of 8: |phi(x) - phi(nearest
@@ -372,7 +392,7 @@ def raycast(
                     alive & ~near_now & ~oov,
                     steps + alive.astype(jnp.int32))
 
-        return jax.lax.while_loop(cond, body, (jnp.int32(0),) + state0)[1:]
+        return _unrolled(body, cond, (jnp.int32(0),) + state0, budget)[1:]
 
     hit0 = jnp.zeros((N,), dtype=bool)
     steps0 = jnp.zeros((N,), dtype=jnp.int32)
