@@ -1189,14 +1189,39 @@ class Reconstruction:
         Warns when the grazing-recovery compaction capacity overflowed
         (RenderResult.dropped > 0): those rays are reported as misses in
         the default sample="nearest_far" mode; sample="trilinear" is the
-        exact 100%-coverage mode."""
+        exact 100%-coverage mode.
+
+        On the SPMD runner (mesh passed) renders are RAY-SHARDED over the
+        mesh (parallel.render.sharded_raycast — bitwise equal to
+        single-device) unless a ``t_init`` warm start is given (the
+        sharded path has no warm start; it falls back to single-device)."""
         from tracking_sdf_tpu.render.raycast import raycast
 
-        result = raycast(
-            self.grid, pose if pose is not None else self.pose,
-            params=self.config.grid, cam=self.cam, cfg=self.config.raycast,
-            stride=stride, with_color=with_color, t_init=t_init,
-        )
+        p = pose if pose is not None else self.pose
+        if self._mesh is not None and t_init is None:
+            from tracking_sdf_tpu.parallel import sharded_raycast
+            from tracking_sdf_tpu.parallel.mesh import grid_sharding
+
+            key = (stride, with_color)
+            cache = getattr(self, "_render_sharded", None)
+            if cache is None:
+                cache = self._render_sharded = {}
+            fn = cache.get(key)
+            if fn is None:
+                fn = cache[key] = sharded_raycast(
+                    self._mesh, params=self.config.grid, cam=self.cam,
+                    cfg=self.config.raycast, stride=stride,
+                    with_color=with_color)
+            grid = jax.device_put(self.grid,
+                                  grid_sharding(self._mesh))
+            result = fn(grid, p)
+        else:
+            result = raycast(
+                self.grid, p,
+                params=self.config.grid, cam=self.cam,
+                cfg=self.config.raycast,
+                stride=stride, with_color=with_color, t_init=t_init,
+            )
         n_dropped = int(result.dropped)
         if n_dropped > 0:
             import warnings
