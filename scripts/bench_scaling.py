@@ -141,10 +141,44 @@ def bench_mesh_scaling(reps=5):
         }), flush=True)
 
 
+def bench_render_scaling(reps=3):
+    """Ray-sharded renderer across mesh sizes (round 5 — the BASELINE
+    "renderer rays/s 1 chip -> N" ladder harness; on the virtual CPU mesh
+    this validates the harness + the all-gather path and shows RELATIVE
+    march scaling; absolute ICI numbers need real multi-chip hardware)."""
+    from tracking_sdf_tpu.parallel import make_mesh, shard_grid
+    from tracking_sdf_tpu.parallel.render import sharded_raycast
+
+    n_dev = len(jax.devices())
+    sizes = [s for s in (1, 2, 4, 8) if s <= n_dev]
+    params, cam, grid, pose, pts, tcfg = build(params_m=128)
+    for s in sizes:
+        mesh = make_mesh(jax.devices()[:s])
+        fn = sharded_raycast(mesh, params=params, cam=cam, stride=2)
+        gs = shard_grid(grid, mesh)
+        r = fn(gs, pose)
+        _ = float(jnp.nansum(r.depth))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = fn(gs, pose)
+        _ = float(jnp.nansum(r.depth))
+        dt = (time.perf_counter() - t0) / reps
+        n_rays = r.depth.size
+        print(json.dumps({
+            "metric": "sharded_raycast_ms",
+            "devices": s,
+            "rays": int(n_rays),
+            "value": round(dt * 1e3, 2),
+            "mrays_per_s": round(n_rays / dt / 1e6, 3),
+            "unit": "ms",
+        }), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays-only", action="store_true")
     ap.add_argument("--mesh-only", action="store_true")
+    ap.add_argument("--render-scaling", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the TPU-proxy plugin "
                          "pre-registers and IGNORES the JAX_PLATFORMS env "
@@ -154,7 +188,10 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    if not args.mesh_only:
-        bench_rays()
-    if not args.rays_only:
-        bench_mesh_scaling()
+    if args.render_scaling:
+        bench_render_scaling()
+    else:
+        if not args.mesh_only:
+            bench_rays()
+        if not args.rays_only:
+            bench_mesh_scaling()
