@@ -43,18 +43,19 @@ pose0 = poses[0]
 XI = jnp.asarray([0.008, -0.004, 0.007, 0.007, -0.005, 0.006], jnp.float32)
 
 
-def chain(warm: bool):
+def chain(warm: bool, stride: int = 1):
     @jax.jit
     def render_k(pose_R, pose_t, eps):
         def body(k, carry):
             R, t, prev, acc, hits = carry
             pose = Pose(R, t + eps * k)
             r = raycast(grid, pose, params=params, cam=cam, cfg=rc,
-                        t_init=prev if warm else None)
+                        stride=stride, t_init=prev if warm else None)
             nxt = pose_compose(pose, se3_exp(XI))
             return (nxt.R, nxt.t, r.range_t,
                     acc + jnp.nansum(r.depth), hits + jnp.sum(r.hit))
-        prev0 = jnp.full((cam.height, cam.width), jnp.nan, jnp.float32)
+        prev0 = jnp.full((cam.height // stride, cam.width // stride),
+                         jnp.nan, jnp.float32)
         out = jax.lax.fori_loop(
             0, K, body, (pose_R, pose_t, prev0, jnp.float32(0.0),
                          jnp.int32(0)))
@@ -70,7 +71,7 @@ def chain(warm: bool):
         out = render_k(pose0.R, pose0.t, jnp.float32(rep * 1e-7))
         _ = float(out[0])
         best = min(best, (time.perf_counter() - t0) / K)
-    label = "warm-chain" if warm else "cold"
+    label = ("warm" if warm else "cold") + f" s{stride}"
     print(f"{label:12s} {best*1e3:8.1f} ms/render  hits/frame "
           f"{int(out[1]) // K}  (compile {compile_s:.0f}s)", flush=True)
     return int(out[1]) // K
@@ -81,3 +82,8 @@ print(f"# warm-start render chain, m={params.m}, {cam.width}x{cam.height}, "
 h_cold = chain(False)
 h_warm = chain(True)
 print(f"# hit parity: warm/cold = {h_warm / max(h_cold, 1):.4f}", flush=True)
+# serving-preview rows (round 5): warm start x march_unroll at strides
+if os.environ.get("WARM_STRIDES", "1") == "1":
+    for st in (2, 4):
+        chain(False, st)
+        chain(True, st)
