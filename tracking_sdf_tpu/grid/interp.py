@@ -283,10 +283,17 @@ def _corner_fetch_brick(view: BrickMaskedView, base: jnp.ndarray) -> jnp.ndarray
     jb, dj = cj // bj, cj % bj
     kb, dk = ck // bk, ck % bk
     F = ((ib * nbj + jb) * nbk + kb) * view.pitch + (di * bj + dj) * bk + dk
-    row = F // _ROW_W
-    lane = F % _ROW_W
-    got = jnp.take(view.rows, row, axis=0, mode="clip")  # (..., 8, 128)
-    io = jnp.arange(_ROW_W, dtype=jnp.int32)
+    # row width from the view itself (round 5): a FAT-row view (width BV,
+    # e.g. 512) gathers straight from the brick grid's storage rows with
+    # ZERO relayout — the (NB, BV) -> (-1, 128) reshape is logically
+    # row-major-preserving but physically a TPU tile-relayout copy
+    # (~5.3 ms/frame at 512^3, probe_dw_pack). Gather cost is per-ROW
+    # (width-insensitive); only the iota lane-select widens.
+    row_w = view.rows.shape[1]
+    row = F // row_w
+    lane = F % row_w
+    got = jnp.take(view.rows, row, axis=0, mode="clip")  # (..., 8, row_w)
+    io = jnp.arange(row_w, dtype=jnp.int32)
     # where-select, NOT multiply-by-mask (NaN sentinels; see _corner_fetch_rows)
     return jnp.sum(jnp.where(io == lane[..., None], got, 0.0), axis=-1)
 
